@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+One session, one catalog, replaces all three data planes of the reference
+(BigQuery managed tables, REST-catalog Iceberg, BQ-connector reads — see
+SURVEY.md §1.1, reference lakehouse_part2_spark_processing.py:139-196).
+
+Scale notes (targets a 1000-executor cluster even though tests run
+local[N]):
+  - AQE on: runtime coalescing, skew-join splitting, dynamic join strategy.
+  - shuffle.partitions is a *local* default; at cluster scale AQE
+    coalesces from a high initial number, so we set
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` high and
+    let AQE shrink rather than hand-tune per query.
+  - Arrow enabled for every pandas interchange (grouped-map UDFs are the
+    only Python hot path; everything else stays JVM-side).
+  - session timezone pinned to UTC so timestamp semantics match the
+    ANSI/DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "open_data_lakehouse_demo_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[cpus] for tests/bench; on a real cluster the master/memory knobs
+    come from spark-submit and everything here still applies.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # -- planner ----------------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # -- python interchange -----------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- semantics ---------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: GoogleSQL's SAFE_ functions are the compat layer's job
+        .config("spark.sql.ansi.enabled", "false")
+        # -- local-mode ergonomics ---------------------------------------
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,159 @@
+"""IO surface: scans, sinks and the table registry.
+
+Covers SURVEY.md §2.1 S1-S8 / S13-S15 with Spark built-ins:
+  S1 CSV batch load (explicit schema, header skip)   ref part0:227-236
+  S2 Parquet read                                    ref part1:501-503
+  S3 Parquet export                                  ref part0:524-531
+  S4 JSONL load (incl. array fields)                 ref part0:450-459
+  S5/S6 catalog table write/read                     ref part1:506-508, part2:242
+  S7/S8 warehouse-connector read/write → plain catalog tables here
+  S13 CTAS / S14 DDL → ddl.py
+  S15 clustered table → sorted, date-partitioned parquet writes
+
+The reference's three data planes (BigQuery storage, REST-catalog Iceberg,
+BQ Storage API reads) all collapse onto one Spark catalog over Parquet.
+Iceberg is the production table format (ACID, snapshots, schema evolution);
+its runtime jar is not in this image, so the format is selected at runtime
+and falls back to Parquet — the query surface above the table layer is
+identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver-provided star schema + stream/LLM tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_format(spark: SparkSession) -> str:
+    """'iceberg' when the runtime jar is present, else 'parquet'."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return "iceberg"
+    except Exception:
+        return "parquet"
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only check.
+
+    Spark's vectorized parquet reader supports MILLIS/MICROS only; NANOS
+    columns are read as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``)
+    and converted to timestamps in the plan. Footer read is O(1), no data IO.
+    """
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S2: self-describing columnar scan; Catalyst pushes filters/pruning.
+
+    Transparently handles TIMESTAMP(NANOS) parquet columns (which Spark's
+    reader rejects) by reading them as int64 and converting to
+    ``timestamp_ntz`` (floor to microseconds, matching DuckDB/Arrow
+    truncation). The conversion is a codegen'd projection; at production
+    scale data should be written MICROS so predicates push down to the scan.
+    """
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    for c in nanos_cols:
+        # Session-timezone-FREE nanos→ntz: epoch day/second arithmetic only.
+        # (A cast from TimestampType would render in the session tz and
+        # shift values for drivers that don't pin UTC.)
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                f"`{c}` div 86400000000000, 0, 0, "
+                f"CAST((`{c}` div 1000) % 86400000000 AS DECIMAL(20,0)) / 1000000)"
+            ),
+        )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """S1: CSV load with an explicit schema (never infer in prod paths)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S4: newline-delimited JSON with explicit schema (arrays supported)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """S3/S15: parquet sink; ``partition_by`` + ``sort_within_partitions``
+    reproduce the reference's CLUSTER BY layout intent (part1:574) so
+    BETWEEN-style time predicates prune files at scale."""
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register the testdata parquet tables as temp views (one per table).
+
+    Temp-view-over-parquet keeps the scan a plain V1/V2 FileScan: predicate
+    pushdown and column pruning reach the parquet reader directly.
+    """
+    for name in tables:
+        read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table; also registers temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
