@@ -7,4 +7,5 @@ from open_data_lakehouse_demo_spark.functions.compat import (  # noqa: F401
     register_sql_functions,
     safe_divide,
     timestamp_bucket,
+    translate_googlesql,
 )

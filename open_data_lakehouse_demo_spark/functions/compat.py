@@ -87,14 +87,51 @@ def exact_quantiles(x: Column | str, probs: list[float]) -> Column:
     return F.percentile(x, F.array(*[F.lit(p) for p in probs]))
 
 
-def register_sql_functions(spark: SparkSession) -> None:
-    """Expose the compat layer to SQL text so ported GoogleSQL runs as-is.
+_GOOGLESQL_REWRITES: list[tuple[str, str]] = [
+    # function-name renames (arg-shape compatible)
+    (r"\bSAFE_DIVIDE\s*\(", "try_divide("),
+    (r"\bGENERATE_ARRAY\s*\(", "sequence("),
+    (r"\bTIMESTAMP_TRUNC\s*\(\s*([^,()]+)\s*,\s*(\w+)\s*\)", r"date_trunc('\2', \1)"),
+    (r"\bTIMESTAMP_ADD\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\S+)\s+(\w+)\s*\)", r"(\1 + INTERVAL \2 \3)"),
+    (r"\bTIMESTAMP_SUB\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\S+)\s+(\w+)\s*\)", r"(\1 - INTERVAL \2 \3)"),
+    (r"\bTIMESTAMP_BUCKET\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\d+)\s+MINUTE\s*\)",
+     r"timestamp_seconds(unix_timestamp(\1) - unix_timestamp(\1) % (\2 * 60))"),
+    (r"\bPARSE_TIMESTAMP\s*\(\s*'%m/%d/%Y %I:%M:%S %p'\s*,\s*(.+?)\s*\)",
+     r"to_timestamp(\1, 'M/d/yyyy h:mm:ss a')"),
+    (r"\bAPPROX_QUANTILES\s*\(\s*([^,()]+)\s*,\s*(\d+)\s*\)",
+     r"percentile_approx(\1, (SELECT array_agg(CAST(i AS DOUBLE) / \2) FROM (SELECT explode(sequence(0, \2)) AS i)), 10000)"),
+    # type-name renames
+    (r"\bINT64\b", "BIGINT"),
+    (r"\bFLOAT64\b", "DOUBLE"),
+    (r"\bNUMERIC\b", "DECIMAL(38,9)"),
+    # array index: arr[OFFSET(k)] is 0-based; element_at is 1-based
+    (r"\[\s*OFFSET\s*\(\s*(\d+)\s*\)\s*\]", lambda m: f"[{m.group(1)}]"),
+]
 
-    Registered as pure-SQL macro-style functions via CREATE TEMP FUNCTION
-    on Spark SQL lambdas where possible; all remain JVM expressions.
+
+def translate_googlesql(sql: str) -> str:
+    """Best-effort GoogleSQL → Spark SQL text translation (SURVEY §2.7 map).
+
+    Covers the reference's actual function surface (the F1-F21 inventory);
+    not a general dialect compiler. Output runs through ``spark.sql`` and is
+    optimized by Catalyst like any native query. Spark's ``arr[k]`` is
+    0-based like OFFSET, and EXTRACT(DAYOFWEEK) already matches GoogleSQL's
+    1=Sunday, so those need no rewrite beyond syntax.
     """
-    # SAFE_DIVIDE exists as try_divide; give GoogleSQL's name too.
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION SAFE_DIVIDE AS "
-        "'org.apache.spark.sql.catalyst.expressions.TryDivide'"
-    )
+    import re
+
+    out = sql
+    for pat, rep in _GOOGLESQL_REWRITES:
+        out = re.sub(pat, rep, out, flags=re.IGNORECASE)
+    return out
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Hook for session-level SQL function registration.
+
+    Everything in the compat layer maps to Spark built-ins (no UDFs), so
+    nothing needs registering; ported GoogleSQL text goes through
+    ``translate_googlesql`` instead. Kept as an explicit no-op seam for
+    future genuinely-custom SQL functions.
+    """
+    _ = spark

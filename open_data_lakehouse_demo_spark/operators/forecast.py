@@ -1,0 +1,234 @@
+"""Per-series time-series forecasting (SURVEY §2.9 U4).
+
+The reference delegates forecasting to BigQuery ML (``CREATE MODEL ...
+ARIMA_PLUS_XREG`` part3:510-532; ``ML.FORECAST`` part3:560-574;
+``AI.FORECAST`` part3:655-671; ``ML.EVALUATE`` part3:539-553). Exact BQML
+coefficient parity is unattainable and not required (SURVEY §7 risk
+register) — we match the *interface*: per-series forecasts keyed by id
+columns with horizon, confidence bounds and evaluation metrics.
+
+Two engines:
+  - ``linear_trend_forecast`` — closed-form OLS trend per series, expressed
+    entirely in DataFrame aggregates over exact DECIMAL sums (deterministic
+    across engines ⇒ participates in the DuckDB-oracle hash gate). One hash
+    aggregate per series + a generator for the horizon: scales to millions
+    of series with a single shuffle.
+  - ``ar_forecast`` — AR(p)-with-trend via numpy least squares inside
+    ``applyInPandas`` (Arrow grouped-map, the same execution shape the
+    reference uses for its simulation UDF part2:578-580). Deterministic
+    (no randomness), one pandas batch per series.
+
+Both emit the BQML-ML.FORECAST-shaped schema:
+  id_cols..., forecast_timestamp, forecast_value, standard_error,
+  confidence_level, prediction_interval_lower_bound,
+  prediction_interval_upper_bound
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# two-sided normal quantiles for supported confidence levels
+_Z = {0.80: 1.2815515655446004, 0.90: 1.6448536269514722,
+      0.95: 1.959963984540054, 0.99: 2.5758293035489004}
+
+
+def _z_for(confidence_level: float) -> float:
+    if confidence_level not in _Z:
+        raise ValueError(f"confidence_level must be one of {sorted(_Z)}")
+    return _Z[confidence_level]
+
+
+def linear_trend_forecast(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    data_col: str,
+    horizon: int,
+    bucket_seconds: int,
+    confidence_level: float = 0.95,
+) -> DataFrame:
+    """OLS linear-trend forecast per series, closed form, no UDFs.
+
+    slope/intercept from exact decimal sums (Sx, Sxx integer-valued;
+    Sy, Sxy exact DECIMAL) so results hash-match an ANSI-SQL oracle;
+    the final arithmetic is IEEE double on identical operands.
+    Prediction interval uses the residual standard error (constant width —
+    a documented simplification vs ARIMA's widening intervals).
+    """
+    z = _z_for(confidence_level)
+    w = Window.partitionBy(*id_cols).orderBy(ts_col)
+    indexed = df.select(
+        *id_cols,
+        F.col(ts_col),
+        (F.row_number().over(w) - 1).cast("decimal(18,0)").alias("x"),
+        F.col(data_col).cast("decimal(18,6)").alias("y"),
+    )
+    agg = indexed.groupBy(*id_cols).agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.max(ts_col).alias("last_ts"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fitted = agg.select(
+        *id_cols,
+        "last_ts",
+        F.col("n").cast("double").alias("nd"),
+        (num / den).alias("slope"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    fitted = fitted.withColumn(
+        "intercept", (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("nd")
+    ).withColumn(
+        "sse",
+        F.col("syyd")
+        - F.col("intercept") * F.col("syd")
+        - F.col("slope") * F.col("sxyd"),
+    ).withColumn(
+        "standard_error",
+        F.when(F.col("nd") > 2, F.sqrt(F.greatest(F.col("sse"), F.lit(0.0)) / (F.col("nd") - 2)))
+        .otherwise(F.lit(0.0)),
+    )
+    horizon_rows = fitted.select(
+        *id_cols,
+        "last_ts",
+        "nd",
+        "slope",
+        "intercept",
+        "standard_error",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+    )
+    fv = F.col("intercept") + F.col("slope") * (F.col("nd") - 1 + F.col("h"))
+    return horizon_rows.select(
+        *id_cols,
+        (
+            F.col("last_ts")
+            + F.col("h") * F.expr(f"INTERVAL {int(bucket_seconds)} SECOND")
+        ).alias("forecast_timestamp"),
+        fv.alias("forecast_value"),
+        F.col("standard_error"),
+        F.lit(float(confidence_level)).alias("confidence_level"),
+        (fv - F.lit(z) * F.col("standard_error")).alias("prediction_interval_lower_bound"),
+        (fv + F.lit(z) * F.col("standard_error")).alias("prediction_interval_upper_bound"),
+    )
+
+
+def ar_forecast(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    data_col: str,
+    horizon: int,
+    bucket_seconds: int,
+    confidence_level: float = 0.95,
+    order: int = 4,
+) -> DataFrame:
+    """AR(p)+trend forecast per series via numpy lstsq in applyInPandas.
+
+    Design matrix: [1, t, y_{t-1..t-p}]; recursive multi-step forecast.
+    Deterministic — pure least squares, no random init. Interval width
+    grows with horizon via the recursive variance of the AR recursion
+    (approximated by accumulating the one-step residual variance).
+    """
+    import numpy as np  # worker-side import
+
+    z = _z_for(confidence_level)
+    id_schema = ", ".join(f"{c} {f.dataType.simpleString()}" for c in id_cols
+                          for f in df.schema.fields if f.name == c)
+    ts_type = next(f.dataType.simpleString() for f in df.schema.fields if f.name == ts_col)
+    out_schema = (
+        f"{id_schema}, forecast_timestamp {ts_type}, forecast_value double, "
+        "standard_error double, confidence_level double, "
+        "prediction_interval_lower_bound double, prediction_interval_upper_bound double"
+    )
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[data_col].to_numpy(dtype="float64")
+        n = len(y)
+        p = min(order, max(1, n // 3))
+        ids = {c: pdf[c].iloc[0] for c in id_cols}
+        last_ts = pdf[ts_col].iloc[-1]
+        step = pd.Timedelta(seconds=bucket_seconds)
+        if n < p + 3:
+            # degenerate series: repeat the mean
+            mu = float(y.mean()) if n else 0.0
+            rows = [
+                {**ids, "forecast_timestamp": last_ts + step * (h + 1),
+                 "forecast_value": mu, "standard_error": 0.0,
+                 "confidence_level": confidence_level,
+                 "prediction_interval_lower_bound": mu,
+                 "prediction_interval_upper_bound": mu}
+                for h in range(horizon)
+            ]
+            return pd.DataFrame(rows)
+        # design: intercept, trend, p lags
+        t_idx = np.arange(p, n, dtype="float64")
+        X = np.column_stack(
+            [np.ones(n - p), t_idx] + [y[p - k - 1 : n - k - 1] for k in range(p)]
+        )
+        beta, *_ = np.linalg.lstsq(X, y[p:], rcond=None)
+        resid = y[p:] - X @ beta
+        sigma = float(np.sqrt((resid**2).mean())) if len(resid) else 0.0
+        hist = list(y)
+        rows = []
+        var_acc = 0.0
+        phi_sq = float(np.sum(beta[2:] ** 2))
+        for h in range(horizon):
+            t_f = float(n + h)
+            x_row = np.array([1.0, t_f] + [hist[-k - 1] for k in range(p)])
+            yhat = float(x_row @ beta)
+            hist.append(yhat)
+            var_acc = sigma**2 + phi_sq * var_acc  # recursive variance approx
+            se = float(np.sqrt(var_acc))
+            rows.append(
+                {**ids, "forecast_timestamp": last_ts + step * (h + 1),
+                 "forecast_value": yhat, "standard_error": se,
+                 "confidence_level": confidence_level,
+                 "prediction_interval_lower_bound": yhat - z * se,
+                 "prediction_interval_upper_bound": yhat + z * se}
+            )
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*id_cols).applyInPandas(fit_one, schema=out_schema)
+
+
+def evaluate_forecast(
+    actual: DataFrame,
+    forecast: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    data_col: str,
+) -> DataFrame:
+    """ML.EVALUATE-shaped accuracy metrics (ref part3:539-553): join forecast
+    to actuals on (ids, timestamp) and compute MAE / MAPE / MSE / RMSE per
+    series. Pure DataFrame aggregation — SQL-oracle-able."""
+    f = forecast.select(
+        *id_cols,
+        F.col("forecast_timestamp").alias(ts_col),
+        "forecast_value",
+    )
+    joined = actual.select(*id_cols, ts_col, F.col(data_col).cast("double").alias("y")).join(
+        f, on=[*id_cols, ts_col], how="inner"
+    )
+    err = F.col("y") - F.col("forecast_value")
+    return joined.groupBy(*id_cols).agg(
+        F.avg(F.abs(err)).alias("mean_absolute_error"),
+        F.avg(F.when(F.col("y") != 0, F.abs(err / F.col("y")))).alias(
+            "mean_absolute_percentage_error"
+        ),
+        F.avg(err * err).alias("mean_squared_error"),
+        F.sqrt(F.avg(err * err)).alias("root_mean_squared_error"),
+        F.count("*").alias("n_points"),
+    )

@@ -1,0 +1,107 @@
+"""GAP_FILL — densify a per-partition time series and interpolate values.
+
+Re-expression of GoogleSQL's ``GAP_FILL(TABLE t, ts_column=>, bucket_width=>,
+partitioning_columns=>, value_columns=>[(col, 'linear')])`` as used by the
+reference (lakehouse_part3_time_series_forecasting.py:470-481) to build its
+5-minute ``summarized_features`` table. SURVEY.md §2.9 U5 calls this the one
+genuinely novel relational operator in the workload.
+
+Spark-first design (no UDFs — everything is window functions + a generator):
+
+ 1. per partition: ``min(ts), max(ts)`` (one hash aggregate);
+ 2. ``posexplode(sequence(min, max, bucket))`` densifies the bucket grid —
+    a generator inside the stage, no shuffle for the fan-out, and the
+    position ``pos`` is carried as an *integer bucket index* so the
+    interpolation fraction is pure integer arithmetic (engine-portable,
+    timezone-free — no epoch extraction from TIMESTAMP_NTZ needed);
+ 3. left join the original rows back on (partition, ts) — co-partitioned
+    equi-join on the same keys the windows below need, so AQE typically
+    plans ONE shuffle shared by join and windows;
+ 4. two-sided interpolation via ``last(v, ignoreNulls) OVER (... ROWS
+    UNBOUNDED PRECEDING)`` and ``first(v, ignoreNulls) OVER (... ROWS
+    UNBOUNDED FOLLOWING)`` — Spark computes both over a single sort of
+    (partition, pos).
+
+Scale: partitions (series) parallelize across executors; a single series
+is processed by one task — same constraint BigQuery's GAP_FILL has. For a
+pathological single giant series, pre-split by coarse time range and stitch
+(documented limitation; the reference's series are (bus_line, stop) keyed —
+thousands of small partitions).
+
+Modes per value column: 'linear' | 'locf' | 'null'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MODES = ("linear", "locf", "null")
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_column: str,
+    bucket_width_seconds: int,
+    partitioning_columns: list[str],
+    value_columns: dict[str, str],
+) -> DataFrame:
+    """Fill missing time buckets per partition between its min and max ts.
+
+    ``df``'s ``ts_column`` must already be bucket-aligned (the reference
+    applies GAP_FILL on top of a TIMESTAMP_BUCKET aggregate; compose with
+    ``functions.compat.timestamp_bucket`` otherwise). Value columns are
+    interpolated per their mode; all other columns are dropped (matching
+    GoogleSQL GAP_FILL's projection).
+    """
+    for col, mode in value_columns.items():
+        if mode not in _MODES:
+            raise ValueError(f"unknown gap_fill mode {mode!r} for {col!r}; use {_MODES}")
+
+    pcols = list(partitioning_columns)
+    interval = F.expr(f"INTERVAL {int(bucket_width_seconds)} SECOND")
+
+    bounds = df.groupBy(*pcols).agg(
+        F.min(ts_column).alias("__min_ts"), F.max(ts_column).alias("__max_ts")
+    )
+    grid = bounds.select(
+        *pcols,
+        F.posexplode(F.sequence(F.col("__min_ts"), F.col("__max_ts"), interval)).alias(
+            "__pos", ts_column
+        ),
+    )
+
+    src = df.select(
+        *pcols, ts_column, *[F.col(c).alias(f"__v_{c}") for c in value_columns]
+    )
+    joined = grid.join(src, on=[*pcols, ts_column], how="left")
+
+    w = Window.partitionBy(*pcols).orderBy("__pos")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    out = joined
+    for col, mode in value_columns.items():
+        v = F.col(f"__v_{col}")
+        if mode == "null":
+            out = out.withColumn(col, v)
+            continue
+        prev_v = F.last(v, ignorenulls=True).over(w_prev)
+        if mode == "locf":
+            out = out.withColumn(col, prev_v)
+            continue
+        # linear: integer bucket positions of the bracketing observations
+        pos_of_obs = F.when(v.isNotNull(), F.col("__pos"))
+        prev_pos = F.last(pos_of_obs, ignorenulls=True).over(w_prev)
+        next_v = F.first(v, ignorenulls=True).over(w_next)
+        next_pos = F.first(pos_of_obs, ignorenulls=True).over(w_next)
+        frac = (F.col("__pos") - prev_pos).cast("double") / (next_pos - prev_pos).cast(
+            "double"
+        )
+        interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+            prev_v.cast("double")
+            + (next_v.cast("double") - prev_v.cast("double")) * frac
+        )
+        out = out.withColumn(col, interp)
+
+    return out.select(*pcols, ts_column, *value_columns)

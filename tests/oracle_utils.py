@@ -10,14 +10,14 @@ the decimal-sum policy in plans/inventory.py is designed to deliver it.
 from __future__ import annotations
 
 import datetime
-import decimal
 import math
 from typing import Any
 
 
 def _norm(v: Any) -> Any:
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    # NB: deliberately does NOT coerce Decimal→float: a Decimal on one side
+    # and a float on the other is a real engine-type mismatch the driver's
+    # hash would catch (both engines must emit the same logical type).
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
     if isinstance(v, float) and math.isnan(v):

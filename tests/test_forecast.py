@@ -1,0 +1,82 @@
+"""Forecast operator tests (SURVEY §2.9 U4): interface + statistical sanity."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from open_data_lakehouse_demo_spark.operators.forecast import (
+    ar_forecast,
+    evaluate_forecast,
+    linear_trend_forecast,
+)
+
+
+def _mk_series(spark, values, key="s1", start=datetime.datetime(2024, 1, 1)):
+    rows = [
+        (key, start + datetime.timedelta(days=i), float(v)) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "key string, day timestamp_ntz, y double")
+
+
+def test_linear_trend_recovers_exact_line(spark):
+    df = _mk_series(spark, [10 + 2 * i for i in range(20)])
+    fc = linear_trend_forecast(df, ["key"], "day", "y", horizon=3, bucket_seconds=86400)
+    rows = sorted(fc.collect(), key=lambda r: r.forecast_timestamp)
+    assert len(rows) == 3
+    # perfect line ⇒ zero residual ⇒ exact continuation, zero-width interval
+    assert rows[0].forecast_value == pytest.approx(10 + 2 * 20)
+    assert rows[2].forecast_value == pytest.approx(10 + 2 * 22)
+    assert rows[0].standard_error == pytest.approx(0.0, abs=1e-9)
+    assert rows[0].prediction_interval_lower_bound == pytest.approx(rows[0].forecast_value)
+    assert rows[0].forecast_timestamp == datetime.datetime(2024, 1, 21)
+
+
+def test_linear_trend_multi_series_independent(spark):
+    a = _mk_series(spark, [5.0] * 10, key="flat")
+    b = _mk_series(spark, [float(i) for i in range(10)], key="ramp")
+    fc = linear_trend_forecast(a.union(b), ["key"], "day", "y", horizon=2, bucket_seconds=86400)
+    got = {(r.key, r.forecast_timestamp.day): r.forecast_value for r in fc.collect()}
+    assert got[("flat", 11)] == pytest.approx(5.0)
+    assert got[("ramp", 11)] == pytest.approx(10.0)
+
+
+def test_ar_forecast_tracks_ar1_process(spark):
+    # deterministic damped AR(1): y_t = 0.8*y_{t-1}, y_0=100 → forecast keeps decaying
+    vals, y = [], 100.0
+    for _ in range(30):
+        vals.append(y)
+        y *= 0.8
+    df = _mk_series(spark, vals)
+    fc = ar_forecast(df, ["key"], "day", "y", horizon=5, bucket_seconds=86400)
+    rows = sorted(fc.collect(), key=lambda r: r.forecast_timestamp)
+    assert len(rows) == 5
+    last_val = vals[-1]
+    for r in rows:
+        assert abs(r.forecast_value) < abs(last_val) + 1e-6  # keeps decaying
+        last_val = r.forecast_value
+    # noiseless process ⇒ near-zero residual ⇒ tight intervals
+    assert rows[0].standard_error == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ar_forecast_short_series_degenerates_to_mean(spark):
+    df = _mk_series(spark, [4.0, 6.0])
+    fc = ar_forecast(df, ["key"], "day", "y", horizon=2, bucket_seconds=86400)
+    for r in fc.collect():
+        assert r.forecast_value == pytest.approx(5.0)
+
+
+def test_evaluate_forecast_metrics(spark):
+    actual = _mk_series(spark, [10.0, 20.0, 30.0])
+    fc = linear_trend_forecast(
+        _mk_series(spark, [0.0, 10.0, 20.0], start=datetime.datetime(2023, 12, 29)),
+        ["key"], "day", "y", horizon=3, bucket_seconds=86400,
+    )
+    m = evaluate_forecast(actual, fc, ["key"], "day", "y").collect()[0]
+    # forecast continues 0,10,20 → 30,40,50 vs actual 10,20,30 ⇒ err = −20 each
+    assert m.mean_absolute_error == pytest.approx(20.0)
+    assert m.root_mean_squared_error == pytest.approx(20.0)
+    assert m.mean_absolute_percentage_error == pytest.approx((2.0 + 1.0 + 2 / 3) / 3)
+    assert m.n_points == 3
