@@ -1,0 +1,309 @@
+"""Document deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference training-data-pipeline operators (SURVEY.md §7.6) over the
+``documents`` table (doc_id BIGINT, text STRING, lang STRING, source STRING,
+n_chars BIGINT). The reference has no dedup surface (its one dedup is the
+W1 ROW_NUMBER first-row-per-key at lakehouse_part0_data_generation.py:262-271,
+covered by the ``first_event_per_user`` query); these operators add the
+standard large-corpus text-dedup suite a 100 TB pipeline needs.
+
+Portability contract (DuckDB-oracle hash parity, SURVEY §5.1):
+  every hash used in results or candidate generation is an explicit
+  arithmetic formula over md5 hex — computable identically in Spark SQL and
+  DuckDB — never an engine-internal hash (xxhash64/hash() differ by engine).
+
+    token_hash(t)  = bigint(first 8 hex chars of md5(t))          ∈ [0, 2^32)
+    minhash_j(S)   = min_{h∈S} (A_j·h + B_j) mod P,  P = 2^31-1,  A_j < 10^6
+                     (A_j·h < 10^6·2^32 < 2^63 — no bigint overflow)
+    simhash bit i  = [ Σ_tokens cnt·(±1 per bit i of token_hash) > 0 ]
+
+Scale design (local tests ≈ 500-5k docs; target = 10^9+ docs):
+  - Exact dedup: one hash-shuffle on md5(text) — the minimal possible.
+  - Jaccard/LSH candidate generation is an *inverted-index self-join*
+    (explode → join on shingle/band-key), never an O(n²) cross join.
+  - Hot-key blowup control: shingles with document frequency > ``max_df``
+    are excluded from candidate generation (a shingle shared by k docs
+    yields k² candidate pairs; df-capping bounds the join fan-out while
+    verification still uses the FULL shingle sets, so no false negatives
+    among pairs that share at least one rare shingle — the standard
+    prefix-filtering trade-off).
+  - Verification joins carry the distinct-shingle-hash array per doc
+    (array_intersect size), so true Jaccard needs no third shuffle over
+    exploded tokens.
+  - All expressions are JVM Column expressions inside whole-stage codegen;
+    no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Fixed MinHash permutation tables (deterministic LCG; same literals are
+# formatted into the DuckDB oracle SQL — single source of truth).
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_HASHES = 32
+N_BANDS = 16  # 16 bands x 2 rows: P(collide) = 1-(1-j^2)^16; j=0.8 -> 0.9997
+
+
+def _lcg_table(seed: int, n: int, lo: int, hi: int) -> tuple[int, ...]:
+    vals, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        vals.append(lo + x % (hi - lo))
+    return tuple(vals)
+
+
+MINHASH_A = _lcg_table(42, N_HASHES, 1, 999_983)
+MINHASH_B = _lcg_table(1337, N_HASHES, 0, MINHASH_P)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression building blocks
+# ---------------------------------------------------------------------------
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Array of n-word shingle strings ("w1 w2 w3"); whole doc if < n tokens."""
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+
+
+def shingle_hash_set(text: Column | str, n: int = 3) -> Column:
+    """Distinct portable hashes of the doc's n-word shingles (sorted array)."""
+    return F.array_sort(
+        F.array_distinct(F.transform(word_shingles(tokenize(text), n), token_hash))
+    )
+
+
+def _perm(j: int):
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_signature(shingle_hashes: Column) -> Column:
+    """K-wide MinHash signature (array<bigint>) of a shingle-hash set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_hashes, _perm(j)))
+            for j in range(N_HASHES)
+        ]
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash per document.
+
+    One explode + one groupBy(id) shuffle; the 32 bit-sums are parallel
+    aggregate expressions (partial aggregation map-side), not 32 passes.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    counted = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    h = token_hash(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"bit{i}")
+        for i in range(32)
+    ]
+    sums = counted.groupBy(id_col).agg(*bit_sums)
+    simhash = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0).cast("bigint"),
+    )
+    return sums.select(F.col(id_col), simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text.
+
+    Returns (text_md5, canonical id = min id, n_copies). Grouping on the
+    128-bit digest (not the text) keeps shuffle rows tiny at 100 TB; the
+    md5 collision probability is negligible vs corpus sizes (< 2^-60).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), shingle_hash_set(F.col(text_col), n).alias("sh")
+    )
+
+
+def _verified_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (a,b) pairs to their shingle sets; exact Jaccard filter."""
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, inverted-index candidates.
+
+    Candidates = doc pairs sharing ≥1 shingle with document frequency
+    ≤ max_df (fan-out bound — see module docstring); verification = exact
+    Jaccard over full distinct-shingle sets. Output (doc_a, doc_b, jaccard),
+    doc_a < doc_b.
+    """
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    inv = sets.select("doc", F.explode("sh").alias("h"))
+    rare = inv.groupBy("h").agg(F.count("*").alias("df_h")).filter(
+        F.col("df_h") <= max_df
+    )
+    inv_rare = inv.join(rare.select("h"), "h")
+    cands = (
+        inv_rare.alias("x")
+        .join(inv_rare.alias("y"), "h")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_pairs(cands, sets, threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding.
+
+    Candidates = pairs colliding in ≥1 of the 16 two-row bands (the classic
+    banding scheme: collision prob ≈ 1-(1-j^r)^b, steep around j≈0.55);
+    verification = exact Jaccard over the full shingle sets. The band join
+    shuffles only (band_id, band_key, doc) rows — constant per doc — so at
+    10^9 docs the candidate join is the only quadratic term and only within
+    true near-dup clusters. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    sigs = sets.select("doc", minhash_signature(F.col("sh")).alias("sig"))
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * r + i + 1).cast("string")
+                                for i in range(r)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band_id", "bk.band_key")
+    cands = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_pairs(cands, sets, threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation by the pigeonhole block trick: split the 32-bit
+    hash into 4 byte blocks; any pair within Hamming distance ≤ 3 must
+    agree on ≥1 whole block, so an equi-join on (block_id, block_value)
+    finds all of them with no cross join. Output (doc_a, doc_b, hamming).
+    """
+    sh = simhash32(df, id_col, text_col).withColumnRenamed(id_col, "doc")
+    blocks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("block_id"),
+                        F.shiftright(F.col("simhash"), 8 * c)
+                        .bitwiseAND(F.lit(255))
+                        .alias("block_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "simhash", "blk.block_id", "blk.block_val")
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["block_id", "block_val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -907,3 +907,12 @@ def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration of the extended inventories (import side effect populates
+# QUERIES; placed at module end so the decorator infrastructure above is
+# fully defined).
+# ---------------------------------------------------------------------------
+
+from open_data_lakehouse_demo_spark.plans import inventory_docs  # noqa: E402,F401

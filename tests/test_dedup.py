@@ -1,0 +1,66 @@
+"""Dedup operator tests: known-answer unit cases + DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_data_lakehouse_demo_spark.operators import dedup
+from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_matches_oracle
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 1
+    (4, "completely different content about spark shuffle partitions and joins"),
+    (5, "another unrelated document mentioning adaptive query execution only"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs_df):
+    rows = {r["canonical_id"]: r["n_copies"] for r in dedup.exact_dedup(docs_df, "doc_id", "text").collect()}
+    assert rows[1] == 2  # docs 1+2 collapse
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs_df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (4, 5) not in pairs
+
+
+def test_simhash_identical_docs_distance_zero(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs_df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (4, 5) not in pairs
+
+
+@pytest.mark.parametrize(
+    "name", ["exact_dedup_docs", "ngram_jaccard_dups", "minhash_lsh_dups", "simhash_dups"]
+)
+def test_dedup_oracle_parity(spark, duck, name):
+    q = QUERIES[name]
+    assert q.oracle is not None
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
