@@ -1,0 +1,260 @@
+"""Vector similarity search — brute-force cosine top-k, IVF-Flat, hyperplane LSH.
+
+Beyond-reference training-data-pipeline operators (SURVEY.md §7.6) over the
+``embeddings`` table (vec_id BIGINT, embedding ARRAY<FLOAT> dim=64, label INT).
+
+Portability contract (DuckDB-oracle hash parity): every similarity is a
+left-to-right fold of CAST-to-DOUBLE products — ``F.aggregate(F.zip_with(...))``
+in Spark, ``list_reduce(list_transform(range ...))`` in DuckDB — so both
+engines execute the identical IEEE-754 operation sequence and results are
+bit-equal, no tolerance needed. Random hyperplanes are *arithmetic* (an LCG
+formula evaluated inside the query), not stored tables, so both engines
+derive them from one shared formula.
+
+Scale design (local ≈ 500-5k vectors; target = 10^9+):
+  - Brute force is the CORRECTNESS baseline: probe-set × corpus with the
+    small probe side broadcast — one pass over the corpus, per-partition
+    top-k via window (TakeOrdered shape), no shuffle of the corpus.
+  - IVF-Flat is the scale path: corpus partitioned by nearest coarse
+    centroid (one O(n·C) assignment pass, C ≪ n), probes search only
+    ``nprobe`` inverted lists → candidate join is an equi-join on
+    centroid id, i.e. n/C-sized buckets instead of the full corpus.
+  - Hyperplane LSH (sign-random-projection) generates near-dup candidate
+    pairs via L band-table equi-joins (same shape as MinHash LSH in
+    operators/dedup.py); exact cosine verifies candidates.
+  - All expressions JVM-side (codegen); no Python UDFs. At 10^9 vectors the
+    fold-based dot product would move to a Pandas-UDF BLAS batch per
+    partition — kept expression-based here for oracle bit-parity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+# LCG hyperplane coefficients: coef(p, i) for plane p, dimension i.
+# Shared single-source formula — mirrored verbatim in the DuckDB oracles.
+LCG_MUL = 1103515245
+LCG_ADD = 12345
+LCG_MOD = 2_000_001
+LCG_SHIFT = 1_000_000  # coef range [-1e6, 1e6]
+
+N_TABLES = 4  # L band tables ...
+BITS_PER_TABLE = 8  # ... of b sign bits each
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over double-cast elements (bit-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(_dot_fold(v, v))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return _dot_fold(a, b) / (norm_a * norm_b)
+
+
+def _hyperplane(p: int) -> Column:
+    """Plane p's coefficient vector via the LCG formula (array<double>)."""
+    # NB: the multiplier must be BIGINT — Spark keeps int*int in 32-bit and
+    # silently wraps with ANSI off, while the oracle's engine auto-promotes.
+    mul = F.lit(LCG_MUL).cast("bigint")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            (mul * (F.lit(p * DIM) + i) + F.lit(LCG_ADD)) % F.lit(LCG_MOD)
+            - F.lit(LCG_SHIFT)
+        ).cast("double"),
+    )
+
+
+def lsh_bucket(v: Column, table: int) -> Column:
+    """Sign-random-projection bucket id for one band table (b-bit integer)."""
+    bits = [
+        F.when(_dot_fold(v, _hyperplane(table * BITS_PER_TABLE + j)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        for j in range(BITS_PER_TABLE)
+    ]
+    return reduce(lambda a, b: a + b, bits).cast("bigint")
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each probe over the full corpus.
+
+    Probe side is broadcast (probe sets are query batches, small by
+    construction); the corpus streams through one codegen stage — no corpus
+    shuffle. Output (query_id, neighbor_id, cosine), k rows per probe,
+    neighbor_id tiebreak makes the ranking total.
+    """
+    corpus = _with_norm(df, id_col, vec_col)
+    p = _with_norm(probes, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = corpus.join(F.broadcast(p), F.col("vid") != F.col("query_id")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest coarse centroids.
+
+    Broadcast the (tiny) codebook; one O(n·C) scan, ranked by cosine with
+    centroid-id tiebreak. Output (vid, vec, nrm, centroid_id, rank).
+    """
+    vecs = df
+    cents = centroids.select(
+        F.col("vid").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vid",
+        "vec",
+        "nrm",
+        "centroid_id",
+        cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")).alias("ccos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_assign)
+        .drop("ccos")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize, search nprobe lists.
+
+    Codebook = the ``n_centroids`` lowest-id vectors (deterministic sampled
+    codebook — the standard IVF training step replaced by sampling so the
+    structure is oracle-reproducible; swap in k-means centroids at scale).
+    Corpus vectors land in exactly one inverted list; probes search their
+    ``nprobe`` nearest lists. The candidate join is an equi-join on
+    centroid_id — bucket-sized work instead of full-corpus work.
+    """
+    base = _with_norm(df, id_col, vec_col)
+    centroids = base.filter(F.col("vid") < n_centroids)
+    corpus = assign_centroids(base, centroids, n_assign=1).select(
+        "centroid_id", "vid", "vec", "nrm"
+    )
+    probes = base.filter(probe_filter) if probe_filter is not None else base
+    probed = assign_centroids(probes, centroids, n_assign=nprobe).select(
+        F.col("centroid_id"),
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = corpus.join(F.broadcast(probed), "centroid_id").filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate vector pairs: hyperplane-LSH candidates, exact verify.
+
+    Candidates = pairs colliding in ≥1 of the L sign-projection band tables
+    (equi-join on (table, bucket) — the only shuffle is constant rows per
+    vector); verification = exact cosine ≥ threshold over the pair.
+    Output (vec_a, vec_b, cosine), vec_a < vec_b.
+    """
+    base = _with_norm(df, id_col, vec_col)
+    buckets = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_bucket(F.col("vec"), t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "tb.table_id", "tb.bucket")
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["table_id", "bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
+        .distinct()
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

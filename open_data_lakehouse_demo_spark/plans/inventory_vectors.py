@@ -1,0 +1,156 @@
+"""Query inventory — vector similarity suite (beyond-reference operators).
+
+Registers operators/similarity.py over the ``embeddings`` testdata table.
+Oracles replicate the exact fold-order arithmetic (see the portability
+contract in operators/similarity.py), so comparisons are bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.operators import similarity as sim
+from open_data_lakehouse_demo_spark.plans.inventory import query, t
+
+_PROBE_MOD = 50  # probe set = vec_id % 50 == 0 (deterministic query batch)
+_K = 5
+_NEAR_DUP_THRESHOLD = 0.3
+
+
+def _dot(x: str, y: str) -> str:
+    """DuckDB sequential-fold dot product fragment (mirrors _dot_fold)."""
+    return (
+        f"list_reduce(list_transform(range(1, {sim.DIM + 1}), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+
+_BASE_SQL = f"""
+base AS (
+  SELECT vec_id AS vid, embedding AS vec, sqrt({_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+"""
+
+_BRUTE_FORCE_ORACLE = f"""
+WITH {_BASE_SQL},
+probes AS (SELECT vid AS query_id, vec AS qvec, nrm AS qnrm FROM base WHERE vid % {_PROBE_MOD} = 0),
+pairs AS (
+  SELECT p.query_id, b.vid AS neighbor_id,
+         {_dot('p.qvec', 'b.vec')} / (p.qnrm * b.nrm) AS cosine
+  FROM probes p JOIN base b ON b.vid <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn <= {_K}
+"""
+
+_IVF_ORACLE = f"""
+WITH {_BASE_SQL},
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base WHERE vid < 16),
+scored AS (
+  SELECT b.vid, b.vec, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT centroid_id, vid, vec, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+passign AS (
+  SELECT centroid_id, vid AS query_id, vec AS qvec, nrm AS qnrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         MAX({_dot('p.qvec', 'a.vec')} / (p.qnrm * a.nrm)) AS cosine
+  FROM passign p JOIN assign1 a USING (centroid_id)
+  WHERE a.vid <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {_K}
+"""
+
+
+def _bucket_sql(table: int) -> str:
+    """DuckDB band-table bucket fragment (mirrors lsh_bucket/_hyperplane)."""
+    bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, {sim.DIM + 1}), "
+        f"i -> CAST(vec[i] AS DOUBLE) * CAST((({sim.LCG_MUL} * "
+        f"({(table * sim.BITS_PER_TABLE + j) * sim.DIM} + (i - 1)) + {sim.LCG_ADD}) "
+        f"% {sim.LCG_MOD}) - {sim.LCG_SHIFT} AS DOUBLE)), (a, b) -> a + b) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(sim.BITS_PER_TABLE)
+    )
+    return f"SELECT vid, {table} AS table_id, CAST({bits} AS BIGINT) AS bucket FROM base"
+
+_LSH_NEAR_DUP_ORACLE = f"""
+WITH {_BASE_SQL},
+buckets AS ({' UNION ALL '.join(_bucket_sql(t_) for t_ in range(sim.N_TABLES))}),
+cands AS (
+  SELECT DISTINCT x.vid AS vec_a, y.vid AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vid < y.vid
+)
+SELECT c.vec_a, c.vec_b,
+       {_dot('a.vec', 'b.vec')} / (a.nrm * b.nrm) AS cosine
+FROM cands c JOIN base a ON c.vec_a = a.vid JOIN base b ON c.vec_b = b.vid
+WHERE {_dot('a.vec', 'b.vec')} / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+@query(
+    "cosine_topk_bruteforce",
+    ("V1",),
+    oracle=_BRUTE_FORCE_ORACLE,
+    tags=("similarity",),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors per probe vector (probe batch broadcast
+    against the streaming corpus — operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % _PROBE_MOD == 0), k=_K
+    )
+
+
+@query(
+    "cosine_topk_ivf",
+    ("V2",),
+    oracle=_IVF_ORACLE,
+    tags=("similarity",),
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5: 16-list coarse quantizer, nprobe=2
+    (operators/similarity.py — the 10^9-vector scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        k=_K,
+        n_centroids=16,
+        nprobe=2,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+    )
+
+
+@query(
+    "embedding_near_dup_lsh",
+    ("V3", "DD5"),
+    oracle=_LSH_NEAR_DUP_ORACLE,
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-random-projection LSH candidates
+    (4 tables × 8 bits), exact-cosine verification ≥ 0.3
+    (operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.lsh_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD)
