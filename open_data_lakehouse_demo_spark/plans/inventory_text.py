@@ -1,0 +1,194 @@
+"""Query inventory — text-analysis suite (beyond-reference operators).
+
+Registers functions/text.py over the ``documents`` testdata table; each
+oracle mirrors the Column formula with shared constants (marker/stopword
+sets, punct class, token regex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.functions import text as tx
+from open_data_lakehouse_demo_spark.plans.inventory import query, t
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, text, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+_STOP_SQL = f"len(list_filter(tk, x -> x IN {_sql_in(tx.EN_STOPWORDS)}))"
+_PUNCT_SQL = "length(text) - length(translate(text, '.,!?;:()''\"', ''))"
+_ALPHA_SQL = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+
+_QUALITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+feat AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+    CAST({_STOP_SQL} AS BIGINT) AS stop_cnt,
+    CAST({_PUNCT_SQL} AS BIGINT) AS punct_cnt,
+    CAST({_ALPHA_SQL} AS BIGINT) AS alpha_cnt,
+    CAST(length(text) AS BIGINT) AS n_chars_m
+  FROM toks
+)
+SELECT doc_id, ws_tokens, bpe_tokens, est_tokens,
+  CAST(stop_cnt AS DOUBLE) / ws_tokens AS stopword_ratio,
+  CAST(punct_cnt AS DOUBLE) / n_chars_m AS punct_ratio,
+  CAST(alpha_cnt AS DOUBLE) / n_chars_m AS alpha_ratio,
+  CASE
+    WHEN CAST(stop_cnt AS DOUBLE) / ws_tokens >= 0.05
+         AND CAST(alpha_cnt AS DOUBLE) / n_chars_m >= 0.6
+         AND ws_tokens >= 20 THEN 'high'
+    WHEN CAST(alpha_cnt AS DOUBLE) / n_chars_m >= 0.4 AND ws_tokens >= 5 THEN 'medium'
+    ELSE 'low'
+  END AS quality_band
+FROM feat
+"""
+
+_MARKER_SQLS = {
+    lang: f"CAST(len(list_filter(tk, x -> x IN {_sql_in(markers)})) AS BIGINT)"
+    for lang, markers in tx.LANG_MARKERS.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(f"score_{lang}" for lang in tx.LANG_ORDER) + ")"
+_PRED_SQL = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' " + " ".join(
+    f"WHEN score_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in tx.LANG_ORDER
+) + " END"
+
+_LANG_ID_ORACLE = f"""
+WITH {_TOKS_SQL},
+scored AS (
+  SELECT doc_id,
+    {", ".join(f"{sql} AS score_{lang}" for lang, sql in _MARKER_SQLS.items())}
+  FROM toks
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in tx.LANG_ORDER)},
+  {_PRED_SQL} AS predicted_lang
+FROM scored
+"""
+
+_CORPUS_QUALITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+feat AS (
+  SELECT source,
+    CAST(len(tk) AS BIGINT) AS ws_tokens,
+    CAST({_STOP_SQL} AS BIGINT) AS stop_cnt,
+    CAST({_ALPHA_SQL} AS BIGINT) AS alpha_cnt,
+    CAST(length(text) AS BIGINT) AS n_chars_m
+  FROM toks
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(ws_tokens) AS total_tokens,
+  CAST(SUM(stop_cnt) AS DOUBLE) / SUM(ws_tokens) AS stopword_ratio,
+  CAST(SUM(alpha_cnt) AS DOUBLE) / SUM(n_chars_m) AS alpha_ratio,
+  CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM feat GROUP BY source
+"""
+
+# mirrors shingle/window hashing in operators/dedup.py + functions/text.py
+_FP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), shs AS (
+  SELECT doc_id, text,
+    list_sort(list_distinct(list_transform(
+      list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                     i -> array_to_string(tk[i:i+2], ' ')),
+      s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)))) AS sh,
+    list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+                   i -> CAST(('0x' || substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 8)) AS BIGINT)) AS wh
+  FROM toks
+)
+SELECT doc_id,
+  md5(text) AS content_md5,
+  sh[1] AS min_shingle_fp,
+  array_to_string(sh[1:4], ',') AS kmin_sketch,
+  list_aggregate(wh, 'min') AS rolling_window_fp
+FROM shs
+"""
+
+
+@query("text_quality_profile", ("TX1",), oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token counts (whitespace/BPE-ish/chars-4),
+    stopword/punct/alpha ratios, quality band (functions/text.py)."""
+    docs = t(spark, sf_dir, "documents")
+    text_c = F.col("text")
+    ws = tx.ws_token_count(text_c)
+    nchars = F.length(text_c).cast("bigint")
+    stop_ratio = tx.stopword_count(text_c).cast("double") / ws
+    alpha_ratio = tx.alpha_count(text_c).cast("double") / nchars
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        tx.bpe_token_count(text_c).alias("bpe_tokens"),
+        tx.est_token_count(text_c).alias("est_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        (tx.punct_count(text_c).cast("double") / nchars).alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        tx.quality_band(stop_ratio, alpha_ratio, ws).alias("quality_band"),
+    )
+
+
+@query("language_id", ("TX2",), oracle=_LANG_ID_ORACLE, tags=("text",))
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language classifier with per-language scores
+    (functions/text.py predicted_lang)."""
+    docs = t(spark, sf_dir, "documents")
+    text_c = F.col("text")
+    return docs.select(
+        "doc_id",
+        *[tx.lang_marker_count(text_c, lang).alias(f"score_{lang}") for lang in tx.LANG_ORDER],
+        tx.predicted_lang(text_c).alias("predicted_lang"),
+    )
+
+
+@query("corpus_quality_by_source", ("TX3", "A4"), oracle=_CORPUS_QUALITY_ORACLE, tags=("text",))
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup per source; ratios from exact integer
+    sums so the aggregate is reduction-order-independent."""
+    docs = t(spark, sf_dir, "documents")
+    text_c = F.col("text")
+    feat = docs.select(
+        "source",
+        tx.ws_token_count(text_c).alias("ws_tokens"),
+        tx.stopword_count(text_c).alias("stop_cnt"),
+        tx.alpha_count(text_c).alias("alpha_cnt"),
+        F.length(text_c).cast("bigint").alias("n_chars_m"),
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        (F.sum("stop_cnt").cast("double") / F.sum("ws_tokens")).alias("stopword_ratio"),
+        (F.sum("alpha_cnt").cast("double") / F.sum("n_chars_m")).alias("alpha_ratio"),
+        (F.sum("ws_tokens").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+    )
+
+
+@query("doc_fingerprints", ("TX4",), oracle=_FP_ORACLE, tags=("text",))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 digest, min-shingle fingerprint, k-min
+    sketch, rolling 8-token window hash (functions/text.py)."""
+    docs = t(spark, sf_dir, "documents")
+    text_c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(text_c).alias("content_md5"),
+        tx.doc_fingerprint_min(text_c).alias("min_shingle_fp"),
+        tx.doc_fingerprint_kmin(text_c, k=4).alias("kmin_sketch"),
+        tx.rolling_hash_fingerprint(text_c, window=8).alias("rolling_window_fp"),
+    )

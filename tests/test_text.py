@@ -1,0 +1,75 @@
+"""Text-analysis tests: known-answer unit cases + DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.functions import text as tx
+from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, "The cat and the dog sat, quietly."),
+        (2, "der die und das ist hier nicht da"),
+        (3, "!!! ??? ... 123 456"),
+        (4, "x" * 40),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _one(df, doc_id, col):
+    return {r["doc_id"]: r[col] for r in df.collect()}[doc_id]
+
+
+def test_token_counts(sample):
+    df = sample.select(
+        "doc_id",
+        tx.ws_token_count(F.col("text")).alias("ws"),
+        tx.bpe_token_count(F.col("text")).alias("bpe"),
+        tx.est_token_count(F.col("text")).alias("est"),
+    )
+    assert _one(df, 1, "ws") == 7
+    # BPE-ish: 7 words + comma + period = 9
+    assert _one(df, 1, "bpe") == 9
+    assert _one(df, 4, "est") == 10  # 40 chars / 4
+
+
+def test_stopword_and_punct(sample):
+    df = sample.select(
+        "doc_id",
+        tx.stopword_count(F.col("text")).alias("stop"),
+        tx.punct_count(F.col("text")).alias("punct"),
+    )
+    # 'and', 'the' (The is capitalized → not matched; tokens are case-sensitive)
+    assert _one(df, 1, "stop") == 2
+    assert _one(df, 1, "punct") == 2  # comma + period
+
+
+def test_predicted_lang(sample):
+    df = sample.select("doc_id", tx.predicted_lang(F.col("text")).alias("lang"))
+    langs = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "und"
+
+
+def test_fingerprint_deterministic(sample):
+    df = sample.select("doc_id", tx.doc_fingerprint_min(F.col("text")).alias("fp"))
+    a = {r["doc_id"]: r["fp"] for r in df.collect()}
+    b = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert a == b and all(v is not None for v in a.values())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality_profile", "language_id", "corpus_quality_by_source", "doc_fingerprints"],
+)
+def test_text_oracle_parity(spark, duck, name):
+    q = QUERIES[name]
+    assert q.oracle is not None
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
