@@ -918,3 +918,4 @@ def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 from open_data_lakehouse_demo_spark.plans import inventory_docs  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_vectors  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_text  # noqa: E402,F401
+from open_data_lakehouse_demo_spark.plans import inventory_streaming  # noqa: E402,F401

@@ -1,0 +1,16 @@
+"""Structured Streaming surface (SURVEY.md §2.8 T1-T7, §2.9 U3)."""
+
+from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
+    BUS_DATA_SCHEMA,
+    ENVELOPE_SCHEMA,
+    alerts_stream,
+    latest_state_agg,
+    latest_state_stateful,
+    parse_envelope,
+    read_json_stream,
+    run_pipeline,
+)
+from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401
+    events_as_bus_updates,
+    replay_to_json_files,
+)

@@ -1,0 +1,291 @@
+"""Streaming job: Kafka-envelope parse → alert branch + stateful bus state.
+
+Re-expresses the reference streaming job (assets/code/pyspark-job.py) on
+idiomatic Structured Streaming, runnable fully offline:
+
+  reference (file:line)                      here
+  ---------------------------------------   ------------------------------
+  envelope StructType  pyspark-job.py:92-118 ENVELOPE_SCHEMA
+  kafka readStream     pyspark-job.py:121-131 read_json_stream (file source
+                                             for offline; swap format("kafka")
+                                             in production — same downstream)
+  from_json parse      pyspark-job.py:135-139 parse_envelope (F19)
+  alert branch         pyspark-job.py:142-168 alerts_stream (T2: filter →
+                                             to_json(struct) → append sink, F20)
+  watermark            pyspark-job.py:171-174 T1 (bounds state GC; the agg
+                                             keeps only latest row per key)
+  stateful bus state   pyspark-job.py:34-54,  latest_state_agg (T3 as
+                       185-206                complete-mode max_by agg) and
+                                             latest_state_stateful (T3 as
+                                             applyInPandasWithState — the
+                                             arbitrary-stateful scale path)
+  foreachBatch sink    pyspark-job.py:56-69,  run_pipeline's overwrite sink
+                       210-215                (T4) — parquet table stand-in
+  dual queries         pyspark-job.py:157-168,run_pipeline returns both (T5)
+                       210-218
+
+Determinism fix over the reference (SURVEY §7 risk register): the
+reference's update_state UDF folds collect_list in nondeterministic order;
+here "latest" is defined by (timestamp_at_stop, bus_ride_id) max — total
+order, same result under any shuffle schedule.
+
+Scale notes: the state key space is |bus_lines| (tiny) but the design holds
+for high-cardinality keys — max_by partial-aggregates map-side, and the
+stateful variant keeps O(1) state per key in the state store (RocksDB
+provider at scale); the alert branch is stateless and never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Ride payload (the reference's 18-field data struct trimmed to the fields
+# its job actually reads — pyspark-job.py:135-152, 177-204).
+BUS_DATA_SCHEMA = StructType(
+    [
+        StructField("bus_ride_id", StringType()),
+        StructField("bus_line_id", LongType()),
+        StructField("bus_line", StringType()),
+        StructField("bus_stop_id", LongType()),
+        StructField("bus_stop_index", IntegerType()),
+        StructField("timestamp_at_stop", TimestampType()),
+        StructField("passengers_in_stop", LongType()),
+        StructField("passengers_boarding", LongType()),
+        StructField("remaining_at_stop", LongType()),
+        StructField("total_passengers", LongType()),
+        StructField("total_capacity", LongType()),
+        StructField("last_stop", BooleanType()),
+    ]
+)
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("data", BUS_DATA_SCHEMA),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("bus_line_id", LongType()),
+        StructField("bus_line", StringType()),
+        StructField("remaining_at_stop", LongType()),
+        StructField("total_passengers", LongType()),
+        StructField("total_capacity", LongType()),
+        StructField("update_timestamp", TimestampType()),
+    ]
+)
+
+
+def read_json_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stand-in for the Kafka reader: JSONL files of raw
+    envelope text in a `value` column (exactly what kafka delivers)."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 8)
+        .load(source_dir)
+        .withColumnRenamed("value", "raw_value")
+    )
+
+
+def parse_envelope(raw: DataFrame) -> DataFrame:
+    """from_json parse (F19) + flatten; drops rows that fail to parse."""
+    return (
+        raw.select(
+            F.from_json(F.col("raw_value").cast("string"), ENVELOPE_SCHEMA).alias("msg")
+        )
+        .filter(F.col("msg").isNotNull() & F.col("msg.data.bus_ride_id").isNotNull())
+        .select("msg.id", "msg.timestamp", "msg.data.*")
+    )
+
+
+def alerts_stream(parsed: DataFrame, min_remaining: int = 1) -> DataFrame:
+    """Capacity-alert branch (T2): passengers left behind at a stop.
+
+    Stateless filter → to_json(struct) (F20) — the exact payload the
+    reference publishes to the capacity-alerts topic (pyspark-job.py:146-152).
+    """
+    return parsed.filter(F.col("remaining_at_stop") >= min_remaining).select(
+        F.to_json(
+            F.struct(
+                "bus_ride_id",
+                "bus_line",
+                "bus_stop_id",
+                "remaining_at_stop",
+                "timestamp_at_stop",
+            )
+        ).alias("value")
+    )
+
+
+def latest_state_agg(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T3 via complete-mode aggregation: latest non-final update per line.
+
+    max_by over a totally-ordered (timestamp, ride_id) key replaces the
+    reference's order-sensitive fold; a line whose latest update has
+    last_stop=true is dropped (ride finished ⇒ remove key), matching
+    update_state returning None (pyspark-job.py:44-53).
+    """
+    ordered_key = F.struct(
+        F.col("timestamp_at_stop").alias("ts"), F.col("bus_ride_id").alias("rid")
+    )
+    latest = (
+        parsed.withWatermark("timestamp_at_stop", watermark)
+        .groupBy("bus_line_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "bus_line",
+                    "remaining_at_stop",
+                    "total_passengers",
+                    "total_capacity",
+                    F.col("timestamp_at_stop").alias("update_timestamp"),
+                    "last_stop",
+                ),
+                ordered_key,
+            ).alias("s")
+        )
+    )
+    return latest.filter(~F.col("s.last_stop")).select(
+        "bus_line_id",
+        "s.bus_line",
+        "s.remaining_at_stop",
+        "s.total_passengers",
+        "s.total_capacity",
+        "s.update_timestamp",
+    )
+
+
+def _update_state_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key fold for applyInPandasWithState: keep the latest update by
+    (timestamp_at_stop, bus_ride_id); remove the key when the latest update
+    is a last stop (U3 — ref pyspark-job.py:34-54, order made total)."""
+    if state.exists:
+        (line, remaining, total, cap, ts, rid, last) = state.get
+        best = (pd.Timestamp(ts), rid, line, remaining, total, cap, last)
+    else:
+        best = None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            cand = (
+                pd.Timestamp(row.timestamp_at_stop),
+                row.bus_ride_id,
+                row.bus_line,
+                int(row.remaining_at_stop),
+                int(row.total_passengers),
+                int(row.total_capacity),
+                bool(row.last_stop),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    ts, rid, line, remaining, total, cap, last = best
+    if last:
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            columns=[f.name for f in STATE_SCHEMA.fields]
+        ).astype(object)
+        return
+    state.update((line, remaining, total, cap, ts.to_pydatetime(), rid, last))
+    yield pd.DataFrame(
+        [
+            {
+                "bus_line_id": key[0],
+                "bus_line": line,
+                "remaining_at_stop": remaining,
+                "total_passengers": total,
+                "total_capacity": cap,
+                "update_timestamp": ts,
+            }
+        ]
+    )
+
+
+_STATE_STORE_SCHEMA = (
+    "bus_line STRING, remaining_at_stop BIGINT, total_passengers BIGINT, "
+    "total_capacity BIGINT, update_timestamp TIMESTAMP, bus_ride_id STRING, "
+    "last_stop BOOLEAN"
+)
+
+
+def latest_state_stateful(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T3 via arbitrary stateful processing (applyInPandasWithState).
+
+    Same observable semantics as latest_state_agg but with explicit per-key
+    state — the shape that generalizes to session logic and custom TTLs;
+    state lives in the executor state store (RocksDB provider at scale).
+    """
+    return (
+        parsed.withWatermark("timestamp_at_stop", watermark)
+        .groupBy("bus_line_id")
+        .applyInPandasWithState(
+            _update_state_fn,
+            outputStructType=STATE_SCHEMA,
+            stateStructType=_STATE_STORE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    alerts_dir: str,
+    state_table_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Wire the full dual-sink topology (T5) and start both queries.
+
+    alert branch  → append JSON files (kafka sink stand-in, same payload)
+    state branch  → complete-mode agg → foreachBatch full overwrite of the
+                    bus_state parquet table (T4 — the reference overwrites
+                    a warehouse table per micro-batch)
+    Returns (alerts_query, state_query); caller awaits/stops them.
+    """
+    parsed = parse_envelope(read_json_stream(spark, source_dir))
+
+    alerts_q = (
+        alerts_stream(parsed)
+        .writeStream.format("json")
+        .option("path", alerts_dir)
+        .option("checkpointLocation", f"{checkpoint_dir}/alerts")
+        .outputMode("append")
+        .start()
+    )
+
+    state_df = latest_state_agg(parsed, watermark)
+
+    def overwrite_state(batch_df: DataFrame, batch_id: int) -> None:
+        # Full-snapshot overwrite per micro-batch (T4). NB: no .collect()
+        # debug print here — the reference's pyspark-job.py:63 collect is an
+        # anti-pattern dropped on purpose (driver OOM at scale).
+        batch_df.write.mode("overwrite").parquet(state_table_dir)
+
+    state_q = (
+        state_df.writeStream.foreachBatch(overwrite_state)
+        .option("checkpointLocation", f"{checkpoint_dir}/state")
+        .outputMode("complete")
+        .start()
+    )
+    return alerts_q, state_q

@@ -1,0 +1,189 @@
+"""Streaming topology tests: file-source → alert + stateful state branches.
+
+Drives real StreamingQuery runs (processAllAvailable between file drops)
+per SURVEY §5.4: assert alert stream contents and bus_state snapshots
+across micro-batches, including last_stop key removal.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark import streaming as st
+from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_matches_oracle
+
+
+def _envelope(eid, ts, line_id, ride, remaining, total, last_stop, stop_index=1):
+    return json.dumps(
+        {
+            "id": eid,
+            "timestamp": ts,
+            "data": {
+                "bus_ride_id": ride,
+                "bus_line_id": line_id,
+                "bus_line": f"line-{line_id}",
+                "bus_stop_id": 100 + stop_index,
+                "bus_stop_index": stop_index,
+                "timestamp_at_stop": ts,
+                "passengers_in_stop": remaining + 3,
+                "passengers_boarding": 3,
+                "remaining_at_stop": remaining,
+                "total_passengers": total,
+                "total_capacity": 60,
+                "last_stop": last_stop,
+            },
+        }
+    )
+
+
+BATCH_1 = [
+    _envelope(1, "2025-01-01 10:00:00", 1, "r1", 5, 30, False),
+    _envelope(2, "2025-01-01 10:01:00", 1, "r1", 0, 35, False),   # no alert
+    _envelope(3, "2025-01-01 10:00:30", 2, "r2", 2, 20, False),
+    "not json at all",                                             # dropped by parse
+]
+BATCH_2 = [
+    _envelope(4, "2025-01-01 10:05:00", 1, "r1", 7, 40, False),
+    _envelope(5, "2025-01-01 10:06:00", 2, "r2", 1, 25, True),    # line 2 finishes
+]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "src": str(tmp_path / "src"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "alerts": str(tmp_path / "alerts"),
+        "state": str(tmp_path / "state"),
+    }
+    os.makedirs(d["src"])
+    return d
+
+
+def _drop(src_dir: str, name: str, lines: list[str]) -> None:
+    tmp = os.path.join(src_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(src_dir, name))
+
+
+def _read_alerts(alerts_dir: str) -> list[dict]:
+    out = []
+    for p in sorted(glob.glob(f"{alerts_dir}/part-*")):
+        with open(p) as f:
+            out += [json.loads(json.loads(line)["value"]) for line in f if line.strip()]
+    return out
+
+
+def test_dual_sink_pipeline_end_to_end(spark, dirs):
+    _drop(dirs["src"], "b1.jsonl", BATCH_1)
+    alerts_q, state_q = st.run_pipeline(
+        spark, dirs["src"], dirs["ckpt"], dirs["alerts"], dirs["state"]
+    )
+    try:
+        alerts_q.processAllAvailable()
+        state_q.processAllAvailable()
+
+        alerts = _read_alerts(dirs["alerts"])
+        assert {(a["bus_ride_id"], a["remaining_at_stop"]) for a in alerts} == {
+            ("r1", 5),
+            ("r2", 2),
+        }
+        state = {
+            r["bus_line_id"]: r
+            for r in spark.read.parquet(dirs["state"]).collect()
+        }
+        assert state[1]["remaining_at_stop"] == 0  # latest of batch 1 for line 1
+        assert state[2]["total_passengers"] == 20
+
+        # second micro-batch: line 1 updates, line 2 hits last_stop → removed
+        _drop(dirs["src"], "b2.jsonl", BATCH_2)
+        alerts_q.processAllAvailable()
+        state_q.processAllAvailable()
+
+        state2 = {
+            r["bus_line_id"]: r
+            for r in spark.read.parquet(dirs["state"]).collect()
+        }
+        assert set(state2) == {1}
+        assert state2[1]["remaining_at_stop"] == 7
+        alerts2 = _read_alerts(dirs["alerts"])
+        assert ("r2", 1) in {(a["bus_ride_id"], a["remaining_at_stop"]) for a in alerts2}
+    finally:
+        alerts_q.stop()
+        state_q.stop()
+
+
+def test_stateful_variant_matches_agg_semantics(spark, dirs, tmp_path):
+    """applyInPandasWithState branch: same final snapshot as the agg view."""
+    _drop(dirs["src"], "b1.jsonl", BATCH_1)
+    _drop(dirs["src"], "b2.jsonl", BATCH_2)
+    parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+    out_dir = str(tmp_path / "stateful_out")
+
+    def append_updates(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        st.latest_state_stateful(parsed)
+        .writeStream.foreachBatch(append_updates)
+        .option("checkpointLocation", f"{dirs['ckpt']}/stateful")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append sink logs every update; the latest row per line must match the
+    # agg branch's final answer, and line 2 must end in removal (no row
+    # after its last_stop batch).
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r["update_timestamp"]):
+        latest[r["bus_line_id"]] = r
+    assert latest[1]["remaining_at_stop"] == 7
+    assert latest[1]["total_passengers"] == 40
+    # both files land in one micro-batch: line 2's latest update is its
+    # last_stop, so the key is removed and never emitted
+    assert 2 not in latest
+
+
+def test_replay_producer_roundtrip(spark, tmp_path):
+    events = spark.createDataFrame(
+        [(i, f"2025-01-01 10:{i:02d}:00", 100 + i, "click", float(10 * i)) for i in range(6)],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    updates = st.events_as_bus_updates(events, shift_to="2025-06-01 00:00:00")
+    out = str(tmp_path / "replay")
+    paths = st.replay_to_json_files(updates, out, n_batches=3)
+    assert [os.path.basename(p) for p in paths] == [
+        "batch_0000.jsonl", "batch_0001.jsonl", "batch_0002.jsonl"
+    ]
+    lines = []
+    for p in paths:
+        with open(p) as f:
+            lines += [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == 6
+    # timestamp rebased: max ts lands on shift_to
+    assert max(line["timestamp"] for line in lines).startswith("2025-06-01T00:00:00")
+    parsed = st.parse_envelope(
+        spark.read.text(out).withColumnRenamed("value", "raw_value")
+    )
+    assert parsed.count() == 6
+    assert parsed.filter(F.col("bus_line_id") == (103 % 25)).count() == 1
+
+
+@pytest.mark.parametrize("name", ["capacity_alerts_batch", "latest_bus_state_batch"])
+def test_streaming_batch_view_oracle_parity(spark, duck, name):
+    q = QUERIES[name]
+    assert q.oracle is not None
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
