@@ -1,0 +1,108 @@
+"""DDL / catalog operations (SURVEY.md §2.1 S13-S14, §2.10 M1-M3).
+
+Reference surface → Spark SQL:
+  CTAS (+ Iceberg OPTIONS)      part0:255-272, part3:124-157  → ctas()
+  CREATE TABLE (cols)           part1:231-250                 → create_table()
+  DROP TABLE IF EXISTS          part1:279                     → drop_table()
+  DELETE FROM t WHERE ...       part1:566-589, bq_service:97  → delete_where()
+  CREATE NAMESPACE / USE        part1:497-498                 → namespace ops
+  SHOW TABLES / DESCRIBE        part2:206-216                 → show_tables()/
+                                                                describe_table()
+  EXPORT TABLE METADATA         part1:333, 606                → no-op (Iceberg
+                                commits are always current; S16)
+
+Format strategy: Iceberg when its runtime is on the classpath (ACID
+DELETE/MERGE, snapshots, schema evolution), else managed Parquet tables
+with a documented read-filter-overwrite DELETE fallback (correct but not
+concurrent-writer-safe — the Iceberg path is the production one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from open_data_lakehouse_demo_spark.sources.io import table_format
+
+
+def create_namespace(spark: SparkSession, name: str) -> None:
+    """M3: CREATE NAMESPACE IF NOT EXISTS (ref part1:497)."""
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
+
+
+def use_namespace(spark: SparkSession, name: str) -> None:
+    """M3: USE ns (ref part1:498)."""
+    spark.sql(f"USE {name}")
+
+
+def show_tables(spark: SparkSession, namespace: str | None = None) -> DataFrame:
+    """M1: SHOW TABLES [FROM ns] (ref part2:206)."""
+    return spark.sql(f"SHOW TABLES FROM {namespace}" if namespace else "SHOW TABLES")
+
+
+def describe_table(spark: SparkSession, table: str) -> DataFrame:
+    """M2: DESCRIBE TABLE EXTENDED (ref part2:210-216)."""
+    return spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+
+
+def create_table(spark: SparkSession, table: str, columns_ddl: str, partitioned_by: str | None = None) -> None:
+    """S14: explicit-schema CREATE TABLE (ref part1:231-250). The
+    ``partitioned_by`` transform (e.g. ``days(ts)`` on Iceberg) carries the
+    reference's CLUSTER BY intent (S15) so time predicates prune files."""
+    fmt = table_format(spark)
+    part = f" PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({columns_ddl}) USING {fmt}{part}")
+
+
+def ctas(spark: SparkSession, table: str, select_sql: str) -> None:
+    """S13: CREATE OR REPLACE TABLE AS SELECT (ref part0:255-272 etc.).
+
+    The SELECT runs through Catalyst like any query; the write inherits
+    AQE's coalesced output partitioning (no tiny-files explosion).
+    Iceberg supports atomic CREATE OR REPLACE; the V1 parquet catalog
+    doesn't, so that path drops first (single-writer, like its DELETE)."""
+    fmt = table_format(spark)
+    if fmt == "iceberg":
+        spark.sql(f"CREATE OR REPLACE TABLE {table} USING {fmt} AS {select_sql}")
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"CREATE TABLE {table} USING {fmt} AS {select_sql}")
+
+
+def ctas_from_df(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """S5/S8: DataFrame → managed table (ref part1:506-508 saveAsTable)."""
+    fmt = table_format(df.sparkSession)
+    df.write.format(fmt).mode(mode).saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """S14: DROP TABLE IF EXISTS (ref part1:279)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def delete_where(spark: SparkSession, table: str, condition: str) -> int:
+    """S14: DELETE FROM t WHERE cond (ref part1:584-589 'WHERE TRUE'
+    truncate, bq_service.py:97 'WHERE 1=1').
+
+    Iceberg: native ACID DELETE. Parquet fallback: read → anti-filter →
+    overwrite (single-writer only — documented limitation). Returns the
+    number of rows deleted."""
+    before = spark.table(table).count()
+    if table_format(spark) == "iceberg":
+        spark.sql(f"DELETE FROM {table} WHERE {condition}")
+    else:
+        # copy-on-write into a NEW table location (safe to read the old
+        # files while writing), then atomic catalog swap — no driver-side
+        # materialization, fully distributed
+        tmp = f"{table}__tmp_delete"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        spark.table(table).filter(f"NOT ({condition})").write.format(
+            "parquet"
+        ).saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return before - spark.table(table).count()
+
+
+def truncate(spark: SparkSession, table: str) -> int:
+    """DELETE FROM t WHERE TRUE (ref part1:584-589)."""
+    return delete_where(spark, table, "TRUE")

@@ -1,0 +1,120 @@
+"""IO + DDL surface tests (SURVEY §2.1, §2.10): CSV/JSONL round-trips,
+clustered parquet writes, CTAS / DELETE / namespace / catalog ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_data_lakehouse_demo_spark.plans import ddl
+from open_data_lakehouse_demo_spark.sources import io
+from tests.conftest import SF_DIR
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    df = io.read_csv(spark, p, CSV_SCHEMA)
+    assert df.schema == CSV_SCHEMA
+    assert {(r["id"], r["name"], r["score"]) for r in df.collect()} == {
+        (1, "alpha", 1.5),
+        (2, "beta", 2.5),
+    }
+
+
+def test_jsonl_with_array_field(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "stops": [10, 20, 30]}\n{"id": 2, "stops": []}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("stops", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    rows = {r["id"]: r["stops"] for r in io.read_jsonl(spark, p, schema).collect()}
+    assert rows == {1: [10, 20, 30], 2: []}
+
+
+def test_clustered_parquet_write_prunes(spark, tmp_path):
+    """S15: date-partitioned write → partition pruning visible in the plan."""
+    events = io.read_parquet(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "clustered")
+    io.write_parquet(
+        events, out, partition_by=["day"], sort_within_partitions=["ts"]
+    )
+    back = spark.read.parquet(out)
+    one_day = back.select("day").distinct().limit(1).collect()[0]["day"]
+    plan = back.filter(F.col("day") == one_day)._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == events.count()
+    # partition filter must reach the scan (pruned read, not post-filter)
+    assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_ctas_namespace_delete_lifecycle(spark):
+    ddl.create_namespace(spark, "lakehouse_test")
+    io.register_views(spark, SF_DIR, ("nation",))
+    ddl.ctas(
+        spark,
+        "lakehouse_test.nations_copy",
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    )
+    try:
+        tables = {r["tableName"] for r in ddl.show_tables(spark, "lakehouse_test").collect()}
+        assert "nations_copy" in tables
+
+        desc = ddl.describe_table(spark, "lakehouse_test.nations_copy").collect()
+        assert {"n_nationkey", "n_name", "n_regionkey"} <= {r["col_name"] for r in desc}
+
+        assert spark.table("lakehouse_test.nations_copy").count() == 25
+        n_deleted = ddl.delete_where(
+            spark, "lakehouse_test.nations_copy", "n_regionkey = 0"
+        )
+        assert n_deleted == 5
+        assert spark.table("lakehouse_test.nations_copy").count() == 20
+
+        assert ddl.truncate(spark, "lakehouse_test.nations_copy") == 20
+        assert spark.table("lakehouse_test.nations_copy").count() == 0
+    finally:
+        ddl.drop_table(spark, "lakehouse_test.nations_copy")
+    tables = {r["tableName"] for r in ddl.show_tables(spark, "lakehouse_test").collect()}
+    assert "nations_copy" not in tables
+
+
+def test_ctas_from_df_append(spark):
+    ddl.create_namespace(spark, "lakehouse_test")
+    nation = io.read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    try:
+        ddl.ctas_from_df(nation, "lakehouse_test.nation_df")
+        ddl.ctas_from_df(nation, "lakehouse_test.nation_df", mode="append")
+        assert spark.table("lakehouse_test.nation_df").count() == 50
+    finally:
+        ddl.drop_table(spark, "lakehouse_test.nation_df")
+
+
+def test_nanos_parquet_read_is_tz_free(spark):
+    """events.parquet stores TIMESTAMP(NANOS); the conversion must not
+    depend on the session timezone (driver sessions may not pin UTC)."""
+    df = io.read_parquet(spark, f"{SF_DIR}/events.parquet")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    utc_val = df.orderBy("event_id").first()["ts"]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny_val = io.read_parquet(spark, f"{SF_DIR}/events.parquet").orderBy(
+            "event_id"
+        ).first()["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc_val == ny_val
