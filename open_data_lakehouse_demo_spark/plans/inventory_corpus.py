@@ -1,0 +1,108 @@
+"""Query inventory — end-to-end corpus curation (composite LLM-pipeline op).
+
+``curated_corpus`` chains the dedup + quality stages the way a real
+training-data materialization job does:
+
+  1. exact dedup        keep min doc_id per identical text (operators/dedup)
+  2. near-dup removal   MinHash-LSH verified pairs ≥ 0.8 Jaccard → greedy
+                        drop the higher doc_id of every pair (deterministic,
+                        single-pass; full connected-component clustering is
+                        iterative and deliberately out of the oracle set)
+  3. quality filter     keep quality_band != 'low' (functions/text)
+
+Output = surviving docs with their quality features — exactly what a
+downstream tokenizer shard would consume. At 100 TB each stage is the
+shuffle documented in its own module; the chain adds no new shuffle beyond
+a broadcast-able drop-list semi-join (near-dup pairs are rare by
+definition, so the drop list is tiny relative to the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.functions import text as tx
+from open_data_lakehouse_demo_spark.operators import dedup
+from open_data_lakehouse_demo_spark.plans.inventory import query, t
+from open_data_lakehouse_demo_spark.plans.inventory_docs import (
+    _JACCARD_THRESHOLD,
+    _SHINGLE_SETS_SQL,
+    _VERIFY_SQL,
+    MINHASH_CANDS_SQL,
+)
+from open_data_lakehouse_demo_spark.plans.inventory_text import (
+    _ALPHA_SQL,
+    _STOP_SQL,
+)
+
+_CURATED_ORACLE = f"""
+WITH canonical AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+{_SHINGLE_SETS_SQL},
+{MINHASH_CANDS_SQL},
+verified AS ({_VERIFY_SQL}),
+drop_list AS (
+  SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+survivors AS (
+  SELECT c.doc_id FROM canonical c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM drop_list)
+),
+feat AS (
+  SELECT d.doc_id, d.source, d.lang,
+    CAST(len(tk.tk) AS BIGINT) AS ws_tokens,
+    CAST({_STOP_SQL.replace('tk', 'tk.tk')} AS BIGINT) AS stop_cnt,
+    CAST({_ALPHA_SQL.replace('text', 'd.text')} AS BIGINT) AS alpha_cnt,
+    CAST(length(d.text) AS BIGINT) AS n_chars_m
+  FROM documents d
+  JOIN survivors s ON d.doc_id = s.doc_id
+  JOIN toks tk ON tk.doc = d.doc_id
+)
+SELECT doc_id, source, lang, ws_tokens,
+  CAST(stop_cnt AS DOUBLE) / ws_tokens AS stopword_ratio,
+  CAST(alpha_cnt AS DOUBLE) / n_chars_m AS alpha_ratio
+FROM feat
+WHERE NOT (CAST(alpha_cnt AS DOUBLE) / n_chars_m < 0.4 OR ws_tokens < 5)
+"""
+
+
+@query(
+    "curated_corpus",
+    ("DD1", "DD3", "TX1", "PIPE1"),
+    oracle=_CURATED_ORACLE,
+    tags=("dedup", "text", "pipeline"),
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: exact dedup → MinHash-LSH near-dup drop
+    → quality filter; returns surviving docs + quality features."""
+    docs = t(spark, sf_dir, "documents")
+
+    canonical = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    near_dups = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    drop_list = near_dups.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    survivors = canonical.join(F.broadcast(drop_list), "doc_id", "left_anti")
+
+    text_c = F.col("text")
+    ws = tx.ws_token_count(text_c)
+    nchars = F.length(text_c).cast("bigint")
+    stop_ratio = tx.stopword_count(text_c).cast("double") / ws
+    alpha_ratio = tx.alpha_count(text_c).cast("double") / nchars
+    feat = docs.join(survivors, "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        "lang",
+        ws.alias("ws_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    # quality gate == "band != low" (tx.quality_band's low rule inverted)
+    return feat.filter(
+        ~((F.col("alpha_ratio") < 0.4) | (F.col("ws_tokens") < 5))
+    )

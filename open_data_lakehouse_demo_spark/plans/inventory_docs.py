@@ -64,8 +64,9 @@ _SIG_ENTRIES = ",\n    ".join(
 )
 _R = dedup.N_HASHES // dedup.N_BANDS
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLE_SETS_SQL},
+# Composable minhash candidate-pair fragment (assumes `shs` CTE in scope);
+# reused by the curated_corpus composite (inventory_corpus.py).
+MINHASH_CANDS_SQL = f"""
 sigs AS (
   SELECT doc, [
     {_SIG_ENTRIES}
@@ -81,7 +82,12 @@ cands AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc < y.doc
-),
+)
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_SETS_SQL},
+{MINHASH_CANDS_SQL},
 verified AS ({_VERIFY_SQL})
 SELECT * FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
