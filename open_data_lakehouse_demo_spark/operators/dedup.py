@@ -115,7 +115,9 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     One explode + one groupBy(id) shuffle; the 32 bit-sums are parallel
     aggregate expressions (partial aggregation map-side), not 32 passes.
     """
-    toks = df.select(
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
     counted = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
@@ -159,7 +161,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    # hashing is the CPU hot spot (interpreted HOF lambdas) — make sure it
+    # runs wide even when the input arrives as a single small split
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"), shingle_hash_set(F.col(text_col), n).alias("sh")
     )
 
@@ -182,30 +188,54 @@ def _verified_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> Data
     )
 
 
+def prefix_length(set_size: Column, threshold_pct: int) -> Column:
+    """Safe Jaccard prefix-filter length, exact integer arithmetic.
+
+    For J(x,y) ≥ t, |x∩y| ≥ ⌈t·|x|⌉, so if the first
+    |x| - ⌈t·|x|⌉ + 1 elements of x (in the global sort order) miss y
+    entirely the pair can't qualify — the classic prefix-filtering theorem
+    (SSJoin/PPJoin). t is passed as an integer percent and ⌈⌉ computed as
+    (t%·n + 99) div 100 so both engines use the same exact integers (a
+    float ⌈0.8·55⌉ can differ by ULP between engines, and an off-by-one
+    SHORTER prefix silently drops true pairs).
+    """
+    ceil_t_n = (F.lit(threshold_pct) * set_size + F.lit(99)).cast("long") / F.lit(100)
+    return (set_size - F.floor(ceil_t_n) + F.lit(1)).cast("int")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.8,
+    threshold_pct: int = 80,
     max_df: int = 100,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, inverted-index candidates.
+    """Near-dup pairs by exact n-gram Jaccard: prefix-filtered inverted-
+    index candidates + exact-set verification.
 
-    Candidates = doc pairs sharing ≥1 shingle with document frequency
-    ≤ max_df (fan-out bound — see module docstring); verification = exact
-    Jaccard over full distinct-shingle sets. Output (doc_a, doc_b, jaccard),
-    doc_a < doc_b.
+    Candidate generation indexes only each doc's *prefix* (its smallest
+    |x|-⌈t|x|⌉+1 shingle hashes — sets are already sorted) — lossless for
+    pairs ≥ t by the prefix-filtering theorem, and it shrinks the inverted
+    index ~(1-t)× and the candidate-pair fan-out quadratically (measured
+    1.13M → ~60k pairs at 5k docs). ``max_df`` additionally drops
+    pathologically common prefix shingles (boilerplate) from candidate
+    generation — that part is a documented approximation, verification
+    still uses FULL sets. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
+    threshold = threshold_pct / 100.0
     sets = _doc_shingle_sets(df, id_col, text_col, n)
-    inv = sets.select("doc", F.explode("sh").alias("h"))
-    rare = inv.groupBy("h").agg(F.count("*").alias("df_h")).filter(
+    pref = sets.select(
+        "doc",
+        F.explode(F.slice("sh", 1, prefix_length(F.size("sh"), threshold_pct))).alias("h"),
+    )
+    rare = pref.groupBy("h").agg(F.count("*").alias("df_h")).filter(
         F.col("df_h") <= max_df
     )
-    inv_rare = inv.join(rare.select("h"), "h")
+    pref_rare = pref.join(rare.select("h"), "h")
     cands = (
-        inv_rare.alias("x")
-        .join(inv_rare.alias("y"), "h")
+        pref_rare.alias("x")
+        .join(pref_rare.alias("y"), "h")
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()

@@ -45,14 +45,21 @@ _JACCARD_THRESHOLD = 0.8
 _MAX_DF = 100
 _MAX_HAMMING = 3
 
+_T_PCT = int(_JACCARD_THRESHOLD * 100)
+
+# prefix-filtered inverted index (mirrors dedup.prefix_length — exact
+# integer ceil so both engines agree; see the theorem note there)
 _NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLE_SETS_SQL},
-inv AS (SELECT doc, unnest(sh) AS h FROM shs),
-rare AS (SELECT h FROM inv GROUP BY h HAVING COUNT(*) <= {_MAX_DF}),
-invr AS (SELECT doc, h FROM inv WHERE h IN (SELECT h FROM rare)),
+pref AS (
+  SELECT doc, unnest(sh[1:CAST(len(sh) - floor(({_T_PCT} * len(sh) + 99) / 100) + 1 AS INT)]) AS h
+  FROM shs
+),
+rare AS (SELECT h FROM pref GROUP BY h HAVING COUNT(*) <= {_MAX_DF}),
+prefr AS (SELECT doc, h FROM pref WHERE h IN (SELECT h FROM rare)),
 cands AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
-  FROM invr x JOIN invr y ON x.h = y.h AND x.doc < y.doc
+  FROM prefr x JOIN prefr y ON x.h = y.h AND x.doc < y.doc
 ),
 verified AS ({_VERIFY_SQL})
 SELECT * FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
@@ -162,7 +169,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=3,
-        threshold=_JACCARD_THRESHOLD,
+        threshold_pct=_T_PCT,
         max_df=_MAX_DF,
     )
 

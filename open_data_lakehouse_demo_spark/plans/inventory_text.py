@@ -182,13 +182,27 @@ def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_fingerprints", ("TX4",), oracle=_FP_ORACLE, tags=("text",))
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 digest, min-shingle fingerprint, k-min
-    sketch, rolling 8-token window hash (functions/text.py)."""
-    docs = t(spark, sf_dir, "documents")
+    sketch, rolling 8-token window hash (functions/text.py).
+
+    The shingle-hash set is materialized ONCE per row in a lower Project,
+    then min/kmin derive from it — halves the md5 hashing vs computing
+    each fingerprint from raw text (HOF lambdas are interpreted, so Spark
+    doesn't CSE them across expressions)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import shingle_hash_set
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    docs = spread(t(spark, sf_dir, "documents"))
     text_c = F.col("text")
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         F.md5(text_c).alias("content_md5"),
-        tx.doc_fingerprint_min(text_c).alias("min_shingle_fp"),
-        tx.doc_fingerprint_kmin(text_c, k=4).alias("kmin_sketch"),
+        shingle_hash_set(text_c, 3).alias("sh"),
         tx.rolling_hash_fingerprint(text_c, window=8).alias("rolling_window_fp"),
+    )
+    return staged.select(
+        "doc_id",
+        "content_md5",
+        F.element_at("sh", 1).alias("min_shingle_fp"),
+        F.array_join(F.slice("sh", 1, 4), ",").alias("kmin_sketch"),
+        "rolling_window_fp",
     )

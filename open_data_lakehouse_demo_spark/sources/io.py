@@ -106,6 +106,23 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has too few partitions for
+    CPU-heavy per-row work (hashing, HOF lambdas, pandas UDFs).
+
+    A small local fixture arrives as ONE parquet split, serializing
+    expression-heavy stages; at warehouse scale inputs are many-way
+    partitioned already, so this is a no-op there (guarded, not blind).
+    The repartition shuffles only the narrow input rows — cheap relative
+    to the per-row compute it parallelizes.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -32,7 +32,7 @@ def test_exact_dedup_groups(docs_df):
 def test_ngram_jaccard_finds_near_dup(docs_df):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold_pct=50).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
