@@ -76,9 +76,22 @@ def gap_fill(
     )
     joined = grid.join(src, on=[*pcols, ts_column], how="left")
 
-    w = Window.partitionBy(*pcols).orderBy("__pos")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # Both directions expressed as RUNNING frames (UNBOUNDED PRECEDING →
+    # CURRENT ROW): Spark evaluates running frames incrementally (O(n) per
+    # partition), while a (CURRENT ROW → UNBOUNDED FOLLOWING) frame
+    # re-aggregates the remaining rows for every row (O(n²) — measured 9s
+    # vs 2s on this query at sf0.1). "next non-null" = running last over
+    # the DESCENDING sort; costs one extra sort, wins asymptotically.
+    w_prev = (
+        Window.partitionBy(*pcols)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.col("__pos").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     out = joined
     for col, mode in value_columns.items():
@@ -93,8 +106,8 @@ def gap_fill(
         # linear: integer bucket positions of the bracketing observations
         pos_of_obs = F.when(v.isNotNull(), F.col("__pos"))
         prev_pos = F.last(pos_of_obs, ignorenulls=True).over(w_prev)
-        next_v = F.first(v, ignorenulls=True).over(w_next)
-        next_pos = F.first(pos_of_obs, ignorenulls=True).over(w_next)
+        next_v = F.last(v, ignorenulls=True).over(w_next)
+        next_pos = F.last(pos_of_obs, ignorenulls=True).over(w_next)
         frac = (F.col("__pos") - prev_pos).cast("double") / (next_pos - prev_pos).cast(
             "double"
         )
