@@ -4,6 +4,8 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     BUS_DATA_SCHEMA,
     ENVELOPE_SCHEMA,
     alerts_stream,
+    kafka_sink,
+    kafka_source,
     latest_state_agg,
     latest_state_stateful,
     parse_envelope,

@@ -92,6 +92,56 @@ STATE_SCHEMA = StructType(
 )
 
 
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    sasl_username: str | None = None,
+    sasl_password: str | None = None,
+) -> DataFrame:
+    """S9: production Kafka reader (ref pyspark-job.py:121-131, incl. the
+    SASL_SSL/PLAIN option set). Emits the same ``raw_value`` column as
+    read_json_stream, so the downstream pipeline is byte-identical between
+    production and offline tests. Requires spark-sql-kafka on the classpath.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if sasl_username is not None:
+        reader = (
+            reader.option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option(
+                "kafka.sasl.jaas.config",
+                "org.apache.kafka.common.security.plain.PlainLoginModule required "
+                f'username="{sasl_username}" password="{sasl_password}";',
+            )
+        )
+    return reader.load().select(F.col("value").cast("string").alias("raw_value"))
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """S10: production Kafka writer (ref pyspark-job.py:157-168): append a
+    single ``value`` column stream to a topic. Returns the started query."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def read_json_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stand-in for the Kafka reader: JSONL files of raw
     envelope text in a `value` column (exactly what kafka delivers)."""
