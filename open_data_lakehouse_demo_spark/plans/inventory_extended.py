@@ -1,0 +1,128 @@
+"""Query inventory — Spark-native operators beyond the reference's usage.
+
+SURVEY §2.3 notes semi/anti joins are absent from the reference but our
+engine "should expose them"; §2.4/§2.6 note COUNT DISTINCT, rollup and set
+operators are likewise absent. They're Spark built-ins — exposed here as
+oracle-checked queries so the surface is complete and regression-guarded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.plans.inventory import dec, query, t
+
+_SEMI_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+  CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       THEN 'active' ELSE 'inactive' END AS status
+FROM customer c
+"""
+
+
+@query("customer_order_status", ("J9",), oracle=_SEMI_ANTI_ORACLE, tags=("extended",))
+def customer_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (SURVEY §2.3 'expose left_semi/left_anti'):
+    customers partitioned into active/inactive by order existence. One
+    scan each side; the semi and anti branches share the shuffle under AQE
+    via the union of two hash joins on the same key."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    active = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment", F.lit("active").alias("status"))
+    inactive = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment", F.lit("inactive").alias("status"))
+    return active.unionByName(inactive)
+
+
+_SETOPS_ORACLE = """
+WITH big_buyers AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+), recent_buyers AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 365 DAY
+)
+SELECT 'both' AS cohort, custkey FROM (SELECT custkey FROM big_buyers INTERSECT SELECT custkey FROM recent_buyers)
+UNION ALL
+SELECT 'big_only' AS cohort, custkey FROM (SELECT custkey FROM big_buyers EXCEPT SELECT custkey FROM recent_buyers)
+UNION ALL
+SELECT 'recent_only' AS cohort, custkey FROM (SELECT custkey FROM recent_buyers EXCEPT SELECT custkey FROM big_buyers)
+"""
+
+
+@query("buyer_cohort_setops", ("SO1", "P9"), oracle=_SETOPS_ORACLE, tags=("extended",))
+def buyer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (UNION ALL / INTERSECT / EXCEPT — SURVEY §2.6 notes
+    their absence in the reference; Spark-native here), over two order
+    cohorts anchored at a scalar subquery."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH big_buyers AS (
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        ), recent_buyers AS (
+          SELECT DISTINCT o_custkey AS custkey FROM orders
+          WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 365 DAY
+        )
+        SELECT 'both' AS cohort, custkey FROM (SELECT custkey FROM big_buyers INTERSECT SELECT custkey FROM recent_buyers)
+        UNION ALL
+        SELECT 'big_only' AS cohort, custkey FROM (SELECT custkey FROM big_buyers EXCEPT SELECT custkey FROM recent_buyers)
+        UNION ALL
+        SELECT 'recent_only' AS cohort, custkey FROM (SELECT custkey FROM recent_buyers EXCEPT SELECT custkey FROM big_buyers)
+        """
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+  CASE WHEN r.r_name IS NULL THEN 'ALL' ELSE COALESCE(n.n_name, 'ALL') END AS nation,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o.o_custkey) AS n_buyers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@query(
+    "revenue_rollup_region_nation",
+    ("A10", "J4"),
+    oracle=_ROLLUP_ORACLE,
+    tags=("extended",),
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + COUNT DISTINCT (SURVEY §2.4 notes both absent in the
+    reference; Spark-native). Exact decimal revenue; distinct-count is
+    exact (the scale path is approx_count_distinct — HLL, mergeable).
+    NULL grouping rows are labeled 'ALL' so the oracle compare is
+    unambiguous."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_buyers"),
+    )
+    return rolled.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.when(F.col("r_name").isNull(), "ALL")
+        .otherwise(F.coalesce("n_name", F.lit("ALL")))
+        .alias("nation"),
+        "revenue",
+        "n_orders",
+        "n_buyers",
+    )
