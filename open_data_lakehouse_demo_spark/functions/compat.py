@@ -34,17 +34,35 @@ def safe_divide(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(a, b)
 
 
+def ntz_epoch_seconds(ts: Column) -> Column:
+    """Wall-clock epoch seconds of a TIMESTAMP_NTZ via pure FIELD arithmetic.
+
+    ``unix_timestamp``/``timestampdiff`` route NTZ values through the
+    session timezone, which corrupts wall times that fall inside a DST
+    spring-forward gap (02:30 on the transition day doesn't exist in
+    America/New_York, so the round trip lands on 03:30). Date-diff plus
+    intra-day fields never consults the timezone. Sub-seconds truncate.
+    """
+    day = F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    sid = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast("bigint")
+    return day * 86400 + sid
+
+
 def timestamp_bucket(ts: Column | str, bucket_seconds: int) -> Column:
     """Floor a timestamp to a fixed-width bucket — GoogleSQL TIMESTAMP_BUCKET.
 
-    Pure integer arithmetic on the epoch (no UDF): survives codegen, and a
-    join on the bucketed column stays a plain equi-join (SURVEY J6).
-    Sub-second precision is floored away with the bucket, matching
-    TIMESTAMP_BUCKET's origin-aligned flooring for positive epochs.
+    Pure integer arithmetic on the wall-clock epoch (no UDF, no session-tz
+    dependence — the driver's session may not pin UTC): survives codegen,
+    and a join on the bucketed column stays a plain equi-join (SURVEY J6).
+    LTZ inputs are first rendered as session-tz wall time (NTZ inputs are
+    untouched). Returns TIMESTAMP_NTZ.
     """
     ts = F.col(ts) if isinstance(ts, str) else ts
-    epoch = F.unix_timestamp(ts)  # seconds, truncating sub-second
-    return F.timestamp_seconds((epoch - epoch % bucket_seconds).cast("bigint"))
+    epoch = ntz_epoch_seconds(ts.cast("timestamp_ntz"))
+    floored = epoch - epoch % bucket_seconds
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), floored
+    )
 
 
 def parse_timestamp_us(s: Column | str, fmt: str = "M/d/yyyy h:mm:ss a") -> Column:

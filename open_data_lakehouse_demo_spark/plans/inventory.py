@@ -482,11 +482,16 @@ def actual_vs_two_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.createOrReplaceTempView("events")
     return spark.sql(
         """
-        WITH actual AS (
-          SELECT CAST(timestamp_seconds(unix_timestamp(ts) - unix_timestamp(ts) % 300) AS TIMESTAMP_NTZ) AS bucket,
+        WITH epochs AS (
+          -- field-arithmetic epoch: tz-free even for DST-gap wall times
+          SELECT *, datediff(CAST(ts AS DATE), DATE '1970-01-01') * CAST(86400 AS BIGINT)
+                    + hour(ts)*3600 + minute(ts)*60 + second(ts) AS e
+          FROM events
+        ), actual AS (
+          SELECT TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, e - e % 300) AS bucket,
                  event_type,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS demand
-          FROM events GROUP BY 1, 2
+          FROM epochs GROUP BY 1, 2
         ), f_day AS (
           SELECT bucket + INTERVAL 1 DAY AS bucket, event_type, demand AS f_day_demand FROM actual
         ), f_week AS (
