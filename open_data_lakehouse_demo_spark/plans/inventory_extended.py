@@ -13,6 +13,31 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.plans.inventory import dec, query, t
 
+_ENGLISH_DOCS_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' ORDER BY doc_id LIMIT 100
+"""
+
+
+@query(
+    "english_docs_sample",
+    ("P8", "O1", "O2"),
+    oracle=_ENGLISH_DOCS_ORACLE,
+    tags=("extended",),
+)
+def english_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key equality filter + ORDER BY + LIMIT (P8/O1/O2 — ref
+    part3:626-629 `WHERE bus_line = '{line}'`, part1:116-122 LIMIT).
+    Catalyst plans TakeOrderedAndProject with the filter pushed to the scan."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 _SEMI_ANTI_ORACLE = """
 SELECT c.c_custkey, c.c_mktsegment,
   CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

@@ -62,7 +62,7 @@ def generated_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sm.with_waiting_passengers(rides)
 
 
-@query("bus_ride_simulation", ("U2", "A8"), tags=("simulation",))
+@query("bus_ride_simulation", ("U2", "A8", "O3"), tags=("simulation",))
 def bus_ride_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 sequential passenger simulation via seeded applyInPandas
     (ref part2:485-580). Non-SQL-expressible recurrence → rows-only driver
