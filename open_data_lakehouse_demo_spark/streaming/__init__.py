@@ -4,9 +4,11 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     BUS_DATA_SCHEMA,
     ENVELOPE_SCHEMA,
     alerts_stream,
+    deduped_updates,
     kafka_sink,
     kafka_source,
     latest_state_agg,
+    windowed_boardings,
     latest_state_stateful,
     parse_envelope,
     read_json_stream,

@@ -297,6 +297,48 @@ def latest_state_stateful(parsed: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def windowed_boardings(
+    parsed: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Beyond-reference streaming op: tumbling/sliding event-time window
+    aggregation (SURVEY §2.8 notes the reference has none; a lakehouse
+    engine needs them). Watermarked ⇒ append-mode emits each window once
+    it's final; state is bounded by watermark horizon × key cardinality.
+    """
+    windowed = (
+        parsed.withWatermark("timestamp_at_stop", watermark)
+        .groupBy(
+            F.window("timestamp_at_stop", window_duration, slide or window_duration),
+            "bus_line_id",
+        )
+        .agg(
+            F.sum("passengers_boarding").alias("boardings"),
+            F.sum("remaining_at_stop").alias("left_behind"),
+            F.count("*").alias("n_updates"),
+        )
+    )
+    return windowed.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "bus_line_id",
+        "boardings",
+        "left_behind",
+        "n_updates",
+    )
+
+
+def deduped_updates(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Beyond-reference streaming op: exactly-once update dedup by
+    (ride, stop) within the watermark horizon — the standard guard against
+    at-least-once sources (Kafka producer retries duplicate envelopes)."""
+    return parsed.withWatermark("timestamp_at_stop", watermark).dropDuplicates(
+        ["bus_ride_id", "bus_stop_index"]
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     source_dir: str,
