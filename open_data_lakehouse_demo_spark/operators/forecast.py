@@ -124,6 +124,121 @@ def linear_trend_forecast(
     )
 
 
+def seasonal_trend_forecast(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    data_col: str,
+    horizon: int,
+    bucket_seconds: int,
+    period: int = 7,
+    confidence_level: float = 0.95,
+) -> DataFrame:
+    """Additive trend + seasonal forecast per series, closed form, no UDFs
+    — the ARIMA_PLUS-style seasonality surface (ref part3:510-532 fits
+    AUTO_ARIMA with weekly seasonality/holidays) as a deterministic
+    decomposition:
+
+      1. OLS trend (exact decimal sums, as linear_trend_forecast);
+      2. per-phase seasonal = mean residual at x mod period, residuals
+         rounded into DECIMAL(28,10) — a binary double can never tie a
+         half-ulp decimal boundary (denominator 5^k), so the rounding is
+         identical in every engine and the seasonal sums are exact;
+      3. forecast = trend + seasonal(phase); interval from the
+         post-seasonal residual variance.
+
+    One extra shuffle vs the pure trend (the residual join); still fully
+    hash-aggregated — scales to millions of series.
+    """
+    z = _z_for(confidence_level)
+    w = Window.partitionBy(*id_cols).orderBy(ts_col)
+    indexed = df.select(
+        *id_cols,
+        F.col(ts_col),
+        (F.row_number().over(w) - 1).cast("decimal(18,0)").alias("x"),
+        F.col(data_col).cast("decimal(18,6)").alias("y"),
+    )
+    agg = indexed.groupBy(*id_cols).agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.max(ts_col).alias("last_ts"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fitted = agg.select(
+        *id_cols,
+        "last_ts",
+        F.col("n").cast("double").alias("nd"),
+        (num / den).alias("slope"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    ).withColumn(
+        "intercept", (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("nd")
+    )
+    resid = indexed.join(fitted.select(*id_cols, "slope", "intercept"), id_cols).select(
+        *id_cols,
+        (F.col("x") % period).cast("int").alias("phase"),
+        (
+            F.col("y").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+        ).cast("decimal(28,10)").alias("r"),
+    )
+    seasonal = resid.groupBy(*id_cols, "phase").agg(
+        (F.sum("r").cast("double") / F.count("*")).alias("s")
+    )
+    # post-seasonal residual variance for the interval width; scale 3 keeps
+    # Σr2² numerators < 2^53 so every engine's decimal→double conversion is
+    # a single exact step (scale ≥6 double-rounds through int128 elsewhere)
+    r2 = resid.join(seasonal, [*id_cols, "phase"]).select(
+        *id_cols,
+        (F.col("r").cast("double") - F.col("s")).cast("decimal(16,3)").alias("r2"),
+    )
+    sse = r2.groupBy(*id_cols).agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("double").alias("sse2"),
+        F.count("*").alias("n2"),
+    )
+    dof = F.col("n2") - F.lit(2 + period)
+    se_df = sse.select(
+        *id_cols,
+        F.when(dof > 0, F.sqrt(F.greatest(F.col("sse2"), F.lit(0.0)) / dof.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("standard_error"),
+    )
+    horizon_rows = (
+        fitted.join(se_df, id_cols)
+        .select(
+            *id_cols,
+            "last_ts",
+            "nd",
+            "slope",
+            "intercept",
+            "standard_error",
+            F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+        )
+        .withColumn("xf", F.col("nd") - 1 + F.col("h"))
+        .withColumn("phase", F.pmod(F.col("xf").cast("long"), F.lit(period)).cast("int"))
+        .join(seasonal, [*id_cols, "phase"], "left")
+    )
+    fv = F.col("intercept") + F.col("slope") * F.col("xf") + F.coalesce(
+        F.col("s"), F.lit(0.0)
+    )
+    return horizon_rows.select(
+        *id_cols,
+        (
+            F.col("last_ts")
+            + F.col("h") * F.expr(f"INTERVAL {int(bucket_seconds)} SECOND")
+        ).alias("forecast_timestamp"),
+        fv.alias("forecast_value"),
+        F.col("standard_error"),
+        F.lit(float(confidence_level)).alias("confidence_level"),
+        (fv - F.lit(z) * F.col("standard_error")).alias("prediction_interval_lower_bound"),
+        (fv + F.lit(z) * F.col("standard_error")).alias("prediction_interval_upper_bound"),
+    )
+
+
 def ar_forecast(
     df: DataFrame,
     id_cols: list[str],

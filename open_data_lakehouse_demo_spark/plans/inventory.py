@@ -867,6 +867,95 @@ def forecast_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONAL_FORECAST_ORACLE = f"""
+WITH series AS ({_DAILY_SERIES_SQL}),
+indexed AS (
+  SELECT event_type, day,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS DECIMAL(9,0)) AS x,
+         CAST(demand AS DECIMAL(19,6)) AS y
+  FROM series
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS DECIMAL(4,0)) AS n, MAX(day) AS last_ts,
+         CAST(SUM(x) AS DECIMAL(8,0)) AS sx,
+         CAST(SUM(x*x) AS DECIMAL(12,0)) AS sxx,
+         CAST(SUM(y) AS DECIMAL(24,6)) AS sy,
+         CAST(SUM(x*y) AS DECIMAL(28,6)) AS sxy
+  FROM indexed GROUP BY 1
+), fitted AS (
+  SELECT event_type, last_ts, CAST(n AS DOUBLE) AS nd,
+    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM agg
+), f2 AS (SELECT *, (syd - slope*sxd)/nd AS intercept FROM fitted),
+resid AS (
+  -- DECIMAL(28,10) rounding of a double can never tie (5^k denominator),
+  -- so both engines round identically and seasonal sums are exact
+  SELECT i.event_type, CAST(CAST(i.x AS INT) % 7 AS INT) AS phase,
+         CAST(CAST(i.y AS DOUBLE) - (f.intercept + f.slope * CAST(i.x AS DOUBLE))
+              AS DECIMAL(28,10)) AS r
+  FROM indexed i JOIN f2 f ON i.event_type = f.event_type
+), seasonal AS (
+  SELECT event_type, phase, CAST(SUM(r) AS DOUBLE) / COUNT(*) AS s
+  FROM resid GROUP BY 1, 2
+), r2 AS (
+  -- (19,3) vs Spark's (16,3): width ≥19 forces this engine's hugeint
+  -- multiply path; scale 3 keeps Σr2² exactly double-representable
+  SELECT r.event_type,
+         CAST(CAST(r.r AS DOUBLE) - se.s AS DECIMAL(19,3)) AS r2
+  FROM resid r JOIN seasonal se ON r.event_type = se.event_type AND r.phase = se.phase
+), sse AS (
+  SELECT event_type, CAST(SUM(r2 * r2) AS DOUBLE) AS sse2, COUNT(*) AS n2
+  FROM r2 GROUP BY 1
+), sedf AS (
+  SELECT event_type,
+    CASE WHEN n2 - 9 > 0 THEN sqrt(greatest(sse2, 0.0) / CAST(n2 - 9 AS DOUBLE))
+         ELSE 0.0 END AS standard_error
+  FROM sse
+), hor AS (
+  SELECT f.event_type, f.last_ts, f.nd, f.slope, f.intercept, sd.standard_error, h,
+         f.nd - 1 + h AS xf,
+         CAST(CAST(f.nd - 1 + h AS BIGINT) % 7 AS INT) AS phase
+  FROM f2 f JOIN sedf sd ON f.event_type = sd.event_type,
+       (SELECT unnest(generate_series(1, 7)) AS h)
+)
+SELECT hor.event_type,
+  last_ts + h * INTERVAL 1 DAY AS forecast_timestamp,
+  intercept + slope * xf + COALESCE(se.s, 0.0) AS forecast_value,
+  standard_error,
+  CAST(0.95 AS DOUBLE) AS confidence_level,
+  (intercept + slope * xf + COALESCE(se.s, 0.0)) - 1.959963984540054 * standard_error
+    AS prediction_interval_lower_bound,
+  (intercept + slope * xf + COALESCE(se.s, 0.0)) + 1.959963984540054 * standard_error
+    AS prediction_interval_upper_bound
+FROM hor LEFT JOIN seasonal se
+  ON hor.event_type = se.event_type AND hor.phase = se.phase
+"""
+
+
+@query("seasonal_forecast_daily", ("U4", "A4", "F9"), oracle=_SEASONAL_FORECAST_ORACLE)
+def seasonal_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARIMA_PLUS-style seasonal forecast (U4 — ref part3:510-532 weekly
+    seasonality): additive OLS trend + day-of-week seasonal decomposition,
+    closed form over exact decimal sums (operators/forecast.py
+    seasonal_trend_forecast) ⇒ oracle-hashable."""
+    from open_data_lakehouse_demo_spark.operators.forecast import seasonal_trend_forecast
+
+    events = t(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    ).agg(F.sum(dec("value")).alias("demand"))
+    return seasonal_trend_forecast(
+        series,
+        id_cols=["event_type"],
+        ts_col="day",
+        data_col="demand",
+        horizon=7,
+        bucket_seconds=86400,
+        period=7,
+        confidence_level=0.95,
+    )
+
+
 # ---------------------------------------------------------------------------
 # E. Scalar-function gauntlet (SURVEY §2.7)
 # ---------------------------------------------------------------------------

@@ -80,3 +80,37 @@ def test_evaluate_forecast_metrics(spark):
     assert m.root_mean_squared_error == pytest.approx(20.0)
     assert m.mean_absolute_percentage_error == pytest.approx((2.0 + 1.0 + 2 / 3) / 3)
     assert m.n_points == 3
+
+
+def test_seasonal_forecast_recovers_planted_weekly_pattern(spark):
+    """Trend+weekly signal: the seasonal model's holdout error must beat the
+    pure trend model's by a wide margin."""
+    import datetime
+
+    from open_data_lakehouse_demo_spark.operators.forecast import (
+        linear_trend_forecast,
+        seasonal_trend_forecast,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # zero-sum AND orthogonal to the within-week ramp (Σ j·s_j = 0) so the
+    # sequential trend-then-seasonal fit is exact for this model class
+    season = [-15.0, 10.0, 5.0, 0.0, 5.0, 10.0, -15.0]
+    rows = [
+        ("s", base + datetime.timedelta(days=i), 100.0 + 2.0 * i + season[i % 7])
+        for i in range(35)
+    ]
+    train = spark.createDataFrame(rows[:28], "k STRING, day TIMESTAMP_NTZ, v DOUBLE")
+
+    def err(fc_df):
+        fc = {r["forecast_timestamp"]: r["forecast_value"] for r in fc_df.collect()}
+        actual = {ts: v for _, ts, v in rows[28:]}
+        assert set(fc) == set(actual)
+        return sum(abs(fc[t] - actual[t]) for t in actual) / len(actual)
+
+    seasonal_err = err(
+        seasonal_trend_forecast(train, ["k"], "day", "v", 7, 86400, period=7)
+    )
+    trend_err = err(linear_trend_forecast(train, ["k"], "day", "v", 7, 86400))
+    assert seasonal_err < 1e-6          # exact model class ⇒ near-zero error
+    assert seasonal_err < trend_err / 5  # and it crushes the non-seasonal fit
