@@ -106,3 +106,77 @@ def delete_where(spark: SparkSession, table: str, condition: str) -> int:
 def truncate(spark: SparkSession, table: str) -> int:
     """DELETE FROM t WHERE TRUE (ref part1:584-589)."""
     return delete_where(spark, table, "TRUE")
+
+
+def merge_into(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict[str, int]:
+    """MERGE INTO (upsert) — the lakehouse mutation the reference's
+    per-batch full-overwrite sink (pyspark-job.py:56-69) approximates.
+
+    Iceberg: native `MERGE INTO ... WHEN MATCHED ... WHEN NOT MATCHED`.
+    Parquet fallback: copy-on-write — anti-join keeps unmatched target
+    rows, matched rows are replaced (update) or kept (ignore), source-only
+    rows appended (insert) — then the same atomic catalog swap as
+    delete_where. Fully distributed: two hash joins on the merge key, no
+    driver materialization. Returns {"updated": n, "inserted": n}.
+
+    ``when_matched``: 'update' (replace row with source) | 'ignore'.
+    ``when_not_matched``: 'insert' | 'ignore'.
+    """
+    if when_matched not in ("update", "ignore") or when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_matched ∈ {update,ignore}; when_not_matched ∈ {insert,ignore}")
+    target = spark.table(target_table)
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} vs source {sorted(source.columns)}"
+        )
+    source = source.select(*target.columns)  # align column order
+
+    if table_format(spark) == "iceberg":
+        source.createOrReplaceTempView("__merge_source")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET *" if when_matched == "update" else ""
+        )
+        not_matched = (
+            "WHEN NOT MATCHED THEN INSERT *" if when_not_matched == "insert" else ""
+        )
+        n_match = source.join(target, on, "left_semi").count()
+        n_new = source.join(target, on, "left_anti").count()
+        spark.sql(
+            f"MERGE INTO {target_table} t USING __merge_source s ON {cond} "
+            f"{matched} {not_matched}"
+        )
+        return {
+            "updated": n_match if when_matched == "update" else 0,
+            "inserted": n_new if when_not_matched == "insert" else 0,
+        }
+
+    kept = target.join(source.select(*on), on, "left_anti")
+    pieces = [kept]
+    n_updated = n_inserted = 0
+    matched_src = source.join(target.select(*on), on, "left_semi")
+    unmatched_src = source.join(target.select(*on), on, "left_anti")
+    if when_matched == "update":
+        pieces.append(matched_src)
+        n_updated = matched_src.count()
+    else:
+        pieces.append(target.join(source.select(*on), on, "left_semi"))
+    if when_not_matched == "insert":
+        pieces.append(unmatched_src)
+        n_inserted = unmatched_src.count()
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    tmp = f"{target_table}__tmp_merge"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    merged.write.format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {target_table}")
+    return {"updated": n_updated, "inserted": n_inserted}

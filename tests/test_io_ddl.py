@@ -118,3 +118,48 @@ def test_nanos_parquet_read_is_tz_free(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert utc_val == ny_val
+
+
+def test_merge_into_upsert_semantics(spark):
+    ddl.create_namespace(spark, "lakehouse_test")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "score"]
+    )
+    try:
+        ddl.ctas_from_df(base, "lakehouse_test.merge_t")
+        source = spark.createDataFrame(
+            [(2, "b2", 21.0), (4, "d", 40.0)], ["k", "name", "score"]
+        )
+        stats = ddl.merge_into(spark, "lakehouse_test.merge_t", source, on=["k"])
+        assert stats == {"updated": 1, "inserted": 1}
+        rows = {r["k"]: (r["name"], r["score"]) for r in spark.table("lakehouse_test.merge_t").collect()}
+        assert rows == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+        # matched-ignore / not-matched-insert = pure insert-new
+        src2 = spark.createDataFrame([(4, "dX", 41.0), (5, "e", 50.0)], ["k", "name", "score"])
+        stats2 = ddl.merge_into(
+            spark, "lakehouse_test.merge_t", src2, on=["k"], when_matched="ignore"
+        )
+        assert stats2 == {"updated": 0, "inserted": 1}
+        rows2 = {r["k"]: r["name"] for r in spark.table("lakehouse_test.merge_t").collect()}
+        assert rows2[4] == "d" and rows2[5] == "e"  # 4 untouched, 5 inserted
+    finally:
+        ddl.drop_table(spark, "lakehouse_test.merge_t")
+
+
+def test_merge_into_rejects_schema_mismatch(spark):
+    ddl.create_namespace(spark, "lakehouse_test")
+    base = spark.createDataFrame([(1, "a")], ["k", "name"])
+    try:
+        ddl.ctas_from_df(base, "lakehouse_test.merge_bad")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            ddl.merge_into(
+                spark,
+                "lakehouse_test.merge_bad",
+                spark.createDataFrame([(1, 2.0)], ["k", "other"]),
+                on=["k"],
+            )
+    finally:
+        ddl.drop_table(spark, "lakehouse_test.merge_bad")
