@@ -66,3 +66,45 @@ def test_simulation_seed_changes_results(spark):
     assert a.orderBy("bus_ride_id", "bus_stop_index").collect() != b.orderBy(
         "bus_ride_id", "bus_stop_index"
     ).collect()
+
+
+def test_udtf_expansion_matches_builtin_generator(spark):
+    """The Python-UDTF ride expansion and the pure-built-in generator are
+    row-for-row identical (same hash-derived attributes, same fan-out)."""
+    from open_data_lakehouse_demo_spark.operators.udtf_rides import generate_rides_udtf
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    lines = sm.build_bus_lines(nation)
+    start, end = "2024-06-01 06:00:00", "2024-06-01 08:00:00"
+    builtin = sm.generate_rides(lines, start, end)
+    via_udtf = generate_rides_udtf(spark, lines, start, end)
+    cols = sorted(builtin.columns)
+    assert sorted(via_udtf.columns) == cols
+    a = sorted(tuple(r) for r in builtin.select(*cols).collect())
+    b = sorted(tuple(r) for r in via_udtf.select(*cols).collect())
+    assert a == b
+
+
+def test_analyze_table_stats_drive_broadcast(spark):
+    """ANALYZE TABLE COMPUTE STATISTICS feeds the CBO: a small analyzed
+    table under the broadcast threshold plans a BroadcastHashJoin."""
+    from open_data_lakehouse_demo_spark.plans import ddl
+
+    ddl.create_namespace(spark, "lakehouse_test")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    try:
+        ddl.ctas_from_df(nation, "lakehouse_test.nation_stats")
+        spark.sql("ANALYZE TABLE lakehouse_test.nation_stats COMPUTE STATISTICS")
+        stats_row = spark.sql(
+            "DESCRIBE TABLE EXTENDED lakehouse_test.nation_stats"
+        ).filter("col_name = 'Statistics'").collect()
+        assert stats_row and "rows" in stats_row[0]["data_type"]
+        joined = customer.join(
+            spark.table("lakehouse_test.nation_stats"),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        ddl.drop_table(spark, "lakehouse_test.nation_stats")
