@@ -1018,3 +1018,4 @@ from open_data_lakehouse_demo_spark.plans import inventory_multimodal  # noqa: E
 from open_data_lakehouse_demo_spark.plans import inventory_corpus  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_profiles  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_extended  # noqa: E402,F401
+from open_data_lakehouse_demo_spark.plans import inventory_sketches  # noqa: E402,F401

@@ -5,6 +5,7 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     ENVELOPE_SCHEMA,
     alerts_stream,
     deduped_updates,
+    enriched_alerts,
     kafka_sink,
     kafka_source,
     latest_state_agg,

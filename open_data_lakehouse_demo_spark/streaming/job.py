@@ -339,6 +339,30 @@ def deduped_updates(parsed: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def enriched_alerts(
+    parsed: DataFrame,
+    lines_dim: DataFrame,
+    min_remaining: int = 1,
+) -> DataFrame:
+    """Beyond-reference streaming op: stream-static join — alerts enriched
+    with the bus-lines dimension (frequency, stop count). The static side
+    is re-read per micro-batch by Structured Streaming, so dimension
+    updates are picked up without restarting; small dims broadcast."""
+    alerts = parsed.filter(F.col("remaining_at_stop") >= min_remaining)
+    dim = F.broadcast(
+        lines_dim.select("bus_line_id", "frequency_minutes", F.size("stops").alias("n_stops"))
+    )
+    return alerts.join(dim, "bus_line_id", "left").select(
+        "bus_ride_id",
+        "bus_line",
+        "bus_stop_id",
+        "remaining_at_stop",
+        "timestamp_at_stop",
+        "frequency_minutes",
+        "n_stops",
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     source_dir: str,

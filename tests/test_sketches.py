@@ -1,0 +1,92 @@
+"""Sketch scale-paths: accuracy vs exact twins + stream-static enrichment."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark import streaming as st
+from open_data_lakehouse_demo_spark.operators.simulation import build_bus_lines
+from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+from open_data_lakehouse_demo_spark.sources.io import read_parquet
+from tests.conftest import SF_DIR
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    sketch = {
+        r["event_type"]: (r["q25"], r["q50"], r["q75"])
+        for r in QUERIES["value_quantiles_sketch"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: (r["q25"], r["q50"], r["q75"])
+        for r in QUERIES["value_quantiles"].spark(spark, SF_DIR).collect()
+    }
+    assert sketch.keys() == exact.keys()
+    for k in exact:
+        for s, e in zip(sketch[k], exact[k]):
+            assert abs(s - e) <= max(1.0, 0.05 * abs(e))  # GK rank-error bound
+
+
+def test_hll_close_to_exact_distinct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["distinct_users_hll"].spark(spark, SF_DIR).collect()
+    }
+    events = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])  # rsd=2%, 3σ
+
+
+def test_stream_static_enriched_alerts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    env = json.dumps(
+        {
+            "id": 1,
+            "timestamp": "2025-01-01 10:00:00",
+            "data": {
+                "bus_ride_id": "r1",
+                "bus_line_id": 3,
+                "bus_line": "line-3",
+                "bus_stop_id": 100,
+                "bus_stop_index": 0,
+                "timestamp_at_stop": "2025-01-01 10:00:00",
+                "passengers_in_stop": 8,
+                "passengers_boarding": 3,
+                "remaining_at_stop": 5,
+                "total_passengers": 3,
+                "total_capacity": 60,
+                "last_stop": False,
+            },
+        }
+    )
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write(env + "\n")
+    lines_dim = build_bus_lines(read_parquet(spark, f"{SF_DIR}/nation.parquet"))
+    parsed = st.parse_envelope(st.read_json_stream(spark, src))
+    out = str(tmp_path / "out")
+    q = (
+        st.enriched_alerts(parsed, lines_dim)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # nation 3's derived dim: frequency 10 + (3%4)*5 = 25, stops 12 + 3%5 = 15
+    assert r["frequency_minutes"] == 25 and r["n_stops"] == 15
+    assert r["remaining_at_stop"] == 5
