@@ -1019,3 +1019,4 @@ from open_data_lakehouse_demo_spark.plans import inventory_corpus  # noqa: E402,
 from open_data_lakehouse_demo_spark.plans import inventory_profiles  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_extended  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_sketches  # noqa: E402,F401
+from open_data_lakehouse_demo_spark.plans import inventory_temporal  # noqa: E402,F401

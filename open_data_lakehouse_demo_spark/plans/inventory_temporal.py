@@ -1,0 +1,94 @@
+"""Query inventory — as-of and range joins (custom temporal operators).
+
+The oracle engine has a NATIVE ASOF JOIN, so the as-of oracle is the real
+thing — the strongest possible differential check for our union-window
+formulation. The range-join oracle is a plain BETWEEN theta join (exact
+semantics; our bucketized prefilter must change nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.functions.compat import timestamp_bucket
+from open_data_lakehouse_demo_spark.operators.temporal_joins import asof_join, range_join
+from open_data_lakehouse_demo_spark.plans.inventory import dec, query, t
+
+# 5-min demand series per event_type — the "quotes" side of the as-of join
+_AGG_SQL = """
+agg AS (
+  SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS demand
+  FROM events GROUP BY 1, 2
+)
+"""
+
+_ASOF_ORACLE = f"""
+WITH {_AGG_SQL},
+-- probe set: sampled events (deterministic), shifted +90s so probes fall
+-- strictly between buckets (exercises the at-or-before semantics)
+probes AS (
+  SELECT event_id, event_type, ts + INTERVAL 90 SECOND AS pts, value
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT p.event_id, p.event_type, p.pts, p.value,
+       a.bucket AS r_bucket, a.demand AS r_demand
+FROM probes p ASOF LEFT JOIN agg a
+  ON p.event_type = a.event_type AND p.pts >= a.bucket
+"""
+
+_RANGE_ORACLE = """
+WITH windows AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 6 HOUR AS win_start,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 18 HOUR AS win_end
+  FROM events
+)
+SELECT e.event_id, e.event_type, e.ts, w.win_start, w.win_end
+FROM events e JOIN windows w
+  ON e.event_type = w.event_type AND e.ts >= w.win_start AND e.ts <= w.win_end
+"""
+
+
+@query("asof_demand_join", ("TJ1",), oracle=_ASOF_ORACLE, tags=("temporal",))
+def asof_demand_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal_joins.py): each probe event picks up
+    the latest 5-min demand bucket at-or-before its timestamp — checked
+    against the oracle engine's NATIVE ASOF JOIN. Union-window plan: one
+    shuffle + one per-key sort, never quadratic."""
+    events = t(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", timestamp_bucket("ts", 300).alias("bucket")
+    ).agg(F.sum(dec("value")).cast("double").alias("demand"))
+    probes = events.filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 90 SECOND")).alias("pts"),
+        "value",
+    )
+    return asof_join(
+        probes, agg, on=["event_type"], left_ts="pts", right_ts="bucket"
+    )
+
+
+@query("events_in_service_windows", ("TJ2",), oracle=_RANGE_ORACLE, tags=("temporal",))
+def events_in_service_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal_joins.py): events falling inside
+    per-type daily 06:00-18:00 service windows. Bucketized equi-join
+    prefilter + exact BETWEEN — the oracle is the plain theta join."""
+    events = t(spark, sf_dir, "events")
+    windows = events.select(
+        "event_type",
+        (F.date_trunc("day", F.col("ts")).cast("timestamp_ntz") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+        (F.date_trunc("day", F.col("ts")).cast("timestamp_ntz") + F.expr("INTERVAL 18 HOURS")).alias("win_end"),
+    ).distinct()
+    return range_join(
+        events.select("event_id", "event_type", "ts"),
+        windows,
+        on=["event_type"],
+        left_ts="ts",
+        range_start="win_start",
+        range_end="win_end",
+        bucket_seconds=6 * 3600,
+    ).select("event_id", "event_type", "ts", "win_start", "win_end")
