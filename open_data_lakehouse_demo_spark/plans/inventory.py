@@ -1020,3 +1020,4 @@ from open_data_lakehouse_demo_spark.plans import inventory_profiles  # noqa: E40
 from open_data_lakehouse_demo_spark.plans import inventory_extended  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_sketches  # noqa: E402,F401
 from open_data_lakehouse_demo_spark.plans import inventory_temporal  # noqa: E402,F401
+from open_data_lakehouse_demo_spark.plans import inventory_windows  # noqa: E402,F401
