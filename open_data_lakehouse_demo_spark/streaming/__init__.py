@@ -13,6 +13,7 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     latest_state_stateful,
     parse_envelope,
     read_json_stream,
+    relief_join,
     run_pipeline,
 )
 from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401

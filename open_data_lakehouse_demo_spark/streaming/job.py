@@ -363,6 +363,73 @@ def enriched_alerts(
     )
 
 
+def relief_join(
+    parsed: DataFrame,
+    watermark: str = "10 minutes",
+    max_wait: str = "30 minutes",
+    left_outer: bool = False,
+) -> DataFrame:
+    """Beyond-reference streaming op: stream-stream interval join.
+
+    "Time to relief": passengers left behind at a stop (remaining_at_stop>0)
+    joined with the NEXT bus that boards passengers at the same stop within
+    ``max_wait``. Both sides carry watermarks and the join predicate bounds
+    pickup_ts to (alert_ts, alert_ts + max_wait], so Spark can expire join
+    state — without the time bound, stream-stream state grows forever.
+
+    ``left_outer=True`` additionally emits unrelieved alerts (null pickup
+    columns) once the watermark passes alert_ts + max_wait — the SLA-breach
+    detector shape. State per side is O(events within watermark horizon),
+    partitioned by stop id, so the join scales with stop cardinality, not
+    stream length.
+
+    The reference has no stream-stream joins (SURVEY §2.8 notes the absence);
+    this is the canonical Structured Streaming pattern a lakehouse engine
+    must expose.
+    """
+    alerts = (
+        parsed.filter(F.col("remaining_at_stop") > 0)
+        .select(
+            F.col("bus_stop_id").alias("alert_stop_id"),
+            F.col("bus_ride_id").alias("alert_ride_id"),
+            F.col("bus_line_id").alias("alert_line_id"),
+            F.col("remaining_at_stop").alias("passengers_waiting"),
+            F.col("timestamp_at_stop").alias("alert_ts"),
+        )
+        .withWatermark("alert_ts", watermark)
+    )
+    pickups = (
+        parsed.filter(F.col("passengers_boarding") > 0)
+        .select(
+            F.col("bus_stop_id").alias("pickup_stop_id"),
+            F.col("bus_ride_id").alias("pickup_ride_id"),
+            F.col("passengers_boarding").alias("pickup_boarded"),
+            F.col("timestamp_at_stop").alias("pickup_ts"),
+        )
+        .withWatermark("pickup_ts", watermark)
+    )
+    cond = (
+        (F.col("alert_stop_id") == F.col("pickup_stop_id"))
+        & (F.col("pickup_ride_id") != F.col("alert_ride_id"))
+        & (F.col("pickup_ts") > F.col("alert_ts"))
+        & (F.col("pickup_ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {max_wait}"))
+    )
+    joined = alerts.join(pickups, cond, "leftOuter" if left_outer else "inner")
+    return joined.select(
+        "alert_stop_id",
+        "alert_ride_id",
+        "alert_line_id",
+        "passengers_waiting",
+        "alert_ts",
+        "pickup_ride_id",
+        "pickup_boarded",
+        "pickup_ts",
+        (
+            F.col("pickup_ts").cast("long") - F.col("alert_ts").cast("long")
+        ).alias("wait_seconds"),
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     source_dir: str,

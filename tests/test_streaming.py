@@ -182,6 +182,124 @@ def test_replay_producer_roundtrip(spark, tmp_path):
     assert parsed.filter(F.col("bus_line_id") == (103 % 25)).count() == 1
 
 
+def _envelope_at(eid, ts, ride, stop_id, remaining, boarding, line_id=1):
+    return json.dumps(
+        {
+            "id": eid,
+            "timestamp": ts,
+            "data": {
+                "bus_ride_id": ride,
+                "bus_line_id": line_id,
+                "bus_line": f"line-{line_id}",
+                "bus_stop_id": stop_id,
+                "bus_stop_index": 1,
+                "timestamp_at_stop": ts,
+                "passengers_in_stop": remaining + boarding,
+                "passengers_boarding": boarding,
+                "remaining_at_stop": remaining,
+                "total_passengers": 30,
+                "total_capacity": 60,
+                "last_stop": False,
+            },
+        }
+    )
+
+
+def test_stream_stream_relief_join_inner(spark, dirs, tmp_path):
+    """Inner interval join: alert at a stop matches the next other-ride
+    pickup at the same stop within max_wait; out-of-window and same-ride
+    candidates are excluded."""
+    _drop(
+        dirs["src"],
+        "b1.jsonl",
+        [
+            # r1 leaves 5 behind at stop 201 at 10:00
+            _envelope_at(1, "2025-01-01 10:00:00", "r1", 201, 5, 3),
+            # r2 picks up at stop 201 at 10:04 → relief, wait = 240 s
+            _envelope_at(2, "2025-01-01 10:04:00", "r2", 201, 0, 4),
+            # r3 picks up at stop 201 at 11:00 → outside 30-minute max_wait
+            _envelope_at(3, "2025-01-01 11:00:00", "r3", 201, 0, 2),
+            # r4 pickup at a different stop → no match
+            _envelope_at(4, "2025-01-01 10:05:00", "r4", 999, 0, 6),
+        ],
+    )
+    parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+    out = str(tmp_path / "relief")
+    q = (
+        st.relief_join(parsed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{dirs['ckpt']}/relief")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append-mode rows for a watermarked join flush once the watermark
+        # advances; drop a late heartbeat to push it forward.
+        _drop(
+            dirs["src"],
+            "b2.jsonl",
+            [_envelope_at(9, "2025-01-01 12:00:00", "hb", 998, 1, 1)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    matches = {(r["alert_ride_id"], r["pickup_ride_id"], r["wait_seconds"]) for r in rows}
+    assert matches == {("r1", "r2", 240)}
+
+
+def test_stream_stream_relief_join_left_outer_emits_unrelieved(spark, dirs, tmp_path):
+    """Left-outer variant: an alert with no in-window pickup is emitted with
+    null pickup columns once the watermark passes alert_ts + max_wait."""
+    _drop(
+        dirs["src"],
+        "b1.jsonl",
+        [
+            _envelope_at(1, "2025-01-01 10:00:00", "r1", 301, 7, 3),  # never relieved
+            _envelope_at(2, "2025-01-01 10:02:00", "r2", 302, 4, 3),  # relieved by r5
+            _envelope_at(3, "2025-01-01 10:06:00", "r5", 302, 0, 5),
+        ],
+    )
+    parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+    out = str(tmp_path / "relief_outer")
+    q = (
+        st.relief_join(parsed, left_outer=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{dirs['ckpt']}/relief_outer")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark well past 10:30 + 10-minute delay so the
+        # unmatched left row is finalized, then once more to flush it.
+        _drop(
+            dirs["src"],
+            "b2.jsonl",
+            [_envelope_at(9, "2025-01-01 13:00:00", "hb", 398, 1, 1)],
+        )
+        q.processAllAvailable()
+        _drop(
+            dirs["src"],
+            "b3.jsonl",
+            [_envelope_at(10, "2025-01-01 14:00:00", "hb2", 399, 1, 1)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    by_alert = {}
+    for r in rows:
+        by_alert.setdefault(r["alert_ride_id"], []).append(r)
+    assert {(r["pickup_ride_id"], r["wait_seconds"]) for r in by_alert["r2"]} == {
+        ("r5", 240)
+    }
+    assert any(r["pickup_ride_id"] is None for r in by_alert["r1"])
+
+
 @pytest.mark.parametrize("name", ["capacity_alerts_batch", "latest_bus_state_batch"])
 def test_streaming_batch_view_oracle_parity(spark, duck, name):
     q = QUERIES[name]
