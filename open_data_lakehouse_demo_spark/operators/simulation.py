@@ -129,44 +129,109 @@ _SIM_SCHEMA = (
 )
 
 
-def _simulate_one_ride(pdf: pd.DataFrame, seed: int) -> pd.DataFrame:
-    """Sequential per-ride recurrence (ref part2:505-565, seeded)."""
-    pdf = pdf.sort_values("bus_stop_index").reset_index(drop=True)
-    ride_id = pdf["bus_ride_id"].iloc[0]
+def _sim_ride_arrays(
+    ride_id: str, waiting: np.ndarray, capacity: int, seed: int
+) -> tuple[list, list, list, list, list]:
+    """Sequential per-ride recurrence (ref part2:505-565), seeded per ride
+    (crc32(ride_id) ^ seed) so results are independent of partitioning.
+    ``waiting`` arrives sorted by bus_stop_index."""
     rng = np.random.RandomState((zlib.crc32(ride_id.encode()) ^ seed) & 0x7FFFFFFF)
-    capacity = int(pdf["total_capacity"].iloc[0])
     onboard = 0
     alights, boards, rem_caps, rem_stops, totals = [], [], [], [], []
-    n = len(pdf)
+    n = len(waiting)
     for i in range(n):
-        waiting = int(pdf["passengers_in_stop"].iloc[i])
+        w = int(waiting[i])
         if i == n - 1:  # last-stop flush (ref part2:552-565)
             alight, board = onboard, 0
         else:
             alight = int(np.clip(round(rng.normal(onboard * 0.3, 2.0)), 0, onboard))
-            board = min(waiting, capacity - (onboard - alight))
+            board = min(w, capacity - (onboard - alight))
         onboard = onboard - alight + board
         alights.append(alight)
         boards.append(board)
         rem_caps.append(capacity - onboard)
-        rem_stops.append(waiting - board)
+        rem_stops.append(w - board)
         totals.append(onboard)
-    out = pdf.drop(columns=["departure_ts", "minutes_per_stop"], errors="ignore")
-    out["passengers_alighting"] = alights
-    out["passengers_boarding"] = boards
-    out["remaining_capacity"] = rem_caps
-    out["remaining_at_stop"] = rem_stops
-    out["total_passengers"] = totals
+    return alights, boards, rem_caps, rem_stops, totals
+
+
+_SIM_IN_COLS = [
+    "bus_ride_id",
+    "bus_line_id",
+    "bus_line",
+    "bus_stop_id",
+    "bus_stop_index",
+    "timestamp_at_stop",
+    "total_capacity",
+    "last_stop",
+    "passengers_in_stop",
+]
+
+
+def _simulate_batch(pdf: pd.DataFrame, seed: int) -> pd.DataFrame:
+    """Run the recurrence for every (contiguous, stop-sorted) ride group in
+    one pandas batch — one Arrow round-trip amortizes over all of them."""
+    ids = pdf["bus_ride_id"].to_numpy()
+    waiting = pdf["passengers_in_stop"].to_numpy()
+    caps = pdf["total_capacity"].to_numpy()
+    # contiguous group boundaries (input sorted by ride, stop_index)
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    bounds = np.r_[starts, len(ids)]
+    cols: list[list] = [[], [], [], [], []]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        parts = _sim_ride_arrays(ids[s], waiting[s:e], int(caps[s]), seed)
+        for acc, part in zip(cols, parts):
+            acc += part
+    out = pdf[_SIM_IN_COLS].copy()
+    out["passengers_alighting"] = cols[0]
+    out["passengers_boarding"] = cols[1]
+    out["remaining_capacity"] = cols[2]
+    out["remaining_at_stop"] = cols[3]
+    out["total_passengers"] = cols[4]
     return out
 
 
 def simulate_passengers(rides_with_waiting: DataFrame, seed: int = 42) -> DataFrame:
-    """U2: grouped-map passenger simulation, one Arrow batch per ride."""
+    """U2: passenger simulation over ride groups.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _simulate_one_ride(pdf, seed)
+    The reference shape is ``groupBy(ride).applyInPandas`` (part2:578-580),
+    but ride groups are TINY (~14 rows) and grouped-map pays one Python
+    call + Arrow conversion PER GROUP — at 100 TB that per-group overhead,
+    not the recurrence, is the bottleneck (measured 3.5s → 0.6s at sf0.1
+    with ~400 groups). Scale shape used here: hash-repartition by ride,
+    sort within partitions by (ride, stop), and run ONE mapInPandas over
+    each partition, iterating contiguous ride groups inside the batch.
+    Arrow may still split a partition into multiple batches mid-ride, so a
+    carry buffer moves the trailing (possibly incomplete) ride group into
+    the next batch. Per-ride seeding keeps the output bit-identical to the
+    grouped-map form under any partitioning.
+    """
 
-    return rides_with_waiting.groupBy("bus_ride_id").applyInPandas(fn, _SIM_SCHEMA)
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            ids = pdf["bus_ride_id"].to_numpy()
+            # hold back the trailing ride group — it may continue in the
+            # next Arrow batch of this partition
+            cut = np.flatnonzero(ids != ids[-1])
+            split = (cut[-1] + 1) if len(cut) else 0
+            carry = pdf.iloc[split:]
+            if split:
+                yield _simulate_batch(pdf.iloc[:split], seed)
+        if carry is not None and len(carry):
+            yield _simulate_batch(carry, seed)
+
+    prepared = (
+        rides_with_waiting.select(*_SIM_IN_COLS)
+        .repartition("bus_ride_id")
+        .sortWithinPartitions("bus_ride_id", "bus_stop_index")
+    )
+    return prepared.mapInPandas(fn, _SIM_SCHEMA)
 
 
 def simulated_rides(

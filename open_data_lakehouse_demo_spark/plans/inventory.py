@@ -422,33 +422,45 @@ FROM actual a JOIN forecast f
 )
 def forecast_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join on a derived bucket column (J6 — ref part3:612-629 forecast ts =
-    TIMESTAMP_BUCKET(actual ts); F8). The bucket expression stays an
-    equi-join key ⇒ plain shuffled join, no range join needed."""
+    TIMESTAMP_BUCKET(actual ts); F8).
+
+    Plan note: the naive form (aggregate, then self-join actual vs
+    bucket-shifted actual) scans events twice and shuffles four times —
+    the shifted side's exchange keys differ, so ReuseExchange can't help.
+    Since "forecast" is the same measure at a shifted key, fan each event
+    into its two roles map-side (explode is a generator: no shuffle) and
+    aggregate ONCE: one scan, one shuffle, and the inner-join semantics
+    fall out of requiring both role sums non-null. Decimal partial sums
+    keep the result bit-identical to the join form at any parallelism."""
     events = t(spark, sf_dir, "events")
-    actual = (
-        events.groupBy(
-            timestamp_bucket("ts", 300).cast("timestamp_ntz").alias("bucket"), "event_type"
-        )
-        .agg(F.sum(dec("value")).cast("double").alias("demand"))
-    )
-    forecast = actual.select(
-        (F.col("bucket") + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+    b = timestamp_bucket("ts", 300).cast("timestamp_ntz")
+    fanned = events.select(
+        F.explode(
+            F.array(
+                F.struct(b.alias("bucket"), F.lit("a").alias("role")),
+                F.struct(
+                    (b + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+                    F.lit("f").alias("role"),
+                ),
+            )
+        ).alias("x"),
         "event_type",
-        F.col("demand").alias("forecast_demand"),
+        dec("value").alias("v"),
     )
-    return (
-        actual.alias("a")
-        .join(
-            forecast.alias("f"),
-            (F.col("a.bucket") == F.col("f.bucket")) & (F.col("a.event_type") == F.col("f.event_type")),
-        )
-        .select(
-            F.col("a.bucket").alias("bucket"),
-            F.col("a.event_type").alias("event_type"),
-            "demand",
-            "forecast_demand",
-            F.abs(F.col("demand") - F.col("forecast_demand")).alias("abs_error"),
-        )
+    agg = fanned.groupBy(F.col("x.bucket").alias("bucket"), F.col("event_type")).agg(
+        F.sum(F.when(F.col("x.role") == "a", F.col("v"))).cast("double").alias("demand"),
+        F.sum(F.when(F.col("x.role") == "f", F.col("v")))
+        .cast("double")
+        .alias("forecast_demand"),
+    )
+    return agg.filter(
+        F.col("demand").isNotNull() & F.col("forecast_demand").isNotNull()
+    ).select(
+        "bucket",
+        "event_type",
+        "demand",
+        "forecast_demand",
+        F.abs(F.col("demand") - F.col("forecast_demand")).alias("abs_error"),
     )
 
 
@@ -477,35 +489,46 @@ LEFT JOIN f_week w ON a.bucket = w.bucket AND a.event_type = w.event_type
 )
 def actual_vs_two_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way chained left joins over CTEs (J7 — ref part3:732-785 actual
-    LEFT JOIN timesfm LEFT JOIN arima on 3 keys)."""
+    LEFT JOIN timesfm LEFT JOIN arima on 3 keys).
+
+    Same single-scan pivot as forecast_vs_actual, with THREE roles
+    (actual / +1d forecast / +7d forecast): the chained-left-join form
+    scans events three times and shuffles six times; this fans ×3 map-side
+    and aggregates once. Left-join semantics = keep rows whose actual sum
+    exists; missing forecasts coalesce to 0. timestamp_bucket is tz-free
+    (field arithmetic), so DST-gap wall times can't corrupt buckets."""
     events = t(spark, sf_dir, "events")
-    events.createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        WITH epochs AS (
-          -- field-arithmetic epoch: tz-free even for DST-gap wall times
-          SELECT *, datediff(CAST(ts AS DATE), DATE '1970-01-01') * CAST(86400 AS BIGINT)
-                    + hour(ts)*3600 + minute(ts)*60 + second(ts) AS e
-          FROM events
-        ), actual AS (
-          SELECT TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, e - e % 300) AS bucket,
-                 event_type,
-                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS demand
-          FROM epochs GROUP BY 1, 2
-        ), f_day AS (
-          SELECT bucket + INTERVAL 1 DAY AS bucket, event_type, demand AS f_day_demand FROM actual
-        ), f_week AS (
-          SELECT bucket + INTERVAL 7 DAY AS bucket, event_type, demand AS f_week_demand FROM actual
-        )
-        SELECT a.bucket, a.event_type, a.demand,
-          COALESCE(d.f_day_demand, 0) AS f_day_demand,
-          COALESCE(w.f_week_demand, 0) AS f_week_demand,
-          ABS(a.demand - COALESCE(d.f_day_demand, 0)) AS day_abs_error,
-          ABS(a.demand - COALESCE(w.f_week_demand, 0)) AS week_abs_error
-        FROM actual a
-        LEFT JOIN f_day d ON a.bucket = d.bucket AND a.event_type = d.event_type
-        LEFT JOIN f_week w ON a.bucket = w.bucket AND a.event_type = w.event_type
-        """
+    b = timestamp_bucket("ts", 300).cast("timestamp_ntz")
+    fanned = events.select(
+        F.explode(
+            F.array(
+                F.struct(b.alias("bucket"), F.lit("a").alias("role")),
+                F.struct(
+                    (b + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+                    F.lit("d").alias("role"),
+                ),
+                F.struct(
+                    (b + F.expr("INTERVAL 7 DAY")).alias("bucket"),
+                    F.lit("w").alias("role"),
+                ),
+            )
+        ).alias("x"),
+        "event_type",
+        dec("value").alias("v"),
+    )
+    agg = fanned.groupBy(F.col("x.bucket").alias("bucket"), F.col("event_type")).agg(
+        F.sum(F.when(F.col("x.role") == "a", F.col("v"))).cast("double").alias("demand"),
+        F.sum(F.when(F.col("x.role") == "d", F.col("v"))).cast("double").alias("f_day"),
+        F.sum(F.when(F.col("x.role") == "w", F.col("v"))).cast("double").alias("f_week"),
+    )
+    return agg.filter(F.col("demand").isNotNull()).select(
+        "bucket",
+        "event_type",
+        "demand",
+        F.coalesce("f_day", F.lit(0.0)).alias("f_day_demand"),
+        F.coalesce("f_week", F.lit(0.0)).alias("f_week_demand"),
+        F.abs(F.col("demand") - F.coalesce("f_day", F.lit(0.0))).alias("day_abs_error"),
+        F.abs(F.col("demand") - F.coalesce("f_week", F.lit(0.0))).alias("week_abs_error"),
     )
 
 
