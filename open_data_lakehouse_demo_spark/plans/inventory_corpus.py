@@ -106,3 +106,47 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.filter(
         ~((F.col("alpha_ratio") < 0.4) | (F.col("ws_tokens") < 5))
     )
+
+
+# Per-language sampling rates (percent): downsample the dominant language,
+# keep more of the rare ones — the standard corpus-rebalancing step.
+# Single source of truth; the oracle SQL is generated from this dict.
+_STRAT_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40, "zh": 80}
+_STRAT_DEFAULT_RATE = 20
+
+_STRAT_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES.items())
+    + f" ELSE {_STRAT_DEFAULT_RATE} END"
+)
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || lang), 1, 8)) AS BIGINT)
+      % 100 < ({_STRAT_CASE_SQL})
+"""
+
+
+@query(
+    "stratified_sample_docs",
+    ("PIPE2",),
+    oracle=_STRAT_ORACLE,
+    tags=("pipeline", "sampling"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    via a portable content hash (first 8 md5 hex chars of doc_id#lang).
+
+    Unlike df.sample(), the decision is a pure function of the row — fully
+    reproducible across engines, retries and repartitioning, and usable as
+    a JOIN-free filter. Scale shape: map-side only, zero shuffle; the
+    predicate survives column pruning (reads doc_id/lang/source only)."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.lit(_STRAT_DEFAULT_RATE)
+    for k, v in reversed(_STRAT_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    h = dedup.token_hash(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("lang"))
+    )
+    return docs.filter((h % 100) < rate).select("doc_id", "lang", "source")

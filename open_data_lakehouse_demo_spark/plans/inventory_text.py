@@ -206,3 +206,52 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("sh", 1, 4), ",").alias("kmin_sketch"),
         "rolling_window_fp",
     )
+
+
+_MIN_DF = 3
+
+_VOCAB_ORACLE = f"""
+WITH {_TOKS_SQL},
+exploded AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+stats AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM exploded GROUP BY token
+)
+SELECT token, tf, df,
+  CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS inv_doc_freq
+FROM stats WHERE df >= {_MIN_DF}
+"""
+
+
+@query("vocab_stats", ("TX5",), oracle=_VOCAB_ORACLE, tags=("text",))
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: per-token term frequency, document
+    frequency, and inverse document frequency — the inverted-index /
+    tokenizer-prep pass of a training-data pipeline.
+
+    Scale shape: explode is a generator inside the scan stage (no shuffle
+    for the fan-out); the single shuffle is the groupBy(token), where
+    COUNT(*) partial-aggregates map-side and COUNT(DISTINCT doc_id)
+    expands to Spark's standard two-phase distinct aggregate. The corpus
+    size is a broadcast scalar, never a driver-side collect. idf is kept
+    as an exact single division (n_docs/df) rather than log() — Java and
+    C libm may differ in the last ulp, a cross-engine hash hazard."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    return (
+        stats.filter(F.col("df") >= _MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "tf",
+            "df",
+            (F.col("n").cast("double") / F.col("df")).alias("inv_doc_freq"),
+        )
+    )

@@ -154,3 +154,57 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py)."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.lsh_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD)
+
+
+_RECALL_ORACLE = f"""
+WITH bf AS ({_BRUTE_FORCE_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n
+  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, COALESCE(h.n, 0) AS n_hits,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / {_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits h USING (query_id)
+"""
+
+
+@query(
+    "ann_recall_eval",
+    ("V4", "PIPE2"),
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against the exact brute-force
+    baseline, per probe — the eval harness every ANN deployment needs
+    before trading recall for speed (nprobe/n_centroids tuning).
+
+    Both rankings share deterministic tiebreaks, so recall is exact and
+    engine-portable. Scale shape: the two top-k plans are independent
+    branches; the hit-join keys on (query_id, neighbor_id) — k rows per
+    probe per side, so the join input is tiny regardless of corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    bf = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % _PROBE_MOD == 0), k=_K
+    )
+    ivf = sim.ivf_topk(
+        emb,
+        k=_K,
+        n_centroids=16,
+        nprobe=2,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+    )
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    probes = bf.select("query_id").distinct()
+    return probes.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n", F.lit(0)).cast("double") / _K).alias("recall_at_k"),
+    )
