@@ -54,13 +54,15 @@ MEDIA_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 def _keystream(seed_bytes: bytes, n: int) -> np.ndarray:
-    """Deterministic byte stream from an md5 chain (the fake codec's RNG)."""
-    out = bytearray()
-    block = seed_bytes
-    while len(out) < n:
-        block = hashlib.md5(block).digest()
-        out += block
-    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+    """Deterministic byte stream for the fake codec: PCG64 seeded from
+    md5(seed_bytes). One hash + a vectorized generator per payload —
+    ~100× faster than chaining md5 blocks for MB-sized frames, and
+    PCG64's output stream is specified, so results stay deterministic
+    and platform-stable."""
+    seed = int.from_bytes(hashlib.md5(seed_bytes).digest(), "big")
+    return np.random.Generator(np.random.PCG64(seed)).integers(
+        0, 256, n, dtype=np.uint8
+    )
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
