@@ -179,4 +179,5 @@ def merge_into(
     merged.write.format("parquet").saveAsTable(tmp)
     spark.sql(f"DROP TABLE {target_table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {target_table}")
+    spark.catalog.refreshTable(target_table)
     return {"updated": n_updated, "inserted": n_inserted}

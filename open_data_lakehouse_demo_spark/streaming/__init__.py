@@ -15,6 +15,8 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     read_json_stream,
     relief_join,
     run_pipeline,
+    session_boardings,
+    upsert_state_sink,
 )
 from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401
     events_as_bus_updates,

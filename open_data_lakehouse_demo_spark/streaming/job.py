@@ -363,6 +363,78 @@ def enriched_alerts(
     )
 
 
+def session_boardings(
+    parsed: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Beyond-reference streaming op: event-time SESSION windows per line —
+    a service burst ends after ``gap`` of silence. ``session_window`` merges
+    windows as events arrive; watermark finalizes a session once no event
+    can extend it, so append mode emits each session exactly once. State is
+    one open session per active key — O(active lines), not O(events)."""
+    sessions = (
+        parsed.withWatermark("timestamp_at_stop", watermark)
+        .groupBy(F.session_window("timestamp_at_stop", gap), "bus_line_id")
+        .agg(
+            F.sum("passengers_boarding").alias("boardings"),
+            F.count("*").alias("n_updates"),
+        )
+    )
+    return sessions.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "bus_line_id",
+        "boardings",
+        "n_updates",
+    )
+
+
+def upsert_state_sink(
+    parsed: DataFrame,
+    spark: SparkSession,
+    state_table: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Beyond-reference sink: per-micro-batch MERGE upsert of bus state.
+
+    The reference overwrites the WHOLE warehouse table every micro-batch
+    (pyspark-job.py:56-69) — O(total keys) written per batch. This sink
+    merges only the keys present in the batch (plans/ddl.py merge_into:
+    native MERGE on Iceberg, copy-on-write swap on parquet) — O(batch
+    keys) amortized, the CDC-upsert shape every lakehouse streaming
+    pipeline needs. Update mode + watermark keeps per-batch output to
+    changed keys only. Returns the started query.
+    """
+    from open_data_lakehouse_demo_spark.plans import ddl
+
+    state = latest_state_stateful(parsed, watermark)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # last_stop removals surface as empty-payload rows upstream; rows
+        # present here are live states — merge on the line key.
+        if batch_df.isEmpty():
+            return
+        ddl.merge_into(
+            batch_df.sparkSession,
+            state_table,
+            batch_df,
+            on=["bus_line_id"],
+        )
+        # the parquet fallback swaps the table out from under other
+        # sessions' relation caches; keep the owning session current
+        # (no-op for Iceberg, whose snapshots are read consistently)
+        spark.catalog.refreshTable(state_table)
+
+    return (
+        state.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def relief_join(
     parsed: DataFrame,
     watermark: str = "10 minutes",

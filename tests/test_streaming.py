@@ -300,6 +300,87 @@ def test_stream_stream_relief_join_left_outer_emits_unrelieved(spark, dirs, tmp_
     assert any(r["pickup_ride_id"] is None for r in by_alert["r1"])
 
 
+def test_session_window_boardings(spark, dirs, tmp_path):
+    """Session windows: events ≤15 min apart merge; a >15-min gap starts a
+    new session. Sessions finalize (append mode) once the watermark passes."""
+    _drop(
+        dirs["src"],
+        "b1.jsonl",
+        [
+            # line 1: burst of 3 updates within gaps <15 min → one session
+            _envelope_at(1, "2025-01-01 10:00:00", "r1", 401, 0, 3),
+            _envelope_at(2, "2025-01-01 10:10:00", "r1", 402, 0, 4),
+            _envelope_at(3, "2025-01-01 10:20:00", "r1", 403, 0, 5),
+            # line 1 again after a 40-min silence → second session
+            _envelope_at(4, "2025-01-01 11:00:00", "r2", 404, 0, 7),
+        ],
+    )
+    parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+    out = str(tmp_path / "sessions")
+    q = (
+        st.session_boardings(parsed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{dirs['ckpt']}/sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(
+            dirs["src"],
+            "b2.jsonl",
+            [_envelope_at(9, "2025-01-01 13:00:00", "hb", 498, 1, 1)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (str(r["session_start"]), r["boardings"], r["n_updates"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("2025-01-01 10:00:00", 12, 3) in rows
+    assert ("2025-01-01 11:00:00", 7, 1) in rows
+
+
+def test_upsert_state_sink_merges_per_batch(spark, dirs):
+    """foreachBatch MERGE sink: batch keys upsert into the state table
+    without rewriting untouched keys' values."""
+    from open_data_lakehouse_demo_spark.plans import ddl
+
+    ddl.create_namespace(spark, "lakehouse_stream_test")
+    table = "lakehouse_stream_test.bus_state_upsert"
+    try:
+        seedf = spark.createDataFrame(
+            [(99, "line-99", 0, 0, 60, None)],
+            "bus_line_id BIGINT, bus_line STRING, remaining_at_stop BIGINT, "
+            "total_passengers BIGINT, total_capacity BIGINT, update_timestamp TIMESTAMP",
+        )
+        ddl.ctas_from_df(seedf, table)
+
+        _drop(dirs["src"], "b1.jsonl", BATCH_1)
+        parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+        q = st.upsert_state_sink(parsed, spark, table, f"{dirs['ckpt']}/upsert")
+        try:
+            q.processAllAvailable()
+            state = {r["bus_line_id"]: r for r in spark.table(table).collect()}
+            # seeded key untouched, batch keys upserted
+            assert state[99]["bus_line"] == "line-99"
+            assert state[1]["remaining_at_stop"] == 0
+            assert state[2]["total_passengers"] == 20
+
+            _drop(dirs["src"], "b2.jsonl", BATCH_2)
+            q.processAllAvailable()
+            state2 = {r["bus_line_id"]: r for r in spark.table(table).collect()}
+            assert state2[1]["remaining_at_stop"] == 7
+            assert 99 in state2
+        finally:
+            q.stop()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql("DROP NAMESPACE IF EXISTS lakehouse_stream_test")
+
+
 @pytest.mark.parametrize("name", ["capacity_alerts_batch", "latest_bus_state_batch"])
 def test_streaming_batch_view_oracle_parity(spark, duck, name):
     q = QUERIES[name]
