@@ -68,6 +68,41 @@ CHECKS = [
         "ROLLUP plans as Expand + single aggregate pass; nation/region "
         "dimensions broadcast.",
     ),
+    (
+        "forecast_vs_actual",
+        ["1x:Scan parquet", "Generate", "HashAggregate"],
+        "Single-scan pivot: the actual-vs-shifted-forecast join is fanned "
+        "into role rows by a Generate inside the scan stage and aggregated "
+        "once — exactly ONE parquet scan and one shuffle, vs 2 scans + 4 "
+        "shuffles for the naive self-join.",
+    ),
+    (
+        "actual_vs_two_forecasts",
+        ["1x:Scan parquet", "Generate", "HashAggregate"],
+        "Three-way chained left joins collapsed to the same single-scan "
+        "pivot with three roles.",
+    ),
+    (
+        "bus_ride_simulation",
+        ["MapInPandas", "hashpartitioning(bus_ride_id"],
+        "Ride groups are ~14 rows; grouped-map would pay one Python call + "
+        "Arrow conversion per group. Plan shape: hash-repartition by ride, "
+        "sort within partitions, ONE MapInPandas per batch iterating "
+        "contiguous groups (carry buffer for batch-boundary splits).",
+    ),
+    (
+        "stratified_sample_docs",
+        ["ReadSchema: struct<doc_id:bigint,lang:string,source:string>"],
+        "Hash-gated stratified sample is map-side only: no shuffle, and "
+        "column pruning reaches the scan — the text payload is never read.",
+    ),
+    (
+        "vocab_stats",
+        ["Generate", "HashAggregate", "BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        "Token explode is a generator in the scan stage; tf/df aggregate "
+        "partially map-side (count-distinct expands to the standard "
+        "two-phase plan); the corpus-size scalar joins as a broadcast.",
+    ),
 ]
 
 
@@ -82,10 +117,18 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        # "a|b" fragments accept any alternative (AQE picks strategies by size)
-        missing = [
-            f for f in fragments if not any(alt in plan for alt in f.split("|"))
-        ]
+        tree = plan.split("\n\n")[0]
+
+        # "a|b" fragments accept any alternative (AQE picks strategies by
+        # size); "1x:frag" requires EXACTLY one occurrence in the operator
+        # tree (e.g. single-scan assertions — the detail section repeats
+        # node names, so the count runs on the tree only).
+        def ok(f: str) -> bool:
+            if f.startswith("1x:"):
+                return tree.count(f[3:]) == 1
+            return any(alt in plan for alt in f.split("|"))
+
+        missing = [f for f in fragments if not ok(f)]
         if missing:
             failures.append((name, missing))
         status = "OK" if not missing else f"MISSING {missing}"
@@ -93,7 +136,6 @@ def main() -> None:
         print(commentary + "\n")
         print("Required fragments: " + ", ".join(f"`{f}`" for f in fragments) + "\n")
         # keep the plan section readable: header + operator tree only
-        tree = plan.split("\n\n")[0]
         print("```\n" + tree.strip() + "\n```\n")
     if failures:
         print(f"PLAN REGRESSIONS: {failures}", file=sys.stderr)
