@@ -18,6 +18,9 @@ from open_data_lakehouse_demo_spark.streaming.job import (  # noqa: F401
     session_boardings,
     upsert_state_sink,
 )
+from open_data_lakehouse_demo_spark.streaming.manager import (  # noqa: F401
+    StreamingWorkerManager,
+)
 from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401
     events_as_bus_updates,
     replay_to_json_files,

@@ -381,6 +381,38 @@ def test_upsert_state_sink_merges_per_batch(spark, dirs):
         spark.sql("DROP NAMESPACE IF EXISTS lakehouse_stream_test")
 
 
+def test_streaming_worker_manager_lifecycle(spark, dirs, tmp_path):
+    """Orchestration plane (SURVEY §3): start/status/stop of named workers
+    via StreamingQuery handles — the webapp state machine's equivalent."""
+    _drop(dirs["src"], "b1.jsonl", BATCH_1)
+    mgr = st.StreamingWorkerManager()
+    parsed = st.parse_envelope(st.read_json_stream(spark, dirs["src"]))
+
+    def start_alerts():
+        return (
+            st.alerts_stream(parsed)
+            .writeStream.format("json")
+            .option("path", dirs["alerts"])
+            .option("checkpointLocation", f"{dirs['ckpt']}/mgr_alerts")
+            .outputMode("append")
+            .start()
+        )
+
+    q = mgr.start("alerts", start_alerts)
+    assert mgr.start("alerts", start_alerts) is q  # idempotent start
+    mgr.await_idle("alerts")
+    snap = mgr.status()
+    assert snap["alerts"]["state"] == "RUNNING"
+    assert snap["alerts"]["error"] is None
+    assert snap["alerts"]["last_progress"] is not None
+    assert mgr.healthy("alerts")
+
+    assert mgr.stop("alerts") is True
+    assert mgr.stop("alerts") is False  # already stopped
+    assert mgr.status()["alerts"]["state"] == "STOPPED"
+    assert mgr.stop("never_started") is False
+
+
 @pytest.mark.parametrize("name", ["capacity_alerts_batch", "latest_bus_state_batch"])
 def test_streaming_batch_view_oracle_parity(spark, duck, name):
     q = QUERIES[name]
