@@ -152,11 +152,19 @@ def seasonal_trend_forecast(
     """
     z = _z_for(confidence_level)
     w = Window.partitionBy(*id_cols).orderBy(ts_col)
-    indexed = df.select(
-        *id_cols,
-        F.col(ts_col),
-        (F.row_number().over(w) - 1).cast("decimal(18,0)").alias("x"),
-        F.col(data_col).cast("decimal(18,6)").alias("y"),
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # indexed feeds the OLS aggregate AND the residual/seasonal branches;
+    # without a reuse point Spark re-runs the scan+agg+window lineage per
+    # branch (measured 1.3s → ~0.5s at sf0.1). Series-sized, not
+    # fact-sized, so materializing is cheap at any scale.
+    indexed = materialize(
+        df.select(
+            *id_cols,
+            F.col(ts_col),
+            (F.row_number().over(w) - 1).cast("decimal(18,0)").alias("x"),
+            F.col(data_col).cast("decimal(18,6)").alias("y"),
+        )
     )
     agg = indexed.groupBy(*id_cols).agg(
         F.count("*").cast("decimal(18,0)").alias("n"),
@@ -178,13 +186,15 @@ def seasonal_trend_forecast(
     ).withColumn(
         "intercept", (F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("nd")
     )
-    resid = indexed.join(fitted.select(*id_cols, "slope", "intercept"), id_cols).select(
-        *id_cols,
-        (F.col("x") % period).cast("int").alias("phase"),
-        (
-            F.col("y").cast("double")
-            - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
-        ).cast("decimal(28,10)").alias("r"),
+    resid = materialize(
+        indexed.join(fitted.select(*id_cols, "slope", "intercept"), id_cols).select(
+            *id_cols,
+            (F.col("x") % period).cast("int").alias("phase"),
+            (
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+            ).cast("decimal(28,10)").alias("r"),
+        )
     )
     seasonal = resid.groupBy(*id_cols, "phase").agg(
         (F.sum("r").cast("double") / F.count("*")).alias("s")

@@ -61,6 +61,13 @@ def gap_fill(
     pcols = list(partitioning_columns)
     interval = F.expr(f"INTERVAL {int(bucket_width_seconds)} SECOND")
 
+    # the input feeds both the bounds aggregate and the grid join; a reuse
+    # point keeps its lineage (typically a bucket aggregate over the fact
+    # table) from running twice (sources/io.py materialize)
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    df = materialize(df)
+
     bounds = df.groupBy(*pcols).agg(
         F.min(ts_column).alias("__min_ts"), F.max(ts_column).alias("__max_ts")
     )

@@ -861,11 +861,16 @@ def forecast_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     join forecast to actuals (J6) and compute MAE/MSE/RMSE per series over
     exact decimal errors."""
     from open_data_lakehouse_demo_spark.operators.forecast import linear_trend_forecast
+    from open_data_lakehouse_demo_spark.sources.io import materialize
 
     events = t(spark, sf_dir, "events")
-    series = events.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
-    ).agg(F.sum(dec("value")).alias("demand"))
+    # series feeds the cutoff scalar, the training fit AND the eval join —
+    # materialize once (3 fact scans → 1; sources/io.py materialize)
+    series = materialize(
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+        ).agg(F.sum(dec("value")).alias("demand"))
+    )
     cutoff = series.agg((F.max("day") - F.expr("INTERVAL 7 DAY")).alias("c"))
     train = series.join(F.broadcast(cutoff)).filter(F.col("day") <= F.col("c")).drop("c")
     fc = linear_trend_forecast(

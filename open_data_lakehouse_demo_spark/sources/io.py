@@ -123,6 +123,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Plan-reuse point: lazily localCheckpoint a small intermediate that
+    downstream logic references several times.
+
+    Spark recomputes a DataFrame's whole lineage for every branch that
+    uses it, and ReuseExchange only dedupes byte-identical exchanges —
+    pushed-down join-key filters routinely break that identity, so a
+    post-aggregate referenced by 3 branches re-scans the fact table 3
+    times. Checkpointing cuts the lineage: the subtree runs ONCE and all
+    branches read the materialized blocks (memory-and-disk). Use ONLY on
+    aggregate-reduced intermediates (series, bounds) — never on raw
+    fact-table rows, which would spill the whole input. Lazy (eager=False)
+    so the materialization happens inside the first action, not at plan
+    time."""
+    return df.localCheckpoint(eager=False)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
