@@ -223,8 +223,14 @@ def ngram_jaccard_pairs(
     generation — that part is a documented approximation, verification
     still uses FULL sets. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
     threshold = threshold_pct / 100.0
-    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    # the shingle-hash table feeds candidate generation AND both sides
+    # of verification; computing the interpreted md5-shingle HOFs once
+    # and reading blocks afterwards is the signature-table shape real
+    # dedup pipelines persist (sources/io.py materialize)
+    sets = materialize(_doc_shingle_sets(df, id_col, text_col, n))
     pref = sets.select(
         "doc",
         F.explode(F.slice("sh", 1, prefix_length(F.size("sh"), threshold_pct))).alias("h"),
@@ -259,7 +265,10 @@ def minhash_lsh_pairs(
     10^9 docs the candidate join is the only quadratic term and only within
     true near-dup clusters. Output (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # same signature-table materialization as ngram_jaccard_pairs
+    sets = materialize(_doc_shingle_sets(df, id_col, text_col, n))
     sigs = sets.select("doc", minhash_signature(F.col("sh")).alias("sig"))
     r = N_HASHES // N_BANDS
     bands = sigs.select(

@@ -225,7 +225,11 @@ def lsh_near_dup_pairs(
     vector); verification = exact cosine ≥ threshold over the pair.
     Output (vec_a, vec_b, cosine), vec_a < vec_b.
     """
-    base = _with_norm(df, id_col, vec_col)
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # base (vec + norm) feeds bucket generation and both verify sides —
+    # materialize so the norm folds run once (signature-table shape)
+    base = materialize(_with_norm(df, id_col, vec_col))
     buckets = base.select(
         "vid",
         F.explode(
