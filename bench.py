@@ -39,6 +39,8 @@ def main() -> None:
     def execute(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    import gc
+
     per_query: dict[str, float] = {}
     for name, q in QUERIES.items():
         # Untimed warm-up: JVM JIT + codegen compile dominate first runs
@@ -51,6 +53,12 @@ def main() -> None:
             execute(q.spark(spark, sf_dir))
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
+        # Release dropped DataFrames' JVM state (checkpoint blocks, shuffle
+        # files) between queries: Spark's ContextCleaner only runs when the
+        # Python references are collected, and letting them pile up taxes
+        # later queries' JVM heap (measured ~40% inflation late in the
+        # suite vs standalone runs).
+        gc.collect()
 
     total = round(sum(per_query.values()), 4)
     print(
