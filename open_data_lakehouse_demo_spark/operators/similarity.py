@@ -184,7 +184,11 @@ def ivf_topk(
     ``nprobe`` nearest lists. The candidate join is an equi-join on
     centroid_id — bucket-sized work instead of full-corpus work.
     """
-    base = _with_norm(df, id_col, vec_col)
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # base feeds codebook extraction, corpus assignment and probe
+    # assignment — materialize so the norm folds run once
+    base = materialize(_with_norm(df, id_col, vec_col))
     centroids = base.filter(F.col("vid") < n_centroids)
     corpus = assign_centroids(base, centroids, n_assign=1).select(
         "centroid_id", "vid", "vec", "nrm"
