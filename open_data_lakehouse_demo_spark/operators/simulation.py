@@ -78,7 +78,9 @@ def generate_rides(
         "stops",
         F.explode(
             F.expr(
-                f"sequence(timestamp'{start_ts}', timestamp'{end_ts}', "
+                # TIMESTAMP_NTZ literals: plain timestamp'...' parses as session-tz
+                # LTZ and would shift wall times under non-UTC driver sessions
+                f"sequence(timestamp_ntz'{start_ts}', timestamp_ntz'{end_ts}', "
                 "make_dt_interval(0, 0, frequency_minutes, 0))"
             )
         ).alias("departure_ts"),
@@ -122,7 +124,7 @@ def with_waiting_passengers(rides: DataFrame) -> DataFrame:
 
 _SIM_SCHEMA = (
     "bus_ride_id STRING, bus_line_id BIGINT, bus_line STRING, "
-    "bus_stop_id BIGINT, bus_stop_index INT, timestamp_at_stop TIMESTAMP, "
+    "bus_stop_id BIGINT, bus_stop_index INT, timestamp_at_stop TIMESTAMP_NTZ, "
     "total_capacity BIGINT, last_stop BOOLEAN, passengers_in_stop BIGINT, "
     "passengers_alighting BIGINT, passengers_boarding BIGINT, "
     "remaining_capacity BIGINT, remaining_at_stop BIGINT, total_passengers BIGINT"

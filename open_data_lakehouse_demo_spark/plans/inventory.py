@@ -203,12 +203,16 @@ def demand_avg_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.createOrReplaceTempView("events")
     return spark.sql(
         """
-        SELECT event_type, date_trunc('day', ts) AS day,
+        -- CAST back to TIMESTAMP_NTZ: Spark's date_trunc implicitly
+        -- routes NTZ input through the session timezone (returns LTZ);
+        -- the round-trip cast restores wall-clock truncation under any
+        -- driver session tz
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
           COUNT(*) AS n
         FROM events
         WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
-        GROUP BY event_type, date_trunc('day', ts)
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ)
         """
     )
 
