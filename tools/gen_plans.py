@@ -106,29 +106,37 @@ CHECKS = [
 ]
 
 
+def check_plan(spark, name: str, fragments: list[str]) -> tuple[list[str], str]:
+    """Return (missing fragments, formatted plan) for one query.
+
+    "a|b" fragments accept any alternative (AQE picks strategies by size);
+    "1x:frag" requires EXACTLY one occurrence in the operator tree (e.g.
+    single-scan assertions — the detail section repeats node names, so the
+    count runs on the tree only).
+    """
+    df = QUERIES[name].spark(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+
+    def ok(f: str) -> bool:
+        if f.startswith("1x:"):
+            return tree.count(f[3:]) == 1
+        return any(alt in plan for alt in f.split("|"))
+
+    return [f for f in fragments if not ok(f)], plan
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", cpus=8)
     print("# PLANS — physical-plan evidence for flagship queries\n")
-    print("Generated (and property-asserted) by tools/gen_plans.py at sf0.01.\n")
+    print("Generated (and property-asserted) by tools/gen_plans.py at sf0.01;")
+    print("the same assertions run in the test suite (tests/test_plans.py).\n")
     failures = []
     for name, fragments, commentary in CHECKS:
-        df = QUERIES[name].spark(spark, SF_DIR)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        tree = plan.split("\n\n")[0]
-
-        # "a|b" fragments accept any alternative (AQE picks strategies by
-        # size); "1x:frag" requires EXACTLY one occurrence in the operator
-        # tree (e.g. single-scan assertions — the detail section repeats
-        # node names, so the count runs on the tree only).
-        def ok(f: str) -> bool:
-            if f.startswith("1x:"):
-                return tree.count(f[3:]) == 1
-            return any(alt in plan for alt in f.split("|"))
-
-        missing = [f for f in fragments if not ok(f)]
+        missing, plan = check_plan(spark, name, fragments)
         if missing:
             failures.append((name, missing))
         status = "OK" if not missing else f"MISSING {missing}"
@@ -136,7 +144,7 @@ def main() -> None:
         print(commentary + "\n")
         print("Required fragments: " + ", ".join(f"`{f}`" for f in fragments) + "\n")
         # keep the plan section readable: header + operator tree only
-        print("```\n" + tree.strip() + "\n```\n")
+        print("```\n" + plan.split("\n\n")[0].strip() + "\n```\n")
     if failures:
         print(f"PLAN REGRESSIONS: {failures}", file=sys.stderr)
         sys.exit(1)
