@@ -144,6 +144,35 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Operators
 # ---------------------------------------------------------------------------
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing ANY n-word
+    shingle with a benchmark/eval set — the standard n-gram-overlap
+    pretraining hygiene step (n=8..13 in common recipes).
+
+    Scale shape: the benchmark shingle set is eval-suite-sized (tiny vs
+    the corpus) → broadcast; the corpus side explodes its shingles
+    map-side and the semi-join + anti-join never shuffle corpus rows.
+    Flagging is per-shingle-hash (md5, collision-negligible), so the
+    filter is a pure function of content — reproducible across retries.
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(shingle_hash_set(F.col(text_col), n)).alias("h")
+    )
+    b_sh = benchmark.select(
+        F.explode(shingle_hash_set(F.col(text_col), n)).alias("h")
+    ).distinct()
+    contaminated = (
+        c_sh.join(F.broadcast(b_sh), "h", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct text.
 

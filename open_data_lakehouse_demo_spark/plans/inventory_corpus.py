@@ -150,3 +150,51 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", F.col("doc_id").cast("string"), F.col("lang"))
     )
     return docs.filter((h % 100) < rate).select("doc_id", "lang", "source")
+
+
+# Benchmark membership: deterministic id-hash split (every 97th doc acts
+# as the held-out eval set the corpus must not leak).
+_BENCH_MOD = 97
+_DECON_N = 8  # 8-gram overlap, the common decontamination window
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), shs8 AS (
+  SELECT doc,
+    list_distinct(list_transform(
+      list_transform(range(1, greatest(len(tk) - {_DECON_N - 1}, 1) + 1),
+                     i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' ')),
+      s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))) AS sh
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS h FROM shs8 WHERE doc % {_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT s.doc
+  FROM shs8 s, unnest(s.sh) AS u(h)
+  WHERE s.doc % {_BENCH_MOD} <> 0 AND h IN (SELECT h FROM bench)
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % {_BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc FROM contaminated)
+"""
+
+
+@query(
+    "benchmark_decontaminate",
+    ("PIPE3", "DD2"),
+    oracle=_DECON_ORACLE,
+    tags=("pipeline", "dedup"),
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py decontaminate): drop
+    corpus docs sharing any 8-gram shingle with the held-out benchmark
+    split (doc_id % 97 == 0) — the eval-leakage hygiene step every
+    pretraining corpus needs."""
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    clean = dedup.decontaminate(corpus, benchmark, "doc_id", "text", n=_DECON_N)
+    return clean.select("doc_id", "lang", "source")

@@ -255,3 +255,70 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("df")).alias("inv_doc_freq"),
         )
     )
+
+
+_MIN_PAIR = 5
+
+_BIGRAM_ORACLE = f"""
+WITH {_TOKS_SQL},
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS bg
+  FROM toks WHERE len(tk) >= 2
+),
+unigrams AS (
+  SELECT unnest(tk) AS w FROM toks
+),
+ucnt AS (SELECT w, COUNT(*) AS c FROM unigrams GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM unigrams),
+bcnt AS (SELECT bg, COUNT(*) AS pair_cnt FROM bigrams GROUP BY bg)
+SELECT b.bg AS bigram, b.pair_cnt, u1.c AS w1_cnt, u2.c AS w2_cnt,
+  (CAST(b.pair_cnt AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM bcnt b
+JOIN ucnt u1 ON u1.w = split_part(b.bg, ' ', 1)
+JOIN ucnt u2 ON u2.w = split_part(b.bg, ' ', 2)
+WHERE b.pair_cnt >= {_MIN_PAIR}
+"""
+
+
+@query("bigram_stats", ("TX6",), oracle=_BIGRAM_ORACLE, tags=("text",))
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocation statistics: pair counts + lift
+    (observed/expected co-occurrence) — the n-gram LM / collocation-mining
+    pass of a text pipeline.
+
+    Scale shape: bigrams and unigrams are generator fan-outs inside the
+    scan stage; three hash aggregates (bigram, unigram, total) and two
+    shuffled joins on the word key. Lift keeps integer counts exact and
+    divides once in double — engine-portable, no log()."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    bigrams = toks.filter(F.size("tk") >= 2).select(
+        F.explode(word_shingles(F.col("tk"), 2)).alias("bigram")
+    )
+    unigrams = toks.select(F.explode("tk").alias("w"))
+    ucnt = unigrams.groupBy("w").agg(F.count("*").alias("c"))
+    tot = unigrams.agg(F.count("*").alias("n"))
+    bcnt = bigrams.groupBy("bigram").agg(F.count("*").alias("pair_cnt"))
+    return (
+        bcnt.filter(F.col("pair_cnt") >= _MIN_PAIR)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("w1_cnt")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("w2_cnt")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "pair_cnt",
+            "w1_cnt",
+            "w2_cnt",
+            (
+                (F.col("pair_cnt").cast("double") * F.col("n").cast("double"))
+                / (F.col("w1_cnt").cast("double") * F.col("w2_cnt").cast("double"))
+            ).alias("lift"),
+        )
+    )
