@@ -113,3 +113,73 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s"
         ),
     )
+
+
+_DECILES_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend, n_orders,
+  NTILE(10) OVER w AS decile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+"""
+
+
+@query("customer_value_deciles", ("W4",), oracle=_DECILES_ORACLE, tags=("window",))
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows: NTILE / PERCENT_RANK / CUME_DIST over
+    per-customer spend — the segmentation pass of a value analysis.
+    Total tiebreak (spend desc, custkey) makes every rank deterministic.
+
+    Scale note: an un-partitioned ranking window moves all rows to ONE
+    window partition — fine here because the input is the post-aggregate
+    customer table (|customers| ≪ |orders|); for fact-sized ranking use
+    approx quantile cuts instead."""
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        "n_orders",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(EXTRACT(MONTH FROM ts) AS INT) AS month,
+  CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+  CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_value
+FROM events GROUP BY 1
+"""
+
+
+@query("monthly_type_pivot", ("A11",), oracle=_PIVOT_ORACLE, tags=("agg",))
+def monthly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide aggregation): month × event_type sum matrix via
+    df.groupBy().pivot() with EXPLICIT pivot values — the explicit list
+    skips Spark's extra distinct-values job and keeps the plan a single
+    aggregate (one shuffle), exactly a CASE-WHEN fan-out under the hood."""
+    events = t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy(F.month("ts").alias("month"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+    return pivoted.select(
+        "month",
+        F.col("click").alias("click_value"),
+        F.col("purchase").alias("purchase_value"),
+        F.col("view").alias("view_value"),
+    )
