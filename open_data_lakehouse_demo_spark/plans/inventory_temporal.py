@@ -92,3 +92,67 @@ def events_in_service_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_end="win_end",
         bucket_seconds=6 * 3600,
     ).select("event_id", "event_type", "ts", "win_start", "win_end")
+
+
+_RESOLUTION_ORACLE = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts,
+  MIN(p.ts) AS resolved_ts,
+  CASE WHEN MIN(p.ts) IS NULL THEN NULL
+       ELSE date_diff('second', e.ts, MIN(p.ts)) END AS wait_s
+FROM err e LEFT JOIN pur p
+  ON p.user_id = e.user_id
+ AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+@query("error_time_to_resolution", ("TJ3", "W2"), oracle=_RESOLUTION_ORACLE, tags=("temporal",))
+def error_time_to_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch counterpart of the stream-stream interval join (streaming
+    relief_join): for each 'error' event, the FIRST 'purchase' by the same
+    user within 1 hour; unresolved errors keep null (left-outer shape).
+
+    Spark-first plan: NOT the O(|err|·|pur|) interval join the oracle
+    runs — one window pass over the per-user event sequence. "Next
+    purchase after t" is a running last_value(ignorenulls) over a
+    DESCENDING (ts, event_id) sort with a (UNBOUNDED PRECEDING → 1
+    PRECEDING) frame: running frames evaluate incrementally (O(n) per
+    partition) where the FOLLOWING-frame formulation re-scans per row
+    (O(n²) — the gap-fill lesson, operators/gapfill.py). The 1h bound is
+    applied after: the closest purchase either qualifies or none does.
+    One shuffle on user_id, no join at all."""
+    from open_data_lakehouse_demo_spark.functions.compat import ntz_epoch_seconds
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    relevant = events.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_next = relevant.withColumn(
+        "resolved_ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    errs = with_next.filter(F.col("event_type") == "error")
+    wait = ntz_epoch_seconds(F.col("resolved_ts")) - ntz_epoch_seconds(F.col("ts"))
+    in_bound = F.col("resolved_ts").isNotNull() & (wait <= 3600)
+    return errs.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_bound, F.col("resolved_ts")).alias("resolved_ts"),
+        F.when(in_bound, wait).alias("wait_s"),
+    )
