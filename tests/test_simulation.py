@@ -108,3 +108,24 @@ def test_analyze_table_stats_drive_broadcast(spark):
         assert "BroadcastHashJoin" in plan
     finally:
         ddl.drop_table(spark, "lakehouse_test.nation_stats")
+
+
+def test_sim_carry_buffer_survives_tiny_arrow_batches(spark):
+    """Force Arrow to split every ride group across batches (batch size 7
+    vs ~14-row rides): the mapInPandas carry buffer must reassemble groups
+    bit-identically to an unsplit run."""
+    from open_data_lakehouse_demo_spark.operators import simulation as sm
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    rides = sm.with_waiting_passengers(
+        sm.generate_rides(sm.build_bus_lines(nation),
+                          "2024-06-01 06:00:00", "2024-06-01 08:00:00")
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        split_rows = sorted(tuple(r) for r in sm.simulate_passengers(rides).collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    whole_rows = sorted(tuple(r) for r in sm.simulate_passengers(rides).collect())
+    assert split_rows == whole_rows and len(split_rows) > 0
