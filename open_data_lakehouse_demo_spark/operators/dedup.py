@@ -170,7 +170,11 @@ def decontaminate(
     contaminated = (
         c_sh.join(F.broadcast(b_sh), "h", "left_semi").select(id_col).distinct()
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # NO broadcast hint on the contaminated-id side: it is corpus-bounded
+    # (heavy benchmark overlap can flag a large fraction of the corpus), so
+    # the anti-join must be allowed to shuffle; AQE still broadcasts it
+    # when it turns out small.
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

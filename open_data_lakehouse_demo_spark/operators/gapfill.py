@@ -45,6 +45,7 @@ def gap_fill(
     bucket_width_seconds: int,
     partitioning_columns: list[str],
     value_columns: dict[str, str],
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Fill missing time buckets per partition between its min and max ts.
 
@@ -63,10 +64,13 @@ def gap_fill(
 
     # the input feeds both the bounds aggregate and the grid join; a reuse
     # point keeps its lineage (typically a bucket aggregate over the fact
-    # table) from running twice (sources/io.py materialize)
-    from open_data_lakehouse_demo_spark.sources.io import materialize
+    # table) from running twice (sources/io.py materialize). Callers
+    # passing an un-aggregated fact-sized series should disable this —
+    # materializing would spill the whole input to executor storage.
+    if materialize_input:
+        from open_data_lakehouse_demo_spark.sources.io import materialize
 
-    df = materialize(df)
+        df = materialize(df)
 
     bounds = df.groupBy(*pcols).agg(
         F.min(ts_column).alias("__min_ts"), F.max(ts_column).alias("__max_ts")

@@ -148,7 +148,12 @@ def error_time_to_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     errs = with_next.filter(F.col("event_type") == "error")
     wait = ntz_epoch_seconds(F.col("resolved_ts")) - ntz_epoch_seconds(F.col("ts"))
-    in_bound = F.col("resolved_ts").isNotNull() & (wait <= 3600)
+    # bound on the FULL-PRECISION timestamps: ts carries microseconds, and
+    # a truncated-seconds comparison would admit purchases up to ~1s past
+    # the hour that the oracle's interval bound excludes
+    in_bound = F.col("resolved_ts").isNotNull() & (
+        F.col("resolved_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
     return errs.select(
         "event_id",
         "user_id",

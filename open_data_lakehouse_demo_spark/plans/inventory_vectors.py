@@ -202,7 +202,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n"))
     )
-    probes = bf.select("query_id").distinct()
+    # probe list from the cheap filter, NOT bf.select(...).distinct() —
+    # that would re-run the whole brute-force top-k lineage just for ids.
+    # Equivalent: every probe has ≥1 neighbor on a >1-row corpus, so
+    # DISTINCT query_id over bf is exactly the filtered id set.
+    probes = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
     return probes.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce("n", F.lit(0)).alias("n_hits"),

@@ -538,8 +538,10 @@ def relief_join(
     """Beyond-reference streaming op: stream-stream interval join.
 
     "Time to relief": passengers left behind at a stop (remaining_at_stop>0)
-    joined with the NEXT bus that boards passengers at the same stop within
-    ``max_wait``. Both sides carry watermarks and the join predicate bounds
+    joined with EVERY other-ride pickup at the same stop within ``max_wait``
+    (one row per qualifying pickup; take min(wait_seconds) per alert
+    downstream for first-relief semantics — a streaming join cannot emit
+    "the minimum" before the window closes). Both sides carry watermarks and the join predicate bounds
     pickup_ts to (alert_ts, alert_ts + max_wait], so Spark can expire join
     state — without the time bound, stream-stream state grows forever.
 

@@ -9,11 +9,12 @@ a double scan — fails here, not in production at 1000× the data.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from gen_plans import CHECKS, check_plan  # noqa: E402
 
