@@ -144,6 +144,73 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Operators
 # ---------------------------------------------------------------------------
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — full dup-CLUSTER
+    resolution (pairwise near-dup output only chains a-b, b-c; the cluster
+    view needs transitive closure, which no single SQL query expresses).
+
+    Algorithm: large-star/small-star-style label propagation — every node
+    repeatedly adopts the minimum label among itself and its neighbors
+    until a fixpoint. Each iteration is one join + one aggregate (two
+    shuffles) over the EDGE list only; convergence takes O(log n)
+    iterations for typical near-dup clusters (tiny diameters — usually 2-3
+    rounds). Per-iteration materialize() cuts the exponential lineage
+    growth that otherwise makes iterative DataFrame algorithms re-execute
+    the whole history each round (the standard Spark iterative-algorithm
+    pattern; at 10^9 edges swap in GraphFrames or checkpoint to a table).
+
+    Returns (node, component) where component = min node id in the
+    component. Raises after ``max_iterations`` without a fixpoint — a
+    near-dup graph needing >20 rounds means pathological chaining worth
+    inspecting, not silently mislabeled output.
+    """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    sym = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = materialize(
+        sym.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        )
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = materialize(
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -198,3 +198,47 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
     clean = dedup.decontaminate(corpus, benchmark, "doc_id", "text", n=_DECON_N)
     return clean.select("doc_id", "lang", "source")
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+{_SHINGLE_SETS_SQL.lstrip()},
+{MINHASH_CANDS_SQL.lstrip()},
+verified AS ({_VERIFY_SQL}),
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, least(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+@query(
+    "dup_clusters",
+    ("DD6", "DD3"),
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "iterative"),
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup CLUSTER resolution: MinHash-verified pairs → connected
+    components via iterative label propagation (operators/dedup.py
+    connected_components). Pairwise dedup only sees a-b and b-c; cluster
+    canonicalization (keep min doc per component) needs the transitive
+    closure — the one genuinely iterative algorithm in the pipeline. The
+    oracle is DuckDB's recursive CTE over the same verified pairs, so even
+    the iterative path is hash-checked, not rows-only."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(pairs)

@@ -64,3 +64,24 @@ def test_dedup_oracle_parity(spark, duck, name):
     q = QUERIES[name]
     assert q.oracle is not None
     assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation resolves transitive chains, separate islands, and
+    cycles to min-id components."""
+    from open_data_lakehouse_demo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, island pair 10-11, triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
