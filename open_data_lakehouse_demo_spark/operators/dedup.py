@@ -228,10 +228,14 @@ def decontaminate(
     Flagging is per-shingle-hash (md5, collision-negligible), so the
     filter is a pure function of content — reproducible across retries.
     """
-    c_sh = corpus.select(
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    # spread() both sides: the md5-shingle HOFs are interpreted, and a
+    # single-file local input would run them on ONE core (sources/io.py)
+    c_sh = spread(corpus).select(
         F.col(id_col), F.explode(shingle_hash_set(F.col(text_col), n)).alias("h")
     )
-    b_sh = benchmark.select(
+    b_sh = spread(benchmark).select(
         F.explode(shingle_hash_set(F.col(text_col), n)).alias("h")
     ).distinct()
     contaminated = (
