@@ -53,7 +53,10 @@ def get_spark(
         # ANSI off: GoogleSQL's SAFE_ functions are the compat layer's job
         .config("spark.sql.ansi.enabled", "false")
         # -- local-mode ergonomics ---------------------------------------
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs all executor work inside the driver JVM — size it
+        # for the box (32 threads × shuffle/agg buffers + checkpoint blocks;
+        # 8g showed late-suite GC pressure on long query sequences)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
     )
