@@ -6,8 +6,9 @@ training-data materialization job does:
   1. exact dedup        keep min doc_id per identical text (operators/dedup)
   2. near-dup removal   MinHash-LSH verified pairs ≥ 0.8 Jaccard → greedy
                         drop the higher doc_id of every pair (deterministic,
-                        single-pass; full connected-component clustering is
-                        iterative and deliberately out of the oracle set)
+                        single-pass; FULL cluster resolution is the separate
+                        dup_clusters query below — iterative connected
+                        components, oracle-checked via a recursive CTE)
   3. quality filter     keep quality_band != 'low' (functions/text)
 
 Output = surviving docs with their quality features — exactly what a
