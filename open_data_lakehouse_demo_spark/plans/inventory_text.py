@@ -90,7 +90,7 @@ feat AS (
 )
 SELECT source,
   COUNT(*) AS n_docs,
-  SUM(ws_tokens) AS total_tokens,
+  CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
   CAST(SUM(stop_cnt) AS DOUBLE) / SUM(ws_tokens) AS stopword_ratio,
   CAST(SUM(alpha_cnt) AS DOUBLE) / SUM(n_chars_m) AS alpha_ratio,
   CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
