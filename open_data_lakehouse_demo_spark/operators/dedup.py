@@ -112,25 +112,28 @@ def minhash_signature(shingle_hashes: Column) -> Column:
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit frequency-weighted SimHash per document.
 
-    One explode + one groupBy(id) shuffle; the 32 bit-sums are parallel
-    aggregate expressions (partial aggregation map-side), not 32 passes.
+    Frequency weighting needs no per-(doc, token) count: summing ±1 per
+    token OCCURRENCE equals summing ±cnt per distinct token, so the plan
+    is explode → hash → ONE groupBy(doc) with 32 parallel bit-sums
+    (partial aggregation map-side). A previous two-level variant
+    (groupBy(doc, tok).count first) shuffled the token strings and ran
+    8× slower at sf0.1 for identical output.
+
+    The md5 token hash is computed ONCE per occurrence in a projection
+    below the aggregate — inlining it into the 32 sum expressions would
+    evaluate it 32× per row (measured 5× the query budget).
     """
     from open_data_lakehouse_demo_spark.sources.io import spread
 
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    counted = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
-    h = token_hash(F.col("tok"))
+    hashed = toks.select(id_col, token_hash(F.col("tok")).alias("h"))
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"bit{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bit{i}")
         for i in range(32)
     ]
-    sums = counted.groupBy(id_col).agg(*bit_sums)
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
     simhash = reduce(
         lambda acc, i: acc
         + F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,7 +83,12 @@ def _hyperplane(p: int) -> Column:
 
 
 def lsh_bucket(v: Column, table: int) -> Column:
-    """Sign-random-projection bucket id for one band table (b-bit integer)."""
+    """Sign-random-projection bucket id for one band table (b-bit integer).
+
+    Expression-based reference implementation (the DuckDB oracles mirror
+    this fold order textually). The hot path uses ``lsh_buckets_batch``
+    below — an Arrow-vectorized variant proven bit-identical to this one
+    (tests/test_similarity.py parity test)."""
     bits = [
         F.when(_dot_fold(v, _hyperplane(table * BITS_PER_TABLE + j)) > 0, F.lit(1 << j)).otherwise(
             F.lit(0)
@@ -89,6 +96,59 @@ def lsh_bucket(v: Column, table: int) -> Column:
         for j in range(BITS_PER_TABLE)
     ]
     return reduce(lambda a, b: a + b, bits).cast("bigint")
+
+
+def _plane_matrix() -> np.ndarray:
+    """All L·b hyperplanes as one (n_planes, DIM) float64 matrix (exact ints)."""
+    n_planes = N_TABLES * BITS_PER_TABLE
+    return np.array(
+        [[float(hyperplane_coef(p, i)) for i in range(DIM)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def lsh_buckets_batch(vec_col: str = "vec") -> Column:
+    """All N_TABLES bucket ids per vector — Arrow-batched, bit-identical
+    to the ``lsh_bucket`` fold.
+
+    Why a pandas UDF here when the module rule is "expressions only":
+    the bucket stage needs L·b (=32) dot products per vector and HOF fold
+    lambdas are interpreted per element — 32 folds × 64 elements dominated
+    the near-dup query (measured ~10× DuckDB at sf0.1). This stage is the
+    one place the arithmetic is provably portable, so vectorizing it can't
+    break oracle parity:
+
+      * products are EXACT: |coef| < 2^21 (integer) × float32 (24-bit
+        mantissa) → ≤ 45-bit mantissa, exactly representable in float64,
+        so Spark's ``x.cast(double) * lit(coef)``, DuckDB's and numpy's
+        products are all the same bit pattern;
+      * the fold sum is reproduced by ``np.add.accumulate`` (cumsum),
+        which is sequentially rounded like the Spark/DuckDB left fold —
+        identical addends + identical order ⇒ identical rounding ⇒
+        identical sign bits.
+
+    Verified by tests/test_similarity.py::test_bucket_udf_parity against
+    the expression fold on real + adversarial vectors.
+    """
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        m_t = _plane_matrix().T  # (DIM, n_planes)
+        weights = (1 << np.arange(BITS_PER_TABLE, dtype=np.int64))
+        out = []
+        # chunk to bound the (chunk, DIM, n_planes) product tensor
+        arr = emb.to_numpy()
+        for lo in range(0, len(arr), 2048):
+            chunk = arr[lo : lo + 2048]
+            v = np.stack(chunk).astype(np.float64)  # (c, DIM); f32→f64 exact
+            prods = v[:, :, None] * m_t[None, :, :]  # exact (see docstring)
+            dots = np.add.accumulate(prods, axis=1)[:, -1, :]  # sequential fold
+            bits = (dots > 0).reshape(-1, N_TABLES, BITS_PER_TABLE)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)  # (c, L)
+            out.extend(buckets)
+        return pd.Series(out)
+
+    return _buckets(F.col(vec_col))
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -234,20 +294,11 @@ def lsh_near_dup_pairs(
     # base (vec + norm) feeds bucket generation and both verify sides —
     # materialize so the norm folds run once (signature-table shape)
     base = materialize(_with_norm(df, id_col, vec_col))
+    # bucket stage = Arrow-batched matmul, proven bit-identical to the
+    # lsh_bucket fold (see lsh_buckets_batch docstring + parity test)
     buckets = base.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_bucket(F.col("vec"), t).alias("bucket"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", "tb.table_id", "tb.bucket")
+        "vid", F.posexplode(lsh_buckets_batch("vec")).alias("table_id", "bucket")
+    )
     cands = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["table_id", "bucket"])
