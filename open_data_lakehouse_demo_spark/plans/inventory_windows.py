@@ -42,8 +42,8 @@ WITH ordered AS (
          THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id,
@@ -89,13 +89,17 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Full-precision gap test: NTZ - NTZ is a day-time interval carrying
+    # microseconds, matching the oracle's `ts - lag(ts) > INTERVAL 30
+    # MINUTE` exactly (a floored-epoch-seconds diff misclassifies gaps
+    # like 1800.4s whose floor is 1800).
     flagged = events.select(
         "user_id",
         "ts",
         "event_id",
         F.when(
             prev_ts.isNull()
-            | (ntz_epoch_seconds(F.col("ts")) - ntz_epoch_seconds(prev_ts) > 1800),
+            | ((F.col("ts") - prev_ts) > F.expr("INTERVAL '30' MINUTE")),
             1,
         )
         .otherwise(0)
