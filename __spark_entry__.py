@@ -23,40 +23,43 @@ def _inventory():
 
 
 # The driver's correctness artifact records at most ~50 queries in
-# registration order.  Emit queries that still lack a driver-green row
-# first (round-1 artifact stopped at 50 entries, leaving the 11
-# last-registered unverified), and rotate rows-only checks plus a few
-# long-standing green trivial queries to the tail.
+# registration order.  With 61 queries, 11 rotate out each round; order so
+# that (a) anything just fixed gets a fresh row, (b) anything absent from
+# the PREVIOUS artifact re-appears, keeping every query green in the union
+# of the two most recent artifacts.
 _PRIORITY = [
-    # no driver row in CORRECTNESS_r01 (registered past the 50-entry cap)
-    "buyer_cohort_setops",
-    "revenue_rollup_region_nation",
-    "value_quantiles_sketch",
-    "distinct_users_hll",
-    "asof_demand_join",
-    "events_in_service_windows",
-    "error_time_to_resolution",
-    "customer_spend_momentum",
+    # hash-fail in r02 (floored-seconds gap test + uncast HUGEINT
+    # session_id in the oracle — both fixed) — needs a fresh green row
     "user_sessions",
-    "customer_value_deciles",
-    "monthly_type_pivot",
-    # hash-fail in r01 (oracle SUM type cast fixed) — needs a fresh row
-    "corpus_quality_by_source",
-]
-_TAIL = [
-    # trivially-simple queries, hash-green in r01 — safe to rotate out
-    "top_orders",
-    "collected_values",
+    # no driver row in CORRECTNESS_r02 (rotated out for the r01 backlog);
+    # all were hash-green (or rows-green) in r01 — re-surface them
     "user_time_bounds",
-    "english_docs_sample",
+    "collected_values",
+    "top_orders",
     "demand_by_month",
     "demand_by_dayofweek",
-    # rows-only by design (no oracle) — weakest checks, r01 rows exist
+    "english_docs_sample",
     "ar_forecast_daily",
     "bus_ride_simulation",
     "image_feature_extract",
     "audio_feature_extract",
     "video_frame_sample",
+]
+_TAIL = [
+    # hash-green in CORRECTNESS_r02 (the freshest artifact) — safe to
+    # rotate out for one round
+    "buyer_cohort_setops",
+    "revenue_rollup_region_nation",
+    "asof_demand_join",
+    "events_in_service_windows",
+    "error_time_to_resolution",
+    "customer_spend_momentum",
+    "customer_value_deciles",
+    "monthly_type_pivot",
+    "corpus_quality_by_source",
+    # rows-only by design (no oracle), rows recorded in r02
+    "value_quantiles_sketch",
+    "distinct_users_hll",
 ]
 
 
