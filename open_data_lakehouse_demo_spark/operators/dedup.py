@@ -438,7 +438,13 @@ def simhash_pairs(
     agree on ≥1 whole block, so an equi-join on (block_id, block_value)
     finds all of them with no cross join. Output (doc_a, doc_b, hamming).
     """
-    sh = simhash32(df, id_col, text_col).withColumnRenamed(id_col, "doc")
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # signature table feeds BOTH sides of the block self-join — without a
+    # materialize the explode+hash+32-sum aggregation lineage runs twice
+    sh = materialize(
+        simhash32(df, id_col, text_col).withColumnRenamed(id_col, "doc")
+    )
     blocks = sh.select(
         "doc",
         "simhash",
@@ -467,6 +473,13 @@ def simhash_pairs(
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
+        # Hamming filter BEFORE the dedup shuffle: block collisions among
+        # random hashes are dense (measured 2.8M join rows → 2.5M distinct
+        # pairs on 5k docs, vs a handful of true ≤3-bit pairs), so
+        # distinct-then-filter shuffles the whole candidate set while
+        # filter-then-distinct shuffles only real near-dups. Identical
+        # semantics — hamming is a pure function of the pair.
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

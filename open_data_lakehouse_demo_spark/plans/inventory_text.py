@@ -294,9 +294,14 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled joins on the word key. Lift keeps integer counts exact and
     divides once in double — engine-portable, no log()."""
     from open_data_lakehouse_demo_spark.operators.dedup import tokenize, word_shingles
+    from open_data_lakehouse_demo_spark.sources.io import materialize
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    # Tokenize ONCE: the bigram and unigram branches would otherwise each
+    # re-scan + re-tokenize the corpus (regexp split is the per-row cost
+    # here). Materializing the token arrays trades bounded executor-local
+    # storage (≈ corpus token count) for halving the tokenize CPU.
+    toks = materialize(docs.select("doc_id", tokenize(F.col("text")).alias("tk")))
     bigrams = toks.filter(F.size("tk") >= 2).select(
         F.explode(word_shingles(F.col("tk"), 2)).alias("bigram")
     )
@@ -304,12 +309,21 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ucnt = unigrams.groupBy("w").agg(F.count("*").alias("c"))
     tot = unigrams.agg(F.count("*").alias("n"))
     bcnt = bigrams.groupBy("bigram").agg(F.count("*").alias("pair_cnt"))
+    # Unigram counts are VOCABULARY-sized (zipf-bounded — millions of rows
+    # at 100 TB, broadcastable), so both lookups broadcast and the filtered
+    # bigram table never shuffles on the word keys.
     return (
         bcnt.filter(F.col("pair_cnt") >= _MIN_PAIR)
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
-        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("w1_cnt")), "w1")
-        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("w2_cnt")), "w2")
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("w1_cnt"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("w2_cnt"))),
+            "w2",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "bigram",

@@ -75,3 +75,50 @@ def test_similarity_oracle_parity(spark, duck, name):
     q = QUERIES[name]
     assert q.oracle is not None
     assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
+
+
+def _bits(x: float) -> bytes:
+    import struct
+
+    return struct.pack("<d", x)
+
+
+def test_dot_udf_parity(spark):
+    """dot_batch must be BIT-identical to the _dot_fold expression on real
+    and adversarial inputs (cancellation, huge/tiny magnitudes, zeros) —
+    the oracle-parity proof rests on this equivalence."""
+    rng = np.random.default_rng(11)
+    vs = rng.normal(size=(64, sim.DIM)).astype(np.float32)
+    vs[0] = np.tile(np.array([1e30, -1e30], dtype=np.float32), sim.DIM // 2)
+    vs[1] = np.full(sim.DIM, 1e-30, dtype=np.float32)
+    vs[2] = 0.0
+    vs[3, ::2] = 1e18  # partial huge values against normals
+    rows = [
+        (int(i), [float(x) for x in vs[i]], [float(x) for x in vs[(i * 7 + 3) % len(vs)]])
+        for i in range(len(vs))
+    ]
+    df = spark.createDataFrame(rows, "i BIGINT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+    got = df.select(
+        sim.dot_batch(F.col("a"), F.col("b")).alias("u"),
+        sim._dot_fold(F.col("a"), F.col("b")).alias("e"),
+    ).collect()
+    assert len(got) == len(vs)
+    for r in got:
+        assert _bits(r["u"]) == _bits(r["e"]), (r["u"], r["e"])
+
+
+def test_bucket_udf_parity(spark):
+    """lsh_buckets_batch must reproduce the lsh_bucket expression fold
+    bit-for-bit (sign decisions on exact-product dots)."""
+    rng = np.random.default_rng(13)
+    vs = rng.normal(size=(48, sim.DIM)).astype(np.float32)
+    vs[0] = 0.0
+    vs[1] = np.full(sim.DIM, -1e-20, dtype=np.float32)
+    rows = [(int(i), [float(x) for x in vs[i]]) for i in range(len(vs))]
+    df = spark.createDataFrame(rows, "i BIGINT, vec ARRAY<FLOAT>")
+    got = df.select(
+        sim.lsh_buckets_batch("vec").alias("bb"),
+        F.array(*[sim.lsh_bucket(F.col("vec"), t) for t in range(sim.N_TABLES)]).alias("be"),
+    ).collect()
+    for r in got:
+        assert list(r["bb"]) == list(r["be"])
