@@ -57,6 +57,7 @@ _TAIL = [
     "customer_value_deciles",
     "monthly_type_pivot",
     "corpus_quality_by_source",
+    "line_service_windows",
     # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",

@@ -270,16 +270,34 @@ def ar_forecast(
     bucket_seconds: int,
     confidence_level: float = 0.95,
     order: int = 4,
+    auto_order: bool = False,
+    xreg_cols: list[str] | None = None,
 ) -> DataFrame:
     """AR(p)+trend forecast per series via numpy lstsq in applyInPandas.
 
-    Design matrix: [1, t, y_{t-1..t-p}]; recursive multi-step forecast.
-    Deterministic — pure least squares, no random init. Interval width
-    grows with horizon via the recursive variance of the AR recursion
-    (approximated by accumulating the one-step residual variance).
+    Design matrix: [1, t, y_{t-1..t-p}, xreg...]; recursive multi-step
+    forecast. Deterministic — pure least squares, no random init. Interval
+    width grows with horizon via the recursive variance of the AR
+    recursion (approximated by accumulating the one-step residual
+    variance).
+
+    ``auto_order=True`` grid-searches p ∈ {1..order} minimizing
+    AIC = n_eff·ln(SSE/n_eff) + 2·(p + 2 + q) — the AUTO_ARIMA order-
+    selection surface of the reference's ARIMA_PLUS
+    (lakehouse_part3_time_series_forecasting.py:510-532, AUTO_ARIMA=TRUE).
+    The grid runs INSIDE the per-series pandas group: order candidates
+    multiply per-series CPU (bounded by ``order``), never cluster stages.
+
+    ``xreg_cols`` appends exogenous regressor columns to the design matrix
+    (the ARIMA_PLUS_XREG interface, same reference lines). Future xreg
+    values are carried forward from the last observation — the standard
+    naive treatment when the caller supplies no future covariates; pass
+    calendar-derivable features pre-materialized if exact future values
+    matter.
     """
     import numpy as np  # worker-side import
 
+    xregs = list(xreg_cols or [])
     z = _z_for(confidence_level)
     id_schema = ", ".join(f"{c} {f.dataType.simpleString()}" for c in id_cols
                           for f in df.schema.fields if f.name == c)
@@ -287,18 +305,25 @@ def ar_forecast(
     out_schema = (
         f"{id_schema}, forecast_timestamp {ts_type}, forecast_value double, "
         "standard_error double, confidence_level double, "
-        "prediction_interval_lower_bound double, prediction_interval_upper_bound double"
+        "prediction_interval_lower_bound double, prediction_interval_upper_bound double, "
+        "ar_order int"
     )
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         y = pdf[data_col].to_numpy(dtype="float64")
+        xm = (
+            pdf[xregs].to_numpy(dtype="float64")
+            if xregs
+            else np.zeros((len(y), 0))
+        )
         n = len(y)
-        p = min(order, max(1, n // 3))
+        q = xm.shape[1]
+        p_cap = min(order, max(1, n // 3))
         ids = {c: pdf[c].iloc[0] for c in id_cols}
         last_ts = pdf[ts_col].iloc[-1]
         step = pd.Timedelta(seconds=bucket_seconds)
-        if n < p + 3:
+        if n < p_cap + 3 + q:
             # degenerate series: repeat the mean
             mu = float(y.mean()) if n else 0.0
             rows = [
@@ -306,25 +331,46 @@ def ar_forecast(
                  "forecast_value": mu, "standard_error": 0.0,
                  "confidence_level": confidence_level,
                  "prediction_interval_lower_bound": mu,
-                 "prediction_interval_upper_bound": mu}
+                 "prediction_interval_upper_bound": mu,
+                 "ar_order": 0}
                 for h in range(horizon)
             ]
             return pd.DataFrame(rows)
-        # design: intercept, trend, p lags
-        t_idx = np.arange(p, n, dtype="float64")
-        X = np.column_stack(
-            [np.ones(n - p), t_idx] + [y[p - k - 1 : n - k - 1] for k in range(p)]
-        )
-        beta, *_ = np.linalg.lstsq(X, y[p:], rcond=None)
-        resid = y[p:] - X @ beta
+
+        def fit(p: int):
+            # design: intercept, trend, p lags, q current-time xregs
+            t_idx = np.arange(p, n, dtype="float64")
+            cols = [np.ones(n - p), t_idx]
+            cols += [y[p - k - 1 : n - k - 1] for k in range(p)]
+            cols += [xm[p:, j] for j in range(q)]
+            X = np.column_stack(cols)
+            beta, *_ = np.linalg.lstsq(X, y[p:], rcond=None)
+            resid = y[p:] - X @ beta
+            sse = float(resid @ resid)
+            n_eff = n - p
+            # AIC over the Gaussian log-likelihood up to constants
+            aic = n_eff * float(np.log(max(sse / n_eff, 1e-300))) + 2.0 * (p + 2 + q)
+            return beta, resid, aic
+
+        candidates = range(1, p_cap + 1) if auto_order else [p_cap]
+        best_p, best = None, None
+        for p in candidates:
+            out = fit(p)
+            if best is None or out[2] < best[2]:
+                best_p, best = p, out
+        p = best_p
+        beta, resid, _aic = best
         sigma = float(np.sqrt((resid**2).mean())) if len(resid) else 0.0
         hist = list(y)
+        x_future = xm[-1] if q else np.zeros(0)  # carry-forward covariates
         rows = []
         var_acc = 0.0
-        phi_sq = float(np.sum(beta[2:] ** 2))
+        phi_sq = float(np.sum(beta[2 : 2 + p] ** 2))
         for h in range(horizon):
             t_f = float(n + h)
-            x_row = np.array([1.0, t_f] + [hist[-k - 1] for k in range(p)])
+            x_row = np.concatenate(
+                ([1.0, t_f], [hist[-k - 1] for k in range(p)], x_future)
+            )
             yhat = float(x_row @ beta)
             hist.append(yhat)
             var_acc = sigma**2 + phi_sq * var_acc  # recursive variance approx
@@ -334,7 +380,8 @@ def ar_forecast(
                  "forecast_value": yhat, "standard_error": se,
                  "confidence_level": confidence_level,
                  "prediction_interval_lower_bound": yhat - z * se,
-                 "prediction_interval_upper_bound": yhat + z * se}
+                 "prediction_interval_upper_bound": yhat + z * se,
+                 "ar_order": p}
             )
         return pd.DataFrame(rows)
 

@@ -810,6 +810,36 @@ def ar_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("auto_ar_xreg_forecast_daily", ("U4", "A8"))
+def auto_ar_xreg_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO_ARIMA-style order selection + exogenous regressors (U4 — the
+    ARIMA_PLUS_XREG interface, ref part3:510-532 AUTO_ARIMA=TRUE with
+    covariates): per-series AIC grid over p ∈ {1..5} plus daily event
+    count as an xreg column in the design matrix. Iterative recursion +
+    lstsq aren't SQL-expressible → rows-only driver check; order-recovery
+    and xreg behavior are pytest-verified (tests/test_forecast.py)."""
+    from open_data_lakehouse_demo_spark.operators.forecast import ar_forecast
+
+    events = t(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.sum(dec("value")).cast("double").alias("demand"),
+        F.count("*").cast("double").alias("n_events"),
+    )
+    return ar_forecast(
+        series,
+        id_cols=["event_type"],
+        ts_col="day",
+        data_col="demand",
+        horizon=7,
+        bucket_seconds=86400,
+        order=5,
+        auto_order=True,
+        xreg_cols=["n_events"],
+    )
+
+
 @query(
     "forecast_eval_metrics",
     ("U4", "J6"),
