@@ -219,17 +219,32 @@ def seasonal_trend_forecast(
         "sse2", F.sum(F.col("r2") * F.col("r2")).over(wid).cast("double")
     ).withColumn("n2", F.count("*").over(wid))
     dof = F.col("n2") - F.lit(2 + period)
-    per_series = full.filter(F.col("x") == F.col("n") - 1).select(
-        *id_cols,
-        "last_ts",
-        F.col("n").cast("double").alias("nd"),
-        "slope",
-        "intercept",
-        F.when(dof > 0, F.sqrt(F.greatest(F.col("sse2"), F.lit(0.0)) / dof.cast("double")))
-        .otherwise(F.lit(0.0))
-        .alias("standard_error"),
+    # carry the whole seasonal profile on the last row as a phase→s map
+    # (collected in the SAME id-partition window): the horizon fan-out
+    # then needs NO second branch over the window chain and NO join —
+    # entries are (phase, s) pairs, identical per phase, so array_distinct
+    # leaves exactly one entry per observed phase.
+    smap = F.map_from_entries(
+        F.array_distinct(F.collect_list(F.struct("phase", "s")).over(wid))
     )
-    seasonal = full.select(*id_cols, "phase", "s").dropDuplicates([*id_cols, "phase"])
+    per_series = (
+        full.withColumn("smap", smap)
+        .filter(F.col("x") == F.col("n") - 1)
+        .select(
+            *id_cols,
+            "last_ts",
+            F.col("n").cast("double").alias("nd"),
+            "slope",
+            "intercept",
+            "smap",
+            F.when(
+                dof > 0,
+                F.sqrt(F.greatest(F.col("sse2"), F.lit(0.0)) / dof.cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("standard_error"),
+        )
+    )
     horizon_rows = (
         per_series.select(
             *id_cols,
@@ -238,11 +253,12 @@ def seasonal_trend_forecast(
             "slope",
             "intercept",
             "standard_error",
+            "smap",
             F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
         )
         .withColumn("xf", F.col("nd") - 1 + F.col("h"))
         .withColumn("phase", F.pmod(F.col("xf").cast("long"), F.lit(period)).cast("int"))
-        .join(F.broadcast(seasonal), [*id_cols, "phase"], "left")
+        .withColumn("s", F.element_at(F.col("smap"), F.col("phase")))
     )
     fv = F.col("intercept") + F.col("slope") * F.col("xf") + F.coalesce(
         F.col("s"), F.lit(0.0)

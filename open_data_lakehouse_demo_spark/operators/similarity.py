@@ -342,9 +342,14 @@ def lsh_near_dup_pairs(
     # materialize so the norm folds run once (signature-table shape)
     base = materialize(_with_norm(df, id_col, vec_col))
     # bucket stage = Arrow-batched matmul, proven bit-identical to the
-    # lsh_bucket fold (see lsh_buckets_batch docstring + parity test)
-    buckets = base.select(
-        "vid", F.posexplode(lsh_buckets_batch("vec")).alias("table_id", "bucket")
+    # lsh_bucket fold (see lsh_buckets_batch docstring + parity test);
+    # materialized because BOTH sides of the candidate self-join read it —
+    # without the reuse point the Python bucket pass runs twice (visible
+    # as two ArrowEvalPython subtrees in the plan)
+    buckets = materialize(
+        base.select(
+            "vid", F.posexplode(lsh_buckets_batch("vec")).alias("table_id", "bucket")
+        )
     )
     cands = (
         buckets.alias("x")

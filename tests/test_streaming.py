@@ -470,3 +470,74 @@ def test_streaming_batch_view_oracle_parity(spark, duck, name):
     q = QUERIES[name]
     assert q.oracle is not None
     assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
+
+
+def test_kafka_source_option_contract(spark):
+    """S9: the exact reader option set (ref pyspark-job.py:121-131) asserted
+    against a mocked DataStreamReader — the config can't rot even though no
+    broker exists in the sandbox (VERDICT r1 item 7)."""
+    from unittest.mock import MagicMock
+
+    from open_data_lakehouse_demo_spark.streaming.job import kafka_source
+
+    spark = MagicMock()  # real session fixture only keeps the JVM up for F.col
+    reader = spark.readStream.format.return_value
+    reader.option.return_value = reader
+    kafka_source(
+        spark,
+        "broker:9092",
+        "bus-rides",
+        starting_offsets="earliest",
+        sasl_username="user1",
+        sasl_password="pw1",
+    )
+    spark.readStream.format.assert_called_once_with("kafka")
+    opts = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "bus-rides"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "PLAIN"
+    assert "PlainLoginModule required" in opts["kafka.sasl.jaas.config"]
+    assert 'username="user1"' in opts["kafka.sasl.jaas.config"]
+    assert 'password="pw1"' in opts["kafka.sasl.jaas.config"]
+    reader.load.assert_called_once_with()
+    # raw_value projection applied on the loaded stream
+    assert reader.load.return_value.select.called
+
+
+def test_kafka_source_no_sasl_without_credentials(spark):
+    from unittest.mock import MagicMock
+
+    from open_data_lakehouse_demo_spark.streaming.job import kafka_source
+
+    spark = MagicMock()  # real session fixture only keeps the JVM up for F.col
+    reader = spark.readStream.format.return_value
+    reader.option.return_value = reader
+    kafka_source(spark, "broker:9092", "bus-rides")
+    opts = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    assert "kafka.security.protocol" not in opts
+    assert opts["startingOffsets"] == "latest"  # production default
+
+
+def test_kafka_sink_option_contract():
+    """S10: writer options + append mode + start() (ref pyspark-job.py:157-168)."""
+    from unittest.mock import MagicMock
+
+    from open_data_lakehouse_demo_spark.streaming.job import kafka_sink
+
+    df = MagicMock()
+    w = df.writeStream.format.return_value
+    w.option.return_value = w
+    w.outputMode.return_value = w
+    q = kafka_sink(df, "broker:9092", "alerts", "/tmp/ckpt-alerts")
+    df.writeStream.format.assert_called_once_with("kafka")
+    opts = {c.args[0]: c.args[1] for c in w.option.call_args_list}
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "alerts",
+        "checkpointLocation": "/tmp/ckpt-alerts",
+    }
+    w.outputMode.assert_called_once_with("append")
+    w.start.assert_called_once_with()
+    assert q is w.start.return_value

@@ -103,6 +103,41 @@ CHECKS = [
         "partially map-side (count-distinct expands to the standard "
         "two-phase plan); the corpus-size scalar joins as a broadcast.",
     ),
+    (
+        "embedding_near_dup_lsh",
+        ["ArrowEvalPython", "BroadcastHashJoin", "1x:- Exchange ("],
+        "Arrow-batched bucket + verify-cosine stages (bit-parity-proven "
+        "against the expression fold); the materialized bucket table feeds "
+        "both sides of the candidate self-join so the Python bucket pass "
+        "runs ONCE; exactly one shuffle (the candidate-pair distinct) — "
+        "all other joins broadcast.",
+    ),
+    (
+        "simhash_dups",
+        ["Generate", "BroadcastHashJoin", "1x:- Exchange (", "0x:SortMergeJoin"],
+        "Materialized signature table self-joins on pigeonhole blocks via "
+        "broadcast; the Hamming filter runs BEFORE the pair-distinct, so "
+        "the single shuffle carries only true near-dups, not the dense "
+        "block-collision set (measured 2.8M → ~10³ rows at sf0.1).",
+    ),
+    (
+        "bigram_stats",
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin Cross", "0x:SortMergeJoin"],
+        "Vocabulary-sized unigram counts broadcast into both word-key "
+        "lookups (zipf-bounded — broadcastable at any corpus scale), so "
+        "the filtered bigram table never shuffles; the corpus total joins "
+        "as a broadcast scalar.",
+    ),
+    (
+        "seasonal_forecast_daily",
+        ["Window", "1x:- Exchange (", "0x:Join", "1x:Scan ExistingRDD"],
+        "Single window-chained branch over the materialized series: OLS "
+        "sums, per-phase seasonal means, SSE and the phase→seasonal map "
+        "are all window aggregates sharing ONE series shuffle (the "
+        "(id,phase) window runs under the id hash partitioning); the "
+        "horizon fan-out reads the seasonal profile from the carried map — "
+        "no joins anywhere in the plan.",
+    ),
 ]
 
 
@@ -112,7 +147,8 @@ def check_plan(spark, name: str, fragments: list[str]) -> tuple[list[str], str]:
     "a|b" fragments accept any alternative (AQE picks strategies by size);
     "1x:frag" requires EXACTLY one occurrence in the operator tree (e.g.
     single-scan assertions — the detail section repeats node names, so the
-    count runs on the tree only).
+    count runs on the tree only); "0x:frag" requires ABSENCE from the tree
+    (e.g. no sort-merge join, no join at all).
     """
     df = QUERIES[name].spark(spark, SF_DIR)
     buf = io.StringIO()
@@ -124,6 +160,8 @@ def check_plan(spark, name: str, fragments: list[str]) -> tuple[list[str], str]:
     def ok(f: str) -> bool:
         if f.startswith("1x:"):
             return tree.count(f[3:]) == 1
+        if f.startswith("0x:"):
+            return tree.count(f[3:]) == 0
         return any(alt in plan for alt in f.split("|"))
 
     return [f for f in fragments if not ok(f)], plan
