@@ -58,6 +58,7 @@ _TAIL = [
     "monthly_type_pivot",
     "corpus_quality_by_source",
     "line_service_windows",
+    "nation_order_window",
     # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",

@@ -273,6 +273,57 @@ def assign_centroids(
     )
 
 
+def kmeans_codebook(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means: the real IVF codebook-training step
+    (replaces the sampled lowest-id codebook where recall matters).
+
+    Deterministic: init = the ``n_centroids`` lowest-id vectors, then
+    ``n_iterations`` rounds of
+      1. assign every vector to its nearest centroid by cosine
+         (broadcast codebook, one O(n·C) codegen scan — no shuffle of
+         the corpus beyond the partial aggregate);
+      2. new centroid = element-wise mean of the assigned vectors,
+         computed as DIM per-element AVG aggregates in ONE groupBy —
+         map-side partial aggregation, so the shuffle carries
+         C × DIM running sums per partition, never vectors.
+
+    Empty clusters keep their previous centroid. Per-round materialize
+    cuts the iterative-lineage blowup (same pattern as
+    connected_components). Output (vid = centroid id, vec, nrm) —
+    directly pluggable into ``assign_centroids`` / ``ivf_topk``.
+
+    Scale: each round is one broadcast-join scan + one C·DIM-wide
+    aggregate — at 10^9 vectors the cost is n_iterations corpus scans,
+    the textbook distributed k-means shape.
+    """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    base = materialize(_with_norm(df, id_col, vec_col))
+    dim = DIM
+    centroids = materialize(
+        base.filter(F.col("vid") < n_centroids).select("vid", "vec", "nrm")
+    )
+    for _ in range(n_iterations):
+        assigned = assign_centroids(base, centroids, n_assign=1)
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("vec")[i].cast("double")).alias(f"m{i}") for i in range(dim)]
+        )
+        new_vec = F.array(*[F.col(f"m{i}").cast("float") for i in range(dim)])
+        updated = means.select(
+            F.col("centroid_id").alias("vid"), new_vec.alias("vec")
+        ).select("vid", "vec", norm(F.col("vec")).alias("nrm"))
+        # empty clusters: keep the previous centroid (left-anti fill)
+        kept = centroids.join(updated.select("vid"), "vid", "left_anti")
+        centroids = materialize(updated.unionByName(kept))
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -281,22 +332,26 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     probe_filter: Column | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: coarse-quantize, search nprobe lists.
 
-    Codebook = the ``n_centroids`` lowest-id vectors (deterministic sampled
-    codebook — the standard IVF training step replaced by sampling so the
-    structure is oracle-reproducible; swap in k-means centroids at scale).
-    Corpus vectors land in exactly one inverted list; probes search their
-    ``nprobe`` nearest lists. The candidate join is an equi-join on
-    centroid_id — bucket-sized work instead of full-corpus work.
+    Default codebook = the ``n_centroids`` lowest-id vectors (deterministic
+    sampled codebook — oracle-reproducible); pass
+    ``codebook=kmeans_codebook(df, ...)`` for trained centroids where
+    recall matters. Corpus vectors land in exactly one inverted list;
+    probes search their ``nprobe`` nearest lists. The candidate join is an
+    equi-join on centroid_id — bucket-sized work instead of full-corpus
+    work.
     """
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     # base feeds codebook extraction, corpus assignment and probe
     # assignment — materialize so the norm folds run once
     base = materialize(_with_norm(df, id_col, vec_col))
-    centroids = base.filter(F.col("vid") < n_centroids)
+    centroids = (
+        codebook if codebook is not None else base.filter(F.col("vid") < n_centroids)
+    )
     corpus = assign_centroids(base, centroids, n_assign=1).select(
         "centroid_id", "vid", "vec", "nrm"
     )

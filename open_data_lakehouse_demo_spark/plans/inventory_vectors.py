@@ -156,6 +156,29 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD)
 
 
+@query(
+    "cosine_topk_ivf_kmeans",
+    ("V2",),
+    tags=("similarity",),
+)
+def cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-5 with a TRAINED codebook: 3 rounds of distributed
+    Lloyd's k-means (operators/similarity.py kmeans_codebook) replace the
+    sampled lowest-id quantizer — the production IVF training step.
+    Iterative centroid refinement isn't single-SQL-expressible → rows-only
+    driver check; centroid math is numpy-cross-checked in
+    tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        k=_K,
+        n_centroids=16,
+        nprobe=2,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+        codebook=sim.kmeans_codebook(emb, n_centroids=16, n_iterations=3),
+    )
+
+
 _RECALL_ORACLE = f"""
 WITH bf AS ({_BRUTE_FORCE_ORACLE}),
 ivf AS ({_IVF_ORACLE}),

@@ -122,3 +122,58 @@ def test_bucket_udf_parity(spark):
     ).collect()
     for r in got:
         assert list(r["bb"]) == list(r["be"])
+
+
+def test_kmeans_codebook_matches_numpy_lloyd(emb_df):
+    """3 Lloyd rounds on the 40-vector fixture must match a numpy
+    reference (same deterministic init, same cosine assignment rule)."""
+    df, vecs = emb_df  # vecs: float64 copy of the float32 fixture
+    k, iters = 4, 3
+    got = {
+        int(r["vid"]): np.array(r["vec"], dtype=np.float64)
+        for r in sim.kmeans_codebook(df, n_centroids=k, n_iterations=iters).collect()
+    }
+    # numpy reference
+    cents = {i: vecs[i].copy() for i in range(k)}
+    for _ in range(iters):
+        cn = {i: c / np.linalg.norm(c) for i, c in cents.items()}
+        assign = {}
+        for vid in range(len(vecs)):
+            v = vecs[vid] / np.linalg.norm(vecs[vid])
+            # cosine desc, centroid-id asc tiebreak — mirror assign_centroids
+            best = max(cn, key=lambda i: (float(v @ cn[i]), -i))
+            assign.setdefault(best, []).append(vid)
+        for i in range(k):
+            if assign.get(i):
+                # float32 mean like the engine's cast-to-float centroid
+                cents[i] = np.mean(
+                    [vecs[j] for j in assign[i]], axis=0
+                ).astype(np.float32).astype(np.float64)
+    assert set(got) == set(range(k))
+    for i in range(k):
+        np.testing.assert_allclose(got[i], cents[i], rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_kmeans_recall_not_worse_than_sampled(emb_df):
+    """Trained codebook must not lose recall vs the sampled codebook on
+    the fixture (the whole point of training)."""
+    df, vecs = emb_df
+    probes = df.filter(F.col("vec_id") < 10)
+    exact = _numpy_topk(vecs, range(10), k=3)
+
+    def recall(topk_df):
+        by_q = {}
+        for r in topk_df.collect():
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        hits = sum(
+            1 for q in range(10) if set(exact[q]) & set(by_q.get(q, []))
+        )
+        return hits
+
+    sampled = sim.ivf_topk(df, k=3, n_centroids=4, nprobe=1,
+                           probe_filter=F.col("vid") < 10)
+    trained = sim.ivf_topk(
+        df, k=3, n_centroids=4, nprobe=1, probe_filter=F.col("vid") < 10,
+        codebook=sim.kmeans_codebook(df, n_centroids=4, n_iterations=3),
+    )
+    assert recall(trained) >= recall(sampled) - 1  # allow one-probe jitter
