@@ -59,6 +59,7 @@ _TAIL = [
     "corpus_quality_by_source",
     "line_service_windows",
     "nation_order_window",
+    "demand_avg_recent",
     # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",

@@ -39,3 +39,105 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+_HLL_PORTABLE_ORACLE = """
+WITH hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), slotted AS (
+  SELECT event_type, h % 256 AS bkt, h // 256 AS w FROM hashed
+), rho AS (
+  SELECT event_type, bkt,
+         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+  FROM slotted
+), regs AS (
+  SELECT event_type, bkt, MAX(rho) AS r, COUNT(*) AS cnt
+  FROM rho GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         COUNT(*) AS npresent,
+         SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS sum_inv,
+         CAST(SUM(cnt) AS BIGINT) AS n_events
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+  CAST(CASE
+    WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / (sum_inv + (256 - npresent)) <= 640.0
+         AND npresent < 256
+    THEN round(256.0 * ln(256.0 / (256 - npresent)))
+    ELSE round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / (sum_inv + (256 - npresent)))
+  END AS BIGINT) AS est_users,
+  n_events
+FROM per_type
+"""
+
+
+@query(
+    "distinct_users_hll_portable",
+    ("A10",),
+    oracle=_HLL_PORTABLE_ORACLE,
+    tags=("sketch",),
+)
+def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with PORTABLE register math — the mergeable
+    distinct-count sketch as a fully oracle-HASHED operator (the built-in
+    ``approx_count_distinct`` twin above is engine-internal and can only be
+    rows-checked).
+
+    Construction (m=256 registers): 60-bit md5-derived hash → bucket =
+    low 8 bits, rho = leading-zero rank of the 52-bit tail (bin-length
+    arithmetic — no float log in the register path), register = MAX(rho)
+    per bucket — ONE extra tiny shuffle over a plain groupBy. All
+    register-sum arithmetic is exact dyadic rationals (1 / 2^r), so both
+    engines produce bit-identical sums; the final estimate is a chain of
+    correctly-rounded IEEE ops (the ln() small-range branch only fires at
+    tiny cardinalities and is verified across SFs in tests).
+
+    Scale: registers partial-aggregate map-side (256 buckets × type), so
+    the shuffle carries at most m rows per group regardless of input size —
+    the standard mergeable-sketch contract, here with cross-engine parity.
+    """
+    events = t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # integer div/mod only — the 60-bit hash must never route through
+    # double (values past 2^53 would lose low bits)
+    slotted = events.select(
+        "event_type", (h % 256).alias("bkt"), h.alias("h")
+    ).select("event_type", "bkt", F.expr("h div 256").alias("w"))
+    rho = slotted.select(
+        "event_type",
+        "bkt",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "bkt").agg(
+        F.max("rho").alias("r"), F.count("*").alias("cnt")
+    )
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(r AS INT)) AS DOUBLE)"
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("npresent"),
+        F.sum(inv).alias("sum_inv"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+    )
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0)
+        / (F.col("sum_inv") + (F.lit(256) - F.col("npresent")))
+    )
+    linear = F.round(
+        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("npresent")))
+    )
+    est = (
+        F.when((raw <= 640.0) & (F.col("npresent") < 256), linear)
+        .otherwise(F.round(raw))
+        .cast("bigint")
+    )
+    return per_type.select("event_type", est.alias("est_users"), "n_events")

@@ -77,15 +77,24 @@ def replay_to_json_files(
     os.makedirs(out_dir, exist_ok=True)
     json_rows = updates.select(
         (F.col("id") % n_batches).alias("batch"),
+        F.col("id"),
         F.to_json(F.struct("id", "timestamp", "data")).alias("line"),
     )
+    # ONE pass: sort by (batch, id) and stream partitions through the
+    # driver sequentially — the per-batch filter+collect loop it replaces
+    # re-ran the whole upstream plan n_batches times. Driver-side emit is
+    # the point (this IS the paced producer, mirroring the reference's
+    # kafka_service.py:71-104 loop) and replay volume is bounded by the
+    # replay window; the sort also makes file contents byte-deterministic.
+    batches: dict[int, list[str]] = {b: [] for b in range(n_batches)}
+    for r in json_rows.orderBy("batch", "id").toLocalIterator():
+        batches[r["batch"]].append(r["line"])
     paths = []
     for b in range(n_batches):
-        rows = [r["line"] for r in json_rows.filter(F.col("batch") == b).collect()]
         tmp = os.path.join(out_dir, f".batch_{b:04d}.jsonl.tmp")
         final = os.path.join(out_dir, f"batch_{b:04d}.jsonl")
         with open(tmp, "w") as f:
-            f.write("\n".join(rows) + "\n")
+            f.write("\n".join(batches[b]) + "\n")
         os.rename(tmp, final)
         paths.append(final)
     return paths

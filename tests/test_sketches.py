@@ -90,3 +90,24 @@ def test_stream_static_enriched_alerts(spark, tmp_path):
     # nation 3's derived dim: frequency 10 + (3%4)*5 = 25, stops 12 + 3%5 = 15
     assert r["frequency_minutes"] == 25 and r["n_stops"] == 15
     assert r["remaining_at_stop"] == 5
+
+
+def test_portable_hll_oracle_parity_and_accuracy(spark, duck):
+    """The portable-register HLL must hash-match its DuckDB oracle AND
+    stay within the m=256 error envelope of the exact distinct count."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["distinct_users_hll_portable"]
+    assert q.oracle is not None
+    sdf = q.spark(spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, q.oracle, "distinct_users_hll_portable")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in sdf.collect():
+        rel = abs(r["est_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel < 0.2, (r["event_type"], r["est_users"], exact[r["event_type"]])
