@@ -60,6 +60,7 @@ _TAIL = [
     "line_service_windows",
     "nation_order_window",
     "demand_avg_recent",
+    "customer_order_status",
     # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",

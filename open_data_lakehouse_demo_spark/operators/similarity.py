@@ -22,9 +22,14 @@ Scale design (local ≈ 500-5k vectors; target = 10^9+):
   - Hyperplane LSH (sign-random-projection) generates near-dup candidate
     pairs via L band-table equi-joins (same shape as MinHash LSH in
     operators/dedup.py); exact cosine verifies candidates.
-  - All expressions JVM-side (codegen); no Python UDFs. At 10^9 vectors the
-    fold-based dot product would move to a Pandas-UDF BLAS batch per
-    partition — kept expression-based here for oracle bit-parity.
+  - IVF codebook: deterministic sampled (oracle-reproducible) or TRAINED
+    via distributed Lloyd's k-means (``kmeans_codebook``).
+  - Dot products: the expression fold is the REFERENCE semantics the
+    oracles mirror; the hot pair-fan-out stages (bucket bits, candidate
+    verify, IVF scoring) run the Arrow-batched numpy variants, each
+    PROVEN bit-identical to the fold (exact float32×float32 products +
+    identical left-to-right summation — parity tests in
+    tests/test_similarity.py), so vectorizing cannot move the hash.
 """
 
 from __future__ import annotations
@@ -265,6 +270,29 @@ def assign_centroids(
         "centroid_id",
         cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")).alias("ccos"),
     )
+    if n_assign == 1:
+        # argmax as ONE hash aggregate instead of a window (no sort, pure
+        # map-side partial agg): max over struct(ccos, -centroid_id, …)
+        # is exactly rank-1 of ORDER BY ccos DESC, centroid_id ASC —
+        # including NaN ordering, where both paths treat NaN as greatest.
+        best = scored.groupBy("vid").agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id"),
+                    F.col("vec"),
+                    F.col("nrm"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "vid",
+            F.col("b.vec").alias("vec"),
+            F.col("b.nrm").alias("nrm"),
+            F.col("b.centroid_id").alias("centroid_id"),
+            F.lit(1).alias("crank"),
+        )
     w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))

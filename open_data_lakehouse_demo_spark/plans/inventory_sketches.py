@@ -1,10 +1,19 @@
-"""Query inventory — mergeable-sketch scale paths (rows-only checks).
+"""Query inventory — mergeable-sketch scale paths.
 
-The oracle set pins EXACT variants (exact_quantiles, COUNT(DISTINCT)); at
-100 TB the production path is the mergeable sketch: one pass, bounded
-memory, partial-aggregates map-side, no global sort. These entries run the
-sketch versions so the driver smoke-checks them; their accuracy vs the
-exact variants is pytest-asserted (tests/test_sketches.py).
+The exact twins (value_quantiles, COUNT(DISTINCT) in revenue_rollup) are
+oracle-checked elsewhere; at 100 TB the production path is the mergeable
+sketch: one pass, bounded memory, partial-aggregates map-side, no global
+sort. Two tiers here:
+
+  - ENGINE-INTERNAL sketches (approx_count_distinct HLL++, Greenwald-
+    Khanna approx_percentile) — the algorithms live inside Spark, so the
+    driver can only rows-check them; accuracy vs the exact twins is
+    pytest-asserted (tests/test_sketches.py).
+  - PORTABLE sketches (md5-register HLL, fixed-width histogram
+    quantiles) — the sketch arithmetic is spelled out in portable
+    expressions (exact dyadic register sums, shared interpolation
+    formulas), so the SAME sketch runs in DuckDB and the driver
+    value-hash verifies them end-to-end.
 """
 
 from __future__ import annotations
@@ -141,3 +150,127 @@ def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     return per_type.select("event_type", est.alias("est_users"), "n_events")
+
+
+_NBINS = 64
+
+_HIST_QUANTILES_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM events
+), binned AS (
+  SELECT event_type,
+         CAST(least(floor((value - b.vmin) / ((b.vmax - b.vmin) / {_NBINS}.0)),
+                    {_NBINS - 1}.0) AS INT) AS bin,
+         COUNT(*) AS cnt
+  FROM events, bounds b
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM binned
+), probes AS (
+  SELECT c.*, p.p, p.p * c.n AS target
+  FROM cum c, (SELECT unnest([0.25, 0.5, 0.75]) AS p) p
+), crossing AS (
+  SELECT event_type, p, bin, cnt, c, n, target,
+         c - cnt AS c_prev
+  FROM probes
+  WHERE c >= target AND (c - cnt) < target
+), est AS (
+  SELECT c.event_type, c.p,
+         b.vmin + ((b.vmax - b.vmin) / {_NBINS}.0)
+                * (c.bin + (c.target - c.c_prev) / c.cnt) AS q
+  FROM crossing c, bounds b
+)
+SELECT event_type,
+  MAX(CASE WHEN p = 0.25 THEN q END) AS q25,
+  MAX(CASE WHEN p = 0.5  THEN q END) AS q50,
+  MAX(CASE WHEN p = 0.75 THEN q END) AS q75
+FROM est GROUP BY 1
+"""
+
+
+@query(
+    "value_quantiles_histogram",
+    ("A5",),
+    oracle=_HIST_QUANTILES_ORACLE,
+    tags=("sketch",),
+)
+def value_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width HISTOGRAM quantile sketch — the mergeable bounded-memory
+    quantile scale path as a fully oracle-HASHED operator (the built-in
+    Greenwald-Khanna twin ``value_quantiles_sketch`` is engine-internal and
+    can only be rows-checked).
+
+    Construction: global [min, max] (one scalar-subquery pass), 64
+    fixed-width bins, per-(type, bin) counts — the sketch state is ≤64
+    integers per group no matter the input size, and merging sketches is
+    integer addition (the mergeable contract). Quantile read-out = running
+    cumulative count + one linear interpolation inside the crossing bin;
+    every arithmetic step is the same correctly-rounded IEEE sequence in
+    both engines, so the driver hash matches exactly.
+
+    Scale: two scans (bounds + counts; the bounds pass piggybacks on any
+    existing stats at 100 TB), one 64·|types|-row shuffle, no sort of the
+    data. Accuracy is bounded by bin width — tests assert the estimates
+    bracket the exact quantiles within one bin.
+    """
+    events = t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(_NBINS))
+    binned = (
+        events.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width),
+                F.lit(float(_NBINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wb).cast("bigint").alias("c"),
+        F.sum("cnt").over(wt).cast("bigint").alias("n"),
+    )
+    probes = cum.join(
+        F.broadcast(
+            events.sparkSession.createDataFrame(
+                [(0.25,), (0.5,), (0.75,)], "p double"
+            )
+        )
+    ).withColumn("target", F.col("p") * F.col("n"))
+    crossing = probes.filter(
+        (F.col("c") >= F.col("target")) & ((F.col("c") - F.col("cnt")) < F.col("target"))
+    ).withColumn("c_prev", F.col("c") - F.col("cnt"))
+    est = crossing.join(F.broadcast(bounds)).select(
+        "event_type",
+        "p",
+        (
+            F.col("vmin")
+            + (F.col("vmax") - F.col("vmin"))
+            / F.lit(float(_NBINS))
+            * (F.col("bin") + (F.col("target") - F.col("c_prev")) / F.col("cnt"))
+        ).alias("q"),
+    )
+    return est.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("q"))).alias("q25"),
+        F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias("q50"),
+        F.max(F.when(F.col("p") == 0.75, F.col("q"))).alias("q75"),
+    )

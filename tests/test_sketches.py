@@ -111,3 +111,26 @@ def test_portable_hll_oracle_parity_and_accuracy(spark, duck):
     for r in sdf.collect():
         rel = abs(r["est_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
         assert rel < 0.2, (r["event_type"], r["est_users"], exact[r["event_type"]])
+
+
+def test_histogram_quantiles_oracle_parity_and_accuracy(spark, duck):
+    """The histogram quantile sketch must hash-match its DuckDB oracle and
+    land within one bin width of the exact quantiles."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["value_quantiles_histogram"]
+    assert q.oracle is not None
+    sdf = q.spark(spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, q.oracle, "value_quantiles_histogram")
+    events = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    lo, hi = events.agg(F.min("value"), F.max("value")).first()
+    bin_w = (hi - lo) / 64.0
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in events.groupBy("event_type")
+        .agg(F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"))
+        .collect()
+    }
+    for r in sdf.collect():
+        for got, want in zip((r["q25"], r["q50"], r["q75"]), exact[r["event_type"]]):
+            assert abs(got - want) <= bin_w, (r["event_type"], got, want, bin_w)
