@@ -61,6 +61,7 @@ _TAIL = [
     "nation_order_window",
     "demand_avg_recent",
     "customer_order_status",
+    "first_event_per_user",
     # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",

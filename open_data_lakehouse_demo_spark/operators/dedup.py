@@ -15,7 +15,7 @@ Portability contract (DuckDB-oracle hash parity, SURVEY §5.1):
     token_hash(t)  = bigint(first 8 hex chars of md5(t))          ∈ [0, 2^32)
     minhash_j(S)   = min_{h∈S} (A_j·h + B_j) mod P,  P = 2^31-1,  A_j < 10^6
                      (A_j·h < 10^6·2^32 < 2^63 — no bigint overflow)
-    simhash bit i  = [ Σ_tokens cnt·(±1 per bit i of token_hash) > 0 ]
+    simhash bit i  = [ Σ_tokens cnt·(±1 per bit i of 60-bit md5 hash) > 0 ]
 
 Scale design (local tests ≈ 500-5k docs; target = 10^9+ docs):
   - Exact dedup: one hash-shuffle on md5(text) — the minimal possible.
@@ -109,35 +109,48 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     )
 
 
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit frequency-weighted SimHash per document.
+SIMHASH_BITS = 60  # 15 md5 hex chars — fits signed BIGINT in both engines
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 15  # 4 × 15-bit blocks; 32768 values per block
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit frequency-weighted SimHash per document.
 
     Frequency weighting needs no per-(doc, token) count: summing ±1 per
     token OCCURRENCE equals summing ±cnt per distinct token, so the plan
-    is explode → hash → ONE groupBy(doc) with 32 parallel bit-sums
+    is explode → hash → ONE groupBy(doc) with 60 parallel bit-sums
     (partial aggregation map-side). A previous two-level variant
     (groupBy(doc, tok).count first) shuffled the token strings and ran
     8× slower at sf0.1 for identical output.
 
+    Width: 60 bits (not the 32 of an earlier revision) so the pigeonhole
+    candidate blocks below can be 15 bits wide — with b-bit blocks over
+    random hashes, cross-doc block collisions scale as N²/2^b, and 8-bit
+    blocks measurably blew up quadratically at the 10× scale check
+    (SCALING.md) while 15-bit blocks keep the candidate join
+    near-output-sized at the same corpus densities.
+
     The md5 token hash is computed ONCE per occurrence in a projection
-    below the aggregate — inlining it into the 32 sum expressions would
-    evaluate it 32× per row (measured 5× the query budget).
+    below the aggregate — inlining it into the 60 sum expressions would
+    evaluate it 60× per row (measured 5× the query budget).
     """
     from open_data_lakehouse_demo_spark.sources.io import spread
 
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    hashed = toks.select(id_col, token_hash(F.col("tok")).alias("h"))
+    h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select(id_col, h60.alias("h"))
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bit{i}")
-        for i in range(32)
+        for i in range(SIMHASH_BITS)
     ]
     sums = hashed.groupBy(id_col).agg(*bit_sums)
     simhash = reduce(
         lambda acc, i: acc
         + F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
-        range(32),
+        range(SIMHASH_BITS),
         F.lit(0).cast("bigint"),
     )
     return sums.select(F.col(id_col), simhash.alias("simhash"))
@@ -433,17 +446,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation by the pigeonhole block trick: split the 32-bit
-    hash into 4 byte blocks; any pair within Hamming distance ≤ 3 must
+    Candidate generation by the pigeonhole block trick: split the 60-bit
+    hash into 4 15-bit blocks; any pair within Hamming distance ≤ 3 must
     agree on ≥1 whole block, so an equi-join on (block_id, block_value)
-    finds all of them with no cross join. Output (doc_a, doc_b, hamming).
+    finds all of them with no cross join. Block width sets the random-
+    collision rate (N²/2^b per block) — see simhash60's docstring. Output (doc_a, doc_b, hamming).
     """
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     # signature table feeds BOTH sides of the block self-join — without a
     # materialize the explode+hash+32-sum aggregation lineage runs twice
     sh = materialize(
-        simhash32(df, id_col, text_col).withColumnRenamed(id_col, "doc")
+        simhash60(df, id_col, text_col).withColumnRenamed(id_col, "doc")
     )
     blocks = sh.select(
         "doc",
@@ -453,11 +467,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("block_id"),
-                        F.shiftright(F.col("simhash"), 8 * c)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * c)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BLOCK_BITS) - 1))
                         .alias("block_val"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("blk"),

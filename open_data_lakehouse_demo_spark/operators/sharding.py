@@ -1,0 +1,106 @@
+"""Token-budget output sharding — distributed prefix sum (PIPE4).
+
+The last step of a curation pipeline: split the corpus into shard files of
+~``target_tokens`` each, in a stable document order, so downstream
+tokenizer/training jobs stream balanced inputs. Shard id is a function of
+the GLOBAL running token count — a prefix sum over the whole corpus —
+which naive Spark expresses as a single-partition window (the classic
+scale-killer: every row through one task).
+
+Here it's the textbook two-phase parallel prefix sum instead:
+
+  1. range-repartition by the order key (partition i holds strictly
+     smaller keys than partition i+1);
+  2. per-partition token totals → a PARTITION-COUNT-sized table; its
+     running sum (computed on that tiny table) is each partition's global
+     offset, broadcast back;
+  3. within-partition running sums are an ordinary distributed window
+     (partitioned BY the range partition), plus the offset.
+
+The result is bit-identical to the single-partition window — the oracle
+SQL IS the plain `SUM() OVER (ORDER BY …)` — but every stage is
+partition-parallel and the only driver-sized data is one row per
+partition. Range boundaries come from sampling and may vary run to run;
+the final prefix sums are invariant to where the cuts land, so the output
+is deterministic anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_token_shards(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    target_tokens: int,
+) -> DataFrame:
+    """Add ``shard`` = global-prefix-sum(tokens) div target, ordered by
+    ``order_col``. Output: (order_col, tokens_col, cum_tokens, shard).
+
+    A document's shard is decided by the tokens BEFORE it (so the first
+    document of every shard starts the budget), matching the oracle's
+    ``(cum - tokens) // target``.
+    """
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = docs.select(order_col, tokens_col).repartitionByRange(
+        n_parts, F.col(order_col)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # tiny: one row per partition; running sum = global offset per pid
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.sum(tokens_col).alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_offset") + F.sum(tokens_col).over(win)).cast("bigint"),
+        )
+        .withColumn(
+            "shard",
+            F.expr(
+                f"CAST((cum_tokens - {tokens_col}) DIV {int(target_tokens)} AS INT)"
+            ),
+        )
+        .select(order_col, tokens_col, "cum_tokens", "shard")
+    )
+
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    order_col: str,
+    tokens_col: str,
+    target_tokens: int,
+) -> None:
+    """Materialize shard-partitioned parquet: one directory per shard,
+    ready for per-shard streaming by a tokenizer job."""
+    assigned = docs.join(
+        assign_token_shards(docs, order_col, tokens_col, target_tokens).select(
+            order_col, "shard"
+        ),
+        order_col,
+    )
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -51,7 +51,12 @@ LCG_MOD = 2_000_001
 LCG_SHIFT = 1_000_000  # coef range [-1e6, 1e6]
 
 N_TABLES = 4  # L band tables ...
-BITS_PER_TABLE = 8  # ... of b sign bits each
+# 16 sign bits per table: random (cos≈0) pairs collide at 0.5^b per table,
+# so b=8 made the candidate join quadratic-dense at the 10× scale check
+# (N²/256 collisions — measured 14× runtime growth); b=16 drops random
+# collisions to 1.5e-5 per table while near-identical pairs (the near-dup
+# targets) still collide with probability ≈1 across 4 tables.
+BITS_PER_TABLE = 16  # ... of b sign bits each
 
 
 def _dot_fold(a: Column, b: Column) -> Column:

@@ -243,3 +243,48 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
     return dedup.connected_components(pairs)
+
+
+_SHARDS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // 20000 AS INT) AS shard
+FROM cum
+"""
+
+
+@query(
+    "token_shard_assignment",
+    ("PIPE4",),
+    oracle=_SHARDS_ORACLE,
+    tags=("pipeline",),
+)
+def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget output sharding (operators/sharding.py): global
+    prefix-sum of per-doc token counts in doc_id order → ~20k-token
+    shards — the tokenizer-shard materialization step of a training-data
+    pipeline.
+
+    The Spark plan is the two-phase PARALLEL prefix sum (range partition →
+    per-partition totals → broadcast offsets → within-partition windows);
+    the oracle is the equivalent single-window SQL — identical values,
+    wildly different scalability (the naive form is a one-partition sort).
+    """
+    from open_data_lakehouse_demo_spark.functions.text import ws_token_count
+    from open_data_lakehouse_demo_spark.operators.sharding import assign_token_shards
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_token_shards(docs, "doc_id", "n_tokens", target_tokens=20000)

@@ -101,10 +101,11 @@ SELECT * FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
 
 _BIT_SUMS = ",\n    ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS bit{i}"
-    for i in range(32)
+    for i in range(dedup.SIMHASH_BITS)
 )
 _SIMHASH_VAL = " + ".join(
-    f"(CASE WHEN bit{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(32)
+    f"(CASE WHEN bit{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(dedup.SIMHASH_BITS)
 )
 
 _SIMHASH_ORACLE = f"""
@@ -116,7 +117,7 @@ WITH toks AS (
   SELECT doc, tok, COUNT(*) AS cnt
   FROM (SELECT doc, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
 ), th AS (
-  SELECT doc, cnt, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+  SELECT doc, cnt, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM tok_cnt
 ), bits AS (
   SELECT doc,
@@ -125,7 +126,8 @@ WITH toks AS (
 ), sh2 AS (
   SELECT doc, {_SIMHASH_VAL} AS simhash FROM bits
 ), blocks AS (
-  SELECT doc, simhash, block_id, (simhash >> (8 * block_id)) & 255 AS block_val
+  SELECT doc, simhash, block_id,
+         (simhash >> (15 * block_id)) & 32767 AS block_val
   FROM sh2, (SELECT unnest(range(0, 4)) AS block_id)
 )
 SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,

@@ -150,8 +150,9 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: sign-random-projection LSH candidates
-    (4 tables × 8 bits), exact-cosine verification ≥ 0.3
-    (operators/similarity.py)."""
+    (4 tables × 16 bits — width chosen so random collisions stay
+    output-sized at scale, see operators/similarity.py), exact-cosine
+    verification ≥ 0.3."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.lsh_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD)
 

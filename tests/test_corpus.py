@@ -25,3 +25,27 @@ def test_curated_corpus_drops_near_dups(spark):
     # survivors respect the quality gate
     bad = out.filter((F.col("alpha_ratio") < 0.4) | (F.col("ws_tokens") < 5)).count()
     assert bad == 0
+
+
+def test_token_shard_assignment_matches_oracle_and_budget(spark, duck):
+    """Two-phase parallel prefix sum must equal the single-window oracle;
+    every shard except the last must reach the token budget."""
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["token_shard_assignment"]
+    sdf = q.spark(spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, q.oracle, "token_shard_assignment")
+    rows = sorted(sdf.collect(), key=lambda r: r["doc_id"])
+    # prefix sums strictly increase and shards are monotone non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] == a["cum_tokens"] + b["n_tokens"]
+        assert b["shard"] >= a["shard"]
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += r["n_tokens"]
+    last = max(by_shard)
+    for s, tot in by_shard.items():
+        if s != last:
+            # a shard closes only once its running budget is exceeded
+            assert tot + rows[0]["n_tokens"] >= 20000 or tot >= 20000

@@ -115,10 +115,11 @@ CHECKS = [
     (
         "simhash_dups",
         ["Generate", "BroadcastHashJoin", "1x:- Exchange (", "0x:SortMergeJoin"],
-        "Materialized signature table self-joins on pigeonhole blocks via "
-        "broadcast; the Hamming filter runs BEFORE the pair-distinct, so "
-        "the single shuffle carries only true near-dups, not the dense "
-        "block-collision set (measured 2.8M → ~10³ rows at sf0.1).",
+        "Materialized signature table self-joins on pigeonhole blocks "
+        "(4 × 15-bit — block width sets random collisions at N²/2^b, and "
+        "the earlier 8-bit blocks went quadratic at the 10× scale check) "
+        "via broadcast; the Hamming filter runs BEFORE the pair-distinct, "
+        "so the single shuffle carries only true near-dups.",
     ),
     (
         "bigram_stats",
