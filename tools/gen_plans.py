@@ -130,6 +130,29 @@ CHECKS = [
         "as a broadcast scalar.",
     ),
     (
+        "token_shard_assignment",
+        ["rangepartitioning", "Window", "BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        "Distributed prefix sum: range-repartition by doc_id, per-partition "
+        "token totals (a partition-count-sized table) give broadcast "
+        "offsets, within-partition running sums are an ordinary distributed "
+        "window — bit-identical to the oracle's single-window cumsum with "
+        "none of its one-partition sort.",
+    ),
+    (
+        "distinct_users_hll_portable",
+        ["HashAggregate", "0x:Join", "0x:Window"],
+        "Portable-register HLL is two chained hash aggregates (register "
+        "max per bucket, then register sum per type) — map-side partials, "
+        "no joins, no windows, sketch-sized shuffles.",
+    ),
+    (
+        "value_quantiles_histogram",
+        ["Window", "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"],
+        "Histogram sketch: bin counts hash-aggregate map-side; the bounds "
+        "scalar and the quantile-probe table broadcast; the cumulative "
+        "count window runs over ≤64 rows per type.",
+    ),
+    (
         "seasonal_forecast_daily",
         ["Window", "1x:- Exchange (", "0x:Join", "1x:Scan ExistingRDD"],
         "Single window-chained branch over the materialized series: OLS "
