@@ -351,9 +351,17 @@ def kmeans_codebook(
         updated = means.select(
             F.col("centroid_id").alias("vid"), new_vec.alias("vec")
         ).select("vid", "vec", norm(F.col("vec")).alias("nrm"))
-        # empty clusters: keep the previous centroid (left-anti fill)
-        kept = centroids.join(updated.select("vid"), "vid", "left_anti")
-        centroids = materialize(updated.unionByName(kept))
+        # empty clusters keep their previous centroid: ONE broadcast outer
+        # join + coalesce (an anti-join + union costs an extra stage/round)
+        centroids = materialize(
+            centroids.alias("old")
+            .join(F.broadcast(updated).alias("new"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(F.col("new.vec"), F.col("old.vec")).alias("vec"),
+                F.coalesce(F.col("new.nrm"), F.col("old.nrm")).alias("nrm"),
+            )
+        )
     return centroids
 
 
