@@ -36,6 +36,7 @@ def assign_token_shards(
     order_col: str,
     tokens_col: str,
     target_tokens: int,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``shard`` = global-prefix-sum(tokens) div target, ordered by
     ``order_col``. Output: (order_col, tokens_col, cum_tokens, shard).
@@ -45,7 +46,7 @@ def assign_token_shards(
     ``(cum - tokens) // target``.
     """
     spark = docs.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
     ranged = docs.select(order_col, tokens_col).repartitionByRange(
         n_parts, F.col(order_col)
     )

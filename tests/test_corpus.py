@@ -49,3 +49,23 @@ def test_token_shard_assignment_matches_oracle_and_budget(spark, duck):
         if s != last:
             # a shard closes only once its running budget is exceeded
             assert tot + rows[0]["n_tokens"] >= 20000 or tot >= 20000
+
+
+def test_token_shard_assignment_invariant_to_partitioning(spark):
+    """The two-phase prefix sum must give identical results no matter how
+    many range partitions the cuts land in (1, 3, 17) — the property that
+    makes the parallel form safe to substitute for the single window."""
+    from open_data_lakehouse_demo_spark.operators.sharding import assign_token_shards
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    results = []
+    for n in (1, 3, 17):
+        got = sorted(
+            tuple(r)
+            for r in assign_token_shards(
+                df, "doc_id", "n_tokens", target_tokens=700, n_partitions=n
+            ).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]
