@@ -541,3 +541,57 @@ def test_kafka_sink_option_contract():
     w.outputMode.assert_called_once_with("append")
     w.start.assert_called_once_with()
     assert q is w.start.return_value
+
+
+def test_session_window_stream_matches_batch_sessionization(spark, tmp_path):
+    """Cross-validate W3 (batch gap-sessionization) against T9's streaming
+    session_window on the same events: session bounds and counts must be
+    identical. (Boundary note: Spark's session_window treats an EXACTLY
+    30-min gap as a new session while the batch query keeps it — the
+    fixture has no exact-1800s gap, checked by construction.)"""
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    events = read_parquet(spark, f"{sf}/events.parquet")
+    src = str(tmp_path / "events_json")
+    events.selectExpr(
+        "event_id", "CAST(ts AS STRING) AS ts", "user_id"
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts STRING, user_id BIGINT")
+        .json(src)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("select * from sessions_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = QUERIES["user_sessions"].spark(spark, sf)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
