@@ -23,10 +23,11 @@ def _inventory():
 
 
 # The driver's correctness artifact records at most ~50 queries in
-# registration order.  With 61 queries, 11 rotate out each round; order so
-# that (a) anything just fixed gets a fresh row, (b) anything absent from
-# the PREVIOUS artifact re-appears, keeping every query green in the union
-# of the two most recent artifacts.
+# registration order.  With more queries than slots, len(inventory) - 50
+# rotate out each round (keep _TAIL at exactly that size, disjoint from
+# _PRIORITY); order so that (a) anything just fixed or newly added gets a
+# fresh row, (b) anything absent from the PREVIOUS artifact re-appears,
+# keeping every query green in the union of the two most recent artifacts.
 _PRIORITY = [
     # hash-fail in r02 (floored-seconds gap test + uncast HUGEINT
     # session_id in the oracle — both fixed) — needs a fresh green row

@@ -455,7 +455,7 @@ def simhash_pairs(
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     # signature table feeds BOTH sides of the block self-join — without a
-    # materialize the explode+hash+32-sum aggregation lineage runs twice
+    # materialize the explode+hash+60-sum aggregation lineage runs twice
     sh = materialize(
         simhash60(df, id_col, text_col).withColumnRenamed(id_col, "doc")
     )

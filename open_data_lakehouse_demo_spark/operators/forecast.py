@@ -339,7 +339,14 @@ def ar_forecast(
         ids = {c: pdf[c].iloc[0] for c in id_cols}
         last_ts = pdf[ts_col].iloc[-1]
         step = pd.Timedelta(seconds=bucket_seconds)
-        if n < p_cap + 3 + q:
+        # a candidate AR(p) fit has n-p rows and p+2+q parameters; demand
+        # at least one residual degree of freedom or the min-norm lstsq
+        # interpolates (SSE≈0 → AIC=-inf → the saturated order always
+        # wins and intervals collapse to zero width)
+        viable = [
+            p for p in range(1, p_cap + 1) if (n - p) >= (p + 2 + q) + 1
+        ]
+        if not viable:
             # degenerate series: repeat the mean
             mu = float(y.mean()) if n else 0.0
             rows = [
@@ -368,7 +375,9 @@ def ar_forecast(
             aic = n_eff * float(np.log(max(sse / n_eff, 1e-300))) + 2.0 * (p + 2 + q)
             return beta, resid, aic
 
-        candidates = range(1, p_cap + 1) if auto_order else [p_cap]
+        # fixed order also clamps to a determined fit (viable is non-empty
+        # here, and max(viable) is the largest order with residual dof)
+        candidates = viable if auto_order else [min(p_cap, max(viable))]
         best_p, best = None, None
         for p in candidates:
             out = fit(p)

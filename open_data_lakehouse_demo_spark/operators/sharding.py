@@ -45,12 +45,19 @@ def assign_token_shards(
     document of every shard starts the budget), matching the oracle's
     ``(cum - tokens) // target``.
     """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
     spark = docs.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     ranged = docs.select(order_col, tokens_col).repartitionByRange(
         n_parts, F.col(order_col)
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # MUST materialize: both the offsets aggregate and the final join read
+    # this frame, and correctness requires both branches to see the SAME
+    # sampled range boundaries / partition ids. Relying on ReuseExchange to
+    # dedupe the shuffle is fragile (it breaks on any plan divergence);
+    # the checkpoint pins one physical partitioning for both consumers.
+    with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
     # tiny: one row per partition; running sum = global offset per pid
     offsets = (
         with_pid.groupBy("_pid")

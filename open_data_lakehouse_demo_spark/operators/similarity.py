@@ -169,8 +169,8 @@ def lsh_buckets_batch(vec_col: str = "vec") -> Column:
     to the ``lsh_bucket`` fold.
 
     Why a pandas UDF here when the module rule is "expressions only":
-    the bucket stage needs L·b (=32) dot products per vector and HOF fold
-    lambdas are interpreted per element — 32 folds × 64 elements dominated
+    the bucket stage needs L·b (=64) dot products per vector and HOF fold
+    lambdas are interpreted per element — L·b folds × 64 elements dominated
     the near-dup query (measured ~10× DuckDB at sf0.1). This stage is the
     one place the arithmetic is provably portable, so vectorizing it can't
     break oracle parity:
@@ -338,9 +338,22 @@ def kmeans_codebook(
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     base = materialize(_with_norm(df, id_col, vec_col))
+    return _kmeans_from_base(base, n_centroids, n_iterations)
+
+
+def _kmeans_from_base(
+    base: DataFrame, n_centroids: int, n_iterations: int
+) -> DataFrame:
+    """Lloyd iterations over an already-materialized (vid, vec, nrm) base —
+    shared by kmeans_codebook and ivf_topk(train_iterations=...) so a
+    train-then-search query builds the norm table ONCE."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
     dim = DIM
     centroids = materialize(
-        base.filter(F.col("vid") < n_centroids).select("vid", "vec", "nrm")
+        # the n_centroids LOWEST ids (not `vid < n`, which silently yields
+        # an empty codebook when the id space doesn't start at 0)
+        base.orderBy("vid").limit(n_centroids).select("vid", "vec", "nrm")
     )
     for _ in range(n_iterations):
         assigned = assign_centroids(base, centroids, n_assign=1)
@@ -374,6 +387,7 @@ def ivf_topk(
     nprobe: int = 2,
     probe_filter: Column | None = None,
     codebook: DataFrame | None = None,
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: coarse-quantize, search nprobe lists.
 
@@ -390,9 +404,15 @@ def ivf_topk(
     # base feeds codebook extraction, corpus assignment and probe
     # assignment — materialize so the norm folds run once
     base = materialize(_with_norm(df, id_col, vec_col))
-    centroids = (
-        codebook if codebook is not None else base.filter(F.col("vid") < n_centroids)
-    )
+    if codebook is not None:
+        centroids = codebook
+    elif train_iterations > 0:
+        # train on THIS base — a separate kmeans_codebook(df) call would
+        # scan + norm + checkpoint the identical corpus a second time
+        centroids = _kmeans_from_base(base, n_centroids, train_iterations)
+    else:
+        # lowest-id sample, robust to id spaces that don't start at 0
+        centroids = base.orderBy("vid").limit(n_centroids)
     corpus = assign_centroids(base, centroids, n_assign=1).select(
         "centroid_id", "vid", "vec", "nrm"
     )

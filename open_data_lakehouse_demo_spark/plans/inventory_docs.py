@@ -117,7 +117,7 @@ WITH toks AS (
   SELECT doc, tok, COUNT(*) AS cnt
   FROM (SELECT doc, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
 ), th AS (
-  SELECT doc, cnt, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  SELECT doc, cnt, CAST(('0x' || substring(md5(tok), 1, {dedup.SIMHASH_BITS // 4})) AS BIGINT) AS h
   FROM tok_cnt
 ), bits AS (
   SELECT doc,
@@ -127,8 +127,8 @@ WITH toks AS (
   SELECT doc, {_SIMHASH_VAL} AS simhash FROM bits
 ), blocks AS (
   SELECT doc, simhash, block_id,
-         (simhash >> (15 * block_id)) & 32767 AS block_val
-  FROM sh2, (SELECT unnest(range(0, 4)) AS block_id)
+         (simhash >> ({dedup.SIMHASH_BLOCK_BITS} * block_id)) & {(1 << dedup.SIMHASH_BLOCK_BITS) - 1} AS block_val
+  FROM sh2, (SELECT unnest(range(0, {dedup.SIMHASH_BLOCKS})) AS block_id)
 )
 SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
   bit_count(xor(x.simhash, y.simhash)) AS hamming

@@ -49,7 +49,7 @@ SELECT query_id, neighbor_id, cosine FROM (
 
 _IVF_ORACLE = f"""
 WITH {_BASE_SQL},
-cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base WHERE vid < 16),
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
 scored AS (
   SELECT b.vid, b.vec, b.nrm, c.centroid_id,
          {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
@@ -176,7 +176,9 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=2,
         probe_filter=F.col("vid") % _PROBE_MOD == 0,
-        codebook=sim.kmeans_codebook(emb, n_centroids=16, n_iterations=3),
+        # train INSIDE ivf_topk so the (vid, vec, nrm) corpus table is
+        # built once and shared between training and search
+        train_iterations=3,
     )
 
 

@@ -75,8 +75,10 @@ def replay_to_json_files(
     callers drop them into the source dir one at a time to simulate pacing.
     """
     os.makedirs(out_dir, exist_ok=True)
-    json_rows = updates.select(
-        (F.col("id") % n_batches).alias("batch"),
+    # pmod keeps negative ids in [0, n); null ids can't be batched — drop
+    # them like the old per-batch equality filter silently did
+    json_rows = updates.filter(F.col("id").isNotNull()).select(
+        F.pmod(F.col("id"), F.lit(n_batches)).alias("batch"),
         F.col("id"),
         F.to_json(F.struct("id", "timestamp", "data")).alias("line"),
     )

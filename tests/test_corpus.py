@@ -40,15 +40,16 @@ def test_token_shard_assignment_matches_oracle_and_budget(spark, duck):
     for a, b in zip(rows, rows[1:]):
         assert b["cum_tokens"] == a["cum_tokens"] + b["n_tokens"]
         assert b["shard"] >= a["shard"]
-    by_shard = {}
-    for r in rows:
-        by_shard.setdefault(r["shard"], 0)
-        by_shard[r["shard"]] += r["n_tokens"]
-    last = max(by_shard)
-    for s, tot in by_shard.items():
+    last_cum: dict[int, int] = {}
+    for r in rows:  # rows are in doc_id order
+        last_cum[r["shard"]] = r["cum_tokens"]
+    last = max(last_cum)
+    for s, cum in last_cum.items():
         if s != last:
-            # a shard closes only once its running budget is exceeded
-            assert tot + rows[0]["n_tokens"] >= 20000 or tot >= 20000
+            # a shard only closes once the running total reaches the next
+            # budget boundary (follows from shard = prefix_before DIV T:
+            # the next occupied shard s' ≥ s+1 opens at prefix ≥ (s+1)·T)
+            assert cum >= (s + 1) * 20000, (s, cum)
 
 
 def test_token_shard_assignment_invariant_to_partitioning(spark):

@@ -187,3 +187,40 @@ def test_xreg_improves_fit_on_covariate_driven_series(spark):
     se_with = max(r.standard_error for r in with_x)
     se_without = max(r.standard_error for r in without)
     assert se_with < se_without
+
+
+def test_auto_ar_never_selects_underdetermined_order(spark):
+    """Short series + xreg: saturated candidates (SSE≈0 via min-norm
+    interpolation) must be excluded from the AIC grid, so intervals never
+    collapse to zero width on noisy data (code-review r3 finding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    n = 9
+    start = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            "s1",
+            start + datetime.timedelta(days=i),
+            float(10 + rng.standard_normal() * 3.0),
+            float(rng.standard_normal()),
+            float(rng.standard_normal()),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, day timestamp_ntz, y double, x1 double, x2 double"
+    )
+    fc = ar_forecast(
+        df, ["key"], "day", "y", horizon=3, bucket_seconds=86400,
+        order=3, auto_order=True, xreg_cols=["x1", "x2"],
+    ).collect()
+    assert len(fc) == 3
+    picked = {r.ar_order for r in fc}
+    assert len(picked) == 1
+    p = picked.pop()
+    # p=0 (mean fallback) or a p with residual dof: (n-p) >= (p+2+q)+1
+    assert p == 0 or (n - p) >= (p + 2 + 2) + 1
+    if p > 0:
+        # noisy series + honest dof ⇒ non-degenerate residual variance
+        assert max(r.standard_error for r in fc) > 1e-6
