@@ -309,9 +309,13 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ucnt = unigrams.groupBy("w").agg(F.count("*").alias("c"))
     tot = unigrams.agg(F.count("*").alias("n"))
     bcnt = bigrams.groupBy("bigram").agg(F.count("*").alias("pair_cnt"))
-    # Unigram counts are VOCABULARY-sized (zipf-bounded — millions of rows
-    # at 100 TB, broadcastable), so both lookups broadcast and the filtered
-    # bigram table never shuffles on the word keys.
+    # Unigram counts are VOCABULARY-sized (zipf-bounded — typically a few
+    # million (word, count) rows even at 100 TB), so both lookups broadcast
+    # and the filtered bigram table never shuffles on the word keys.
+    # HONEST LIMIT: F.broadcast is a hard override — for a pathological
+    # vocabulary (>~10^8 distinct tokens, e.g. no normalization over noisy
+    # web text) it would hit the 8 GB broadcast ceiling; drop the hint
+    # there and let AQE pick the shuffled join.
     return (
         bcnt.filter(F.col("pair_cnt") >= _MIN_PAIR)
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))

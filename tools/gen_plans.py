@@ -131,12 +131,14 @@ CHECKS = [
     ),
     (
         "token_shard_assignment",
-        ["rangepartitioning", "Window", "BroadcastHashJoin|BroadcastNestedLoopJoin"],
-        "Distributed prefix sum: range-repartition by doc_id, per-partition "
-        "token totals (a partition-count-sized table) give broadcast "
-        "offsets, within-partition running sums are an ordinary distributed "
-        "window — bit-identical to the oracle's single-window cumsum with "
-        "none of its one-partition sort.",
+        ["Window", "BroadcastHashJoin", "HashAggregate"],
+        "Distributed prefix sum: the range-repartitioned frame is "
+        "checkpoint-materialized (so BOTH consumers — the per-partition "
+        "offsets aggregate and the final join — see the SAME sampled "
+        "boundaries; it scans as ExistingRDD here, hiding the range "
+        "exchange), offsets broadcast, and the running sums are ordinary "
+        "per-partition windows — bit-identical to the oracle's "
+        "single-window cumsum with none of its one-partition sort.",
     ),
     (
         "distinct_users_hll_portable",
