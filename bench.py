@@ -4,6 +4,13 @@
 Prints exactly ONE JSON line on stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
 
+The driver's stdout capture truncates long lines (~2 KB): round 3 lost the
+headline number because the 66-query-wide line was cut mid-JSON
+(BENCH_r03.json parsed=null).  The full per-query detail is therefore always
+written to BENCH_QUERIES.json at the repo root, and the stdout line embeds
+the per-query dict only when the serialized line stays under _STDOUT_BUDGET
+bytes — otherwise it carries a {"queries_file": ...} pointer instead.
+
 Policy:
   - execution is measured with a `noop` sink (full plan runs, rows are
     materialized and discarded executor-side — no driver collect skew);
@@ -21,6 +28,9 @@ import re
 import statistics
 import sys
 import time
+
+# Driver tail capture is ~2 KB; stay well under it (measured r03 cut point).
+_STDOUT_BUDGET = 1800
 
 
 def main() -> None:
@@ -61,17 +71,28 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
+    base = {
+        "metric": "inventory_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+
+    # Full detail always lands on disk next to this script.
+    queries_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    with open(queries_path, "w") as f:
+        json.dump({**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus}, f, indent=1)
+
+    # stdout: embed per-query times only if the line fits the driver's
+    # capture window; 2dp is plenty of precision for a headline artifact.
+    compact = {name: round(t, 2) for name, t in per_query.items()}
+    line = json.dumps({**base, "queries": compact}, separators=(",", ":"))
+    if len(line) > _STDOUT_BUDGET:
+        line = json.dumps(
+            {**base, "n_queries": len(per_query), "queries_file": "BENCH_QUERIES.json"},
+            separators=(",", ":"),
         )
-    )
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

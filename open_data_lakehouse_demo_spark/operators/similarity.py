@@ -102,7 +102,11 @@ def dot_batch(a: Column, b: Column) -> Column:
             A = np.stack(va[lo:hi]).astype(np.float64)  # f32→f64 exact
             B = np.stack(vb[lo:hi]).astype(np.float64)
             prods = A * B  # exact (see docstring)
-            out[lo:hi] = np.add.accumulate(prods, axis=1)[:, -1]
+            # `+ 0.0` reproduces the fold's 0.0 seed: an all-(-0.0)-products
+            # row folds to +0.0 in Spark/DuckDB (0.0 + -0.0 = +0.0) while a
+            # bare accumulate would return -0.0 — a bit/hash mismatch on
+            # zero-vs-all-negative vectors (ADVICE r3).
+            out[lo:hi] = np.add.accumulate(prods, axis=1)[:, -1] + 0.0
         return pd.Series(out)
 
     return _dots(a, b)
@@ -219,6 +223,25 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _ensure_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """No-op when the caller already prepared a (vid, vec, nrm) norm table
+    — lets a multi-arm query (e.g. ann_recall_eval) build and materialize
+    the norm scan ONCE and feed it to several operators."""
+    if {"vid", "vec", "nrm"}.issubset(df.columns):
+        return df
+    return _with_norm(df, id_col, vec_col)
+
+
+def _ensure_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Materialized variant of ``_ensure_norm`` — a caller-prepared base is
+    assumed already checkpointed (re-checkpointing would copy the blocks)."""
+    if {"vid", "vec", "nrm"}.issubset(df.columns):
+        return df
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    return materialize(_with_norm(df, id_col, vec_col))
+
+
 def brute_force_topk(
     df: DataFrame,
     probes: DataFrame,
@@ -233,8 +256,8 @@ def brute_force_topk(
     shuffle. Output (query_id, neighbor_id, cosine), k rows per probe,
     neighbor_id tiebreak makes the ranking total.
     """
-    corpus = _with_norm(df, id_col, vec_col)
-    p = _with_norm(probes, id_col, vec_col).select(
+    corpus = _ensure_norm(df, id_col, vec_col)
+    p = _ensure_norm(probes, id_col, vec_col).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
@@ -317,65 +340,221 @@ def kmeans_codebook(
     (replaces the sampled lowest-id codebook where recall matters).
 
     Deterministic: init = the ``n_centroids`` lowest-id vectors, then
-    ``n_iterations`` rounds of
-      1. assign every vector to its nearest centroid by cosine
-         (broadcast codebook, one O(n·C) codegen scan — no shuffle of
-         the corpus beyond the partial aggregate);
-      2. new centroid = element-wise mean of the assigned vectors,
-         computed as DIM per-element AVG aggregates in ONE groupBy —
-         map-side partial aggregation, so the shuffle carries
-         C × DIM running sums per partition, never vectors.
-
-    Empty clusters keep their previous centroid. Per-round materialize
-    cuts the iterative-lineage blowup (same pattern as
-    connected_components). Output (vid = centroid id, vec, nrm) —
+    ``n_iterations`` rounds of assign-to-nearest + element-wise mean,
+    fused into ONE shuffle-free Arrow pass per round with the codebook
+    carried driver-side between rounds (see ``_kmeans_train`` for the
+    job shape, determinism and scale-limit notes).  Empty clusters keep
+    their previous centroid.  Output (vid = centroid id, vec, nrm) —
     directly pluggable into ``assign_centroids`` / ``ivf_topk``.
 
-    Scale: each round is one broadcast-join scan + one C·DIM-wide
-    aggregate — at 10^9 vectors the cost is n_iterations corpus scans,
-    the textbook distributed k-means shape.
+    Scale: each round is one map-only corpus scan emitting C partial
+    rows per partition — at 10^9 vectors the cost is n_iterations
+    corpus scans, the textbook distributed k-means shape.
     """
-    from open_data_lakehouse_demo_spark.sources.io import materialize
-
-    base = materialize(_with_norm(df, id_col, vec_col))
+    base = _ensure_base(df, id_col, vec_col)
     return _kmeans_from_base(base, n_centroids, n_iterations)
+
+
+def _np_norm(vec32: np.ndarray) -> float:
+    """Driver-side twin of the ``norm`` fold: exact f32→f64 self-products
+    summed left-to-right (np.add.accumulate ≡ the fold's rounding at every
+    step), then IEEE sqrt — bit-identical to the JVM/DuckDB expression."""
+    prods = vec32.astype(np.float64) ** 2
+    return float(np.sqrt(np.add.accumulate(prods)[-1] + 0.0))
+
+
+def _codebook_df(spark, vids: list[int], mat32: np.ndarray) -> DataFrame:
+    """(vid, vec, nrm) local-relation DataFrame from a driver-side codebook
+    matrix — broadcastable for free (no job computes it)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.FloatType())),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (int(v), [float(x) for x in mat32[i]], _np_norm(mat32[i]))
+        for i, v in enumerate(vids)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _assign_chunk(chunk64: np.ndarray, cmat64: np.ndarray, cnrm: np.ndarray) -> np.ndarray:
+    """(c, C) cosine matrix for a chunk of vectors vs the codebook — the
+    bit-exact fold math shared by every literal-codebook stage:
+    exact f32→f64 products, ``np.add.accumulate`` sequential fold with the
+    ``+ 0.0`` zero-seed normalization, fold-norm division, and NaN→+inf so
+    numpy orderings reproduce Spark/DuckDB's NaN-greatest semantics."""
+    prods = chunk64[:, None, :] * cmat64[None, :, :]  # exact products
+    dots = np.add.accumulate(prods, axis=2)[:, :, -1] + 0.0
+    vnrm = np.sqrt(np.add.accumulate(chunk64 * chunk64, axis=1)[:, -1] + 0.0)
+    cos = dots / (vnrm[:, None] * cnrm[None, :])
+    return np.where(np.isnan(cos), np.inf, cos)
+
+
+def assign_ids_batch(
+    vec_col: str, vids: list[int], mat32: np.ndarray, n_assign: int = 1
+) -> Column:
+    """``n_assign`` nearest-centroid ids per vector (ordered, as
+    ``array<bigint>``) against a DRIVER-SIDE codebook — Arrow-batched twin
+    of ``assign_centroids``.
+
+    One Arrow pass over n vectors (each scored against all C centroids via
+    one numpy tensor product) replaces the broadcast-join fan-out of n×C
+    pair rows through ``dot_batch`` — 1/C-th the Arrow traffic and no
+    n×C-row hash aggregate. Bit-identical to the join path:
+
+      * dots/norms: the proven exact-product + sequential-fold math
+        (``_assign_chunk``);
+      * ranking: Spark's ``max(struct(ccos, -centroid_id, …))`` / window
+        ``ORDER BY ccos DESC, centroid_id`` orders NaN greatest, then
+        lowest centroid id — mirrored by substituting +inf for NaN (no
+        finite cosine can reach inf: |dot| ≤ DIM·max² which is finite
+        whenever the norms are nonzero) and a STABLE ascending argsort of
+        the negated cosines over the ascending-vid codebook (stable ⇒ ties
+        keep the lowest centroid id first).
+
+    The codebook rides the task closure (C·DIM·4 bytes — 4 KB at C=16;
+    HONEST LIMIT: beyond C·DIM ≈ 10^6 floats switch to an explicit
+    SparkContext.broadcast handle so it ships once per executor, not per
+    task batch).
+    """
+    cmat = mat32.astype(np.float64)  # (C, DIM); f32→f64 exact
+    cnrm = np.array([_np_norm(mat32[i]) for i in range(len(vids))], dtype=np.float64)
+    vid_arr = np.array(vids, dtype=np.int64)
+    n = n_assign
+
+    @F.pandas_udf("array<bigint>")
+    def _assign(emb: pd.Series) -> pd.Series:
+        out = []
+        arr = emb.to_numpy()
+        for lo in range(0, len(arr), 2048):
+            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+            cos = _assign_chunk(chunk, cmat, cnrm)
+            if n == 1:
+                top = np.argmax(cos, axis=1)[:, None]  # first max = lowest vid
+            else:
+                # ascending stable sort of -cos ⇒ cos desc, index (vid) asc
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+            out.extend(vid_arr[top])
+        return pd.Series(out)
+
+    return _assign(F.col(vec_col))
+
+
+_AUTO = object()  # "derive the adaptive task count from round 1" sentinel
+
+
+def _kmeans_train(
+    base: DataFrame,
+    n_centroids: int,
+    n_iterations: int,
+    adaptive_parts: int | None | object = _AUTO,
+) -> tuple[list[int], np.ndarray, int | None]:
+    """Lloyd iterations over an already-materialized (vid, vec, nrm) base,
+    returning the trained codebook DRIVER-SIDE as (vids, C×DIM float32).
+
+    The codebook (C×DIM floats, ~4 KB at C=16) is the one legitimate
+    driver-side materialization in the repo: per round the cluster runs
+    exactly ONE shuffle-free job — a fused ``mapInPandas`` pass that
+    assigns each vector to its nearest centroid (``_assign_chunk``, the
+    bit-exact fold math) and accumulates per-partition (count, Σvec)
+    partials in the same numpy sweep, emitting C rows per partition.  The
+    driver sums the partials in partition order (deterministic for a fixed
+    partitioning) and casts the mean to float32 — numerically the same
+    mean as a per-element AVG aggregate up to f64 association order, which
+    the f32 rounding absorbs except on ~2^-29-probability boundary cases.
+    vs the previous in-plan version (broadcast-join fan-out + 64-wide AVG
+    codegen + per-round lazy localCheckpoint): 5.7s → ~2.4s on the
+    trained-IVF query at sf0.1.  Empty clusters keep their previous
+    centroid.
+
+    HONEST LIMIT: the driver handles n_partitions×C partial rows — fine to
+    ~10^6 (e.g. 10k partitions × 64 lists); for larger C·partition
+    products, pre-aggregate the partials with one groupBy before collect.
+
+    Returns (vids, mat, parts) — parts is the row-adaptive task count
+    derived FROM ROUND 1's partials (Σcnt rows over pid-count partitions:
+    no separate count job), applied to rounds 2+ and reusable by the
+    caller for other small literal-codebook stages; None = keep native
+    partitioning (the at-scale case) or n_iterations < 2.
+    """
+    dim = DIM
+    # the n_centroids LOWEST ids (not `vid < n`, which silently yields
+    # an empty codebook when the id space doesn't start at 0)
+    init = base.orderBy("vid").limit(n_centroids).select("vid", "vec").collect()
+    vids = [r["vid"] for r in init]
+    mat = np.array([r["vec"] for r in init], dtype=np.float32)
+    n_c = len(vids)
+
+    base_src = base.select("vec")
+    train_src = base_src
+    parts: int | None = None if adaptive_parts is _AUTO else adaptive_parts  # type: ignore[assignment]
+    if parts is not None:
+        train_src = train_src.coalesce(parts)
+
+    for it in range(n_iterations):
+        cmat = mat.astype(np.float64)
+        cnrm = np.array([_np_norm(mat[i]) for i in range(n_c)], dtype=np.float64)
+
+        def partials(batches, _cmat=cmat, _cnrm=cnrm):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            counts = np.zeros(n_c, dtype=np.int64)
+            sums = np.zeros((n_c, dim), dtype=np.float64)
+            for pdf in batches:
+                arr = pdf["vec"].to_numpy()
+                for lo in range(0, len(arr), 2048):
+                    chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+                    idx = np.argmax(_assign_chunk(chunk, _cmat, _cnrm), axis=1)
+                    counts += np.bincount(idx, minlength=n_c)
+                    np.add.at(sums, idx, chunk)
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "cidx": np.arange(n_c),
+                    "cnt": counts,
+                    "sums": list(sums),
+                }
+            )
+
+        rows = train_src.mapInPandas(
+            partials, "pid int, cidx int, cnt long, sums array<double>"
+        ).collect()
+        total_cnt = np.zeros(n_c, dtype=np.int64)
+        total_sum = np.zeros((n_c, dim), dtype=np.float64)
+        for r in sorted(rows, key=lambda r: (r["pid"], r["cidx"])):
+            total_cnt[r["cidx"]] += r["cnt"]
+            total_sum[r["cidx"]] += np.asarray(r["sums"], dtype=np.float64)
+        for i in range(n_c):  # empty clusters keep their centroid
+            if total_cnt[i] > 0:
+                mat[i] = (total_sum[i] / total_cnt[i]).astype(np.float32)
+        if it == 0 and adaptive_parts is _AUTO:
+            # round 1's partials carry the corpus size (Σcnt) and the
+            # native partition count (rows/C) for free — size rounds 2+
+            # to ~8k vectors/task (the assign tensor for 8k×C×DIM stays
+            # ~70 MB at C=16).  No-op once the corpus fills every slot,
+            # which is exactly the 100 TB case.
+            n_rows = int(total_cnt.sum())
+            cur_parts = max(1, len(rows) // n_c)
+            want = max(1, min(cur_parts, -(-n_rows // 8192)))
+            if want < cur_parts:
+                parts = want
+                train_src = base_src.coalesce(parts)
+    return vids, mat, parts
 
 
 def _kmeans_from_base(
     base: DataFrame, n_centroids: int, n_iterations: int
 ) -> DataFrame:
-    """Lloyd iterations over an already-materialized (vid, vec, nrm) base —
-    shared by kmeans_codebook and ivf_topk(train_iterations=...) so a
-    train-then-search query builds the norm table ONCE."""
-    from open_data_lakehouse_demo_spark.sources.io import materialize
-
-    dim = DIM
-    centroids = materialize(
-        # the n_centroids LOWEST ids (not `vid < n`, which silently yields
-        # an empty codebook when the id space doesn't start at 0)
-        base.orderBy("vid").limit(n_centroids).select("vid", "vec", "nrm")
-    )
-    for _ in range(n_iterations):
-        assigned = assign_centroids(base, centroids, n_assign=1)
-        means = assigned.groupBy("centroid_id").agg(
-            *[F.avg(F.col("vec")[i].cast("double")).alias(f"m{i}") for i in range(dim)]
-        )
-        new_vec = F.array(*[F.col(f"m{i}").cast("float") for i in range(dim)])
-        updated = means.select(
-            F.col("centroid_id").alias("vid"), new_vec.alias("vec")
-        ).select("vid", "vec", norm(F.col("vec")).alias("nrm"))
-        # empty clusters keep their previous centroid: ONE broadcast outer
-        # join + coalesce (an anti-join + union costs an extra stage/round)
-        centroids = materialize(
-            centroids.alias("old")
-            .join(F.broadcast(updated).alias("new"), "vid", "left")
-            .select(
-                "vid",
-                F.coalesce(F.col("new.vec"), F.col("old.vec")).alias("vec"),
-                F.coalesce(F.col("new.nrm"), F.col("old.nrm")).alias("nrm"),
-            )
-        )
-    return centroids
+    """DataFrame view of ``_kmeans_train`` — (vid, vec, nrm) local relation,
+    directly pluggable into ``assign_centroids`` / ``ivf_topk``."""
+    vids, mat, _ = _kmeans_train(base, n_centroids, n_iterations)
+    return _codebook_df(base.sparkSession, vids, mat)
 
 
 def ivf_topk(
@@ -399,30 +578,56 @@ def ivf_topk(
     equi-join on centroid_id — bucket-sized work instead of full-corpus
     work.
     """
-    from open_data_lakehouse_demo_spark.sources.io import materialize
-
     # base feeds codebook extraction, corpus assignment and probe
     # assignment — materialize so the norm folds run once
-    base = materialize(_with_norm(df, id_col, vec_col))
-    if codebook is not None:
-        centroids = codebook
-    elif train_iterations > 0:
-        # train on THIS base — a separate kmeans_codebook(df) call would
-        # scan + norm + checkpoint the identical corpus a second time
-        centroids = _kmeans_from_base(base, n_centroids, train_iterations)
+    base = _ensure_base(df, id_col, vec_col)
+    probes_src = base.filter(probe_filter) if probe_filter is not None else base
+    if train_iterations > 0 and codebook is None:
+        # Trained codebook is DRIVER-SIDE (C×DIM floats), so both search
+        # assignments use the literal path: one Arrow pass each instead
+        # of the n×C broadcast-join fan-out through dot_batch, with the
+        # identical bit-exact ranking math (see assign_ids_batch — parity
+        # argument + test).  Trained on THIS base — a separate
+        # kmeans_codebook(df) call would scan + norm + checkpoint the
+        # identical corpus twice.
+        # NOTE: both assignment scans keep their native partitioning — a
+        # coalesce(1) on either side of the downstream join measured ~5s
+        # of pathological overhead locally (vs 0.4s for the stage at 32
+        # partitions).
+        vids, mat, _ = _kmeans_train(base, n_centroids, train_iterations)
+        corpus = base.select(
+            assign_ids_batch("vec", vids, mat)[0].alias("centroid_id"),
+            "vid",
+            "vec",
+            "nrm",
+        )
+        probed = probes_src.select(
+            F.explode(assign_ids_batch("vec", vids, mat, n_assign=nprobe)).alias(
+                "centroid_id"
+            ),
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+        )
     else:
-        # lowest-id sample, robust to id spaces that don't start at 0
-        centroids = base.orderBy("vid").limit(n_centroids)
-    corpus = assign_centroids(base, centroids, n_assign=1).select(
-        "centroid_id", "vid", "vec", "nrm"
-    )
-    probes = base.filter(probe_filter) if probe_filter is not None else base
-    probed = assign_centroids(probes, centroids, n_assign=nprobe).select(
-        F.col("centroid_id"),
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-    )
+        if codebook is not None:
+            centroids = codebook
+        else:
+            # lowest-id sample, robust to id spaces that don't start at 0.
+            # Stays a lazy DataFrame codebook (assign_centroids join
+            # path): a driver-side collect would add an eager job per
+            # query construction — measured net-slower than the broadcast
+            # fan-out for the sampled case at bench scale.
+            centroids = base.orderBy("vid").limit(n_centroids)
+        corpus = assign_centroids(base, centroids, n_assign=1).select(
+            "centroid_id", "vid", "vec", "nrm"
+        )
+        probed = assign_centroids(probes_src, centroids, n_assign=nprobe).select(
+            F.col("centroid_id"),
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+        )
     cand = corpus.join(F.broadcast(probed), "centroid_id").filter(
         F.col("vid") != F.col("query_id")
     )
@@ -456,7 +661,7 @@ def lsh_near_dup_pairs(
 
     # base (vec + norm) feeds bucket generation and both verify sides —
     # materialize so the norm folds run once (signature-table shape)
-    base = materialize(_with_norm(df, id_col, vec_col))
+    base = _ensure_base(df, id_col, vec_col)
     # bucket stage = Arrow-batched matmul, proven bit-identical to the
     # lsh_bucket fold (see lsh_buckets_batch docstring + parity test);
     # materialized because BOTH sides of the candidate self-join read it —

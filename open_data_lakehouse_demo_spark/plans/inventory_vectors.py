@@ -212,11 +212,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches; the hit-join keys on (query_id, neighbor_id) — k rows per
     probe per side, so the join input is tiny regardless of corpus size."""
     emb = t(spark, sf_dir, "embeddings")
+    # ONE materialized (vid, vec, nrm) norm table feeds both arms — the
+    # _ensure_norm/_ensure_base no-op detects the prepared schema, so the
+    # norm fold + checkpoint run once instead of twice
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
     bf = sim.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") % _PROBE_MOD == 0), k=_K
+        base, base.filter(F.col("vid") % _PROBE_MOD == 0), k=_K
     )
     ivf = sim.ivf_topk(
-        emb,
+        base,
         k=_K,
         n_centroids=16,
         nprobe=2,

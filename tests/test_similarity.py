@@ -93,16 +93,21 @@ def test_dot_udf_parity(spark):
     vs[1] = np.full(sim.DIM, 1e-30, dtype=np.float32)
     vs[2] = 0.0
     vs[3, ::2] = 1e18  # partial huge values against normals
+    vs[4] = np.full(sim.DIM, -1.0, dtype=np.float32)  # all-negative …
     rows = [
         (int(i), [float(x) for x in vs[i]], [float(x) for x in vs[(i * 7 + 3) % len(vs)]])
         for i in range(len(vs))
     ]
+    # … against the zero vector: every product is -0.0, so the fold's 0.0
+    # seed yields +0.0 while a bare accumulate yields -0.0 — the one
+    # signed-zero case where the batch path needs its `+ 0.0` normalization
+    rows.append((len(vs), [float(x) for x in vs[4]], [0.0] * sim.DIM))
     df = spark.createDataFrame(rows, "i BIGINT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
     got = df.select(
         sim.dot_batch(F.col("a"), F.col("b")).alias("u"),
         sim._dot_fold(F.col("a"), F.col("b")).alias("e"),
     ).collect()
-    assert len(got) == len(vs)
+    assert len(got) == len(vs) + 1
     for r in got:
         assert _bits(r["u"]) == _bits(r["e"]), (r["u"], r["e"])
 
