@@ -22,6 +22,12 @@ Both emit the BQML-ML.FORECAST-shaped schema:
   id_cols..., forecast_timestamp, forecast_value, standard_error,
   confidence_level, prediction_interval_lower_bound,
   prediction_interval_upper_bound
+with one documented extension: ``ar_forecast`` appends an ``ar_order INT``
+column (the per-series selected/effective lag order — BQML surfaces this
+via ML.ARIMA_EVALUATE rather than in the forecast rows; carrying it inline
+saves that second call).  Note also that in fixed-order mode the requested
+order is CLAMPED down on short series to the largest p with at least one
+residual degree of freedom — ``ar_order`` reports the order actually fit.
 """
 
 from __future__ import annotations
@@ -360,31 +366,42 @@ def ar_forecast(
             ]
             return pd.DataFrame(rows)
 
-        def fit(p: int):
-            # design: intercept, trend, p lags, q current-time xregs
-            t_idx = np.arange(p, n, dtype="float64")
-            cols = [np.ones(n - p), t_idx]
-            cols += [y[p - k - 1 : n - k - 1] for k in range(p)]
-            cols += [xm[p:, j] for j in range(q)]
+        def fit(p: int, start: int):
+            # design: intercept, trend, p lags, q current-time xregs —
+            # fitted on rows start..n (start ≥ p so every lag is defined)
+            t_idx = np.arange(start, n, dtype="float64")
+            cols = [np.ones(n - start), t_idx]
+            cols += [y[start - k - 1 : n - k - 1] for k in range(p)]
+            cols += [xm[start:, j] for j in range(q)]
             X = np.column_stack(cols)
-            beta, *_ = np.linalg.lstsq(X, y[p:], rcond=None)
-            resid = y[p:] - X @ beta
+            beta, *_ = np.linalg.lstsq(X, y[start:], rcond=None)
+            resid = y[start:] - X @ beta
             sse = float(resid @ resid)
-            n_eff = n - p
+            n_eff = n - start
             # AIC over the Gaussian log-likelihood up to constants
             aic = n_eff * float(np.log(max(sse / n_eff, 1e-300))) + 2.0 * (p + 2 + q)
             return beta, resid, aic
 
         # fixed order also clamps to a determined fit (viable is non-empty
         # here, and max(viable) is the largest order with residual dof)
-        candidates = viable if auto_order else [min(p_cap, max(viable))]
-        best_p, best = None, None
-        for p in candidates:
-            out = fit(p)
-            if best is None or out[2] < best[2]:
-                best_p, best = p, out
-        p = best_p
-        beta, resid, _aic = best
+        if auto_order:
+            # AICs are only comparable on a COMMON sample: fitting AR(p)
+            # on rows p..n lets larger p shed rows, which shrinks
+            # n_eff·ln(SSE/n_eff) whenever the log term is positive and
+            # biases selection toward higher orders (ADVICE r3).  Fit all
+            # candidates on rows p_max..n (auto.arima's convention), pick
+            # by AIC, then refit the winner on its own full sample.
+            p_max = max(viable)
+            best_p, best_aic = None, None
+            for cp in viable:
+                _, _, aic = fit(cp, p_max)
+                if best_aic is None or aic < best_aic:
+                    best_p, best_aic = cp, aic
+            p = best_p
+            beta, resid, _aic = fit(p, p)
+        else:
+            p = min(p_cap, max(viable))
+            beta, resid, _aic = fit(p, p)
         sigma = float(np.sqrt((resid**2).mean())) if len(resid) else 0.0
         hist = list(y)
         x_future = xm[-1] if q else np.zeros(0)  # carry-forward covariates

@@ -44,6 +44,15 @@ def assign_token_shards(
     A document's shard is decided by the tokens BEFORE it (so the first
     document of every shard starts the budget), matching the oracle's
     ``(cum - tokens) // target``.
+
+    PRECONDITION: ``order_col`` must be UNIQUE (a document id).  With
+    duplicate keys the within-partition ROWS-frame running sum — and the
+    plain ``SUM() OVER (ORDER BY …)`` oracle — are both tie-order-
+    nondeterministic, so the "bit-identical to the single-partition
+    window" claim only holds for a total order; and ``write_token_shards``
+    joins back on ``order_col``, which would multiply rows under dups.
+    Callers with a non-unique sort key should concat a unique suffix
+    (e.g. ``concat(sort_key, '#', doc_id)``) before calling.
     """
     from open_data_lakehouse_demo_spark.sources.io import materialize
 

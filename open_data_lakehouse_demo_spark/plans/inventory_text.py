@@ -294,21 +294,43 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled joins on the word key. Lift keeps integer counts exact and
     divides once in double — engine-portable, no log()."""
     from open_data_lakehouse_demo_spark.operators.dedup import tokenize, word_shingles
-    from open_data_lakehouse_demo_spark.sources.io import materialize
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
 
     docs = t(spark, sf_dir, "documents")
-    # Tokenize ONCE: the bigram and unigram branches would otherwise each
-    # re-scan + re-tokenize the corpus (regexp split is the per-row cost
-    # here). Materializing the token arrays trades bounded executor-local
-    # storage (≈ corpus token count) for halving the tokenize CPU.
-    toks = materialize(docs.select("doc_id", tokenize(F.col("text")).alias("tk")))
-    bigrams = toks.filter(F.size("tk") >= 2).select(
-        F.explode(word_shingles(F.col("tk"), 2)).alias("bigram")
+    # Tokenize ONCE without pinning the token arrays: unigrams and bigrams
+    # are emitted from a SINGLE generator (one concat of tagged structs per
+    # doc), so one scan + one explode feeds ONE (kind, key) aggregate.
+    # The former version localCheckpointed the tokenized FULL corpus —
+    # a fact-scale intermediate that violates io.materialize's own
+    # contract ('never on raw fact-table rows') and would spill the whole
+    # input at the 100 TB target (ADVICE r3).  Only the AGGREGATED count
+    # table (vocabulary-sized, zipf-bounded) is materialized, because four
+    # branches read it below.
+    # pre-project tk so tokenize evaluates ONCE per row: the generator
+    # below references the attribute, and Generate does not inline its
+    # child projection (verified in the plan: tokenize appears once)
+    toks = spread(docs.select(tokenize(F.col("text")).alias("tk")))
+    tk = F.col("tk")
+    units = toks.select(
+        F.explode(
+            F.concat(
+                F.transform(tk, lambda w: F.struct(F.lit("u").alias("t"), w.alias("k"))),
+                F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        word_shingles(tk, 2),
+                        lambda b: F.struct(F.lit("b").alias("t"), b.alias("k")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<t:string,k:string>>")),
+            )
+        ).alias("e")
+    ).select(F.col("e.t").alias("t"), F.col("e.k").alias("k"))
+    cnt = materialize(units.groupBy("t", "k").agg(F.count("*").alias("c")))
+    ucnt = cnt.filter(F.col("t") == "u").select(F.col("k").alias("w"), F.col("c"))
+    tot = ucnt.agg(F.sum("c").alias("n"))  # Σ unigram counts ≡ COUNT(*) of tokens
+    bcnt = cnt.filter(F.col("t") == "b").select(
+        F.col("k").alias("bigram"), F.col("c").alias("pair_cnt")
     )
-    unigrams = toks.select(F.explode("tk").alias("w"))
-    ucnt = unigrams.groupBy("w").agg(F.count("*").alias("c"))
-    tot = unigrams.agg(F.count("*").alias("n"))
-    bcnt = bigrams.groupBy("bigram").agg(F.count("*").alias("pair_cnt"))
     # Unigram counts are VOCABULARY-sized (zipf-bounded — typically a few
     # million (word, count) rows even at 100 TB), so both lookups broadcast
     # and the filtered bigram table never shuffles on the word keys.

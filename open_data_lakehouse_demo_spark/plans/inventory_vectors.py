@@ -182,6 +182,72 @@ def cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One full Lloyd round in SQL: init = 16 lowest-id vectors, assign every
+# vector by fold-cosine argmax (NaN sorts greatest in both engines,
+# centroid-id tiebreak), per-element AVG re-centering CAST to REAL (f32 —
+# absorbs the engines' f64 summation-association differences), empty
+# clusters keep their init centroid, then the standard IVF search against
+# the retrained codebook.  Mirrors _kmeans_train(n_iterations=1) +
+# the literal-path search in ivf_topk.
+_IVF_KMEANS1_ORACLE = f"""
+WITH {_BASE_SQL},
+c0 AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+scored0 AS (
+  SELECT b.vid, b.vec, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN c0 c
+),
+assign0 AS (
+  SELECT centroid_id, vid, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT centroid_id, i, CAST(AVG(CAST(vec[i] AS DOUBLE)) AS REAL) AS m
+  FROM assign0 CROSS JOIN range(1, {sim.DIM + 1}) t(i)
+  GROUP BY centroid_id, i
+),
+newvecs AS (
+  SELECT centroid_id, list(m ORDER BY i) AS nvec FROM means GROUP BY centroid_id
+),
+cents AS (
+  SELECT c.centroid_id,
+         COALESCE(n.nvec, c.cvec) AS cvec,
+         sqrt({_dot('COALESCE(n.nvec, c.cvec)', 'COALESCE(n.nvec, c.cvec)')}) AS cnrm
+  FROM c0 c LEFT JOIN newvecs n USING (centroid_id)
+),
+scored AS (
+  SELECT b.vid, b.vec, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT centroid_id, vid, vec, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+passign AS (
+  SELECT centroid_id, vid AS query_id, vec AS qvec, nrm AS qnrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         MAX({_dot('p.qvec', 'a.vec')} / (p.qnrm * a.nrm)) AS cosine
+  FROM passign p JOIN assign1 a USING (centroid_id)
+  WHERE a.vid <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {_K}
+"""
+
+
 _RECALL_ORACLE = f"""
 WITH bf AS ({_BRUTE_FORCE_ORACLE}),
 ivf AS ({_IVF_ORACLE}),
@@ -194,6 +260,31 @@ SELECT q.query_id, COALESCE(h.n, 0) AS n_hits,
        CAST(COALESCE(h.n, 0) AS DOUBLE) / {_K} AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN hits h USING (query_id)
 """
+
+
+@query(
+    "cosine_topk_ivf_kmeans1",
+    ("V2",),
+    oracle=_IVF_KMEANS1_ORACLE,
+    tags=("similarity",),
+)
+def cosine_topk_ivf_kmeans1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF top-5 with EXACTLY one Lloyd re-centering round — the
+    driver-verifiable twin of cosine_topk_ivf_kmeans: one round of
+    assignment + per-element mean IS SQL-expressible, so the k-means
+    update step itself gets a DuckDB hash check (multi-round refinement
+    stays rows-only by nature).  The f32 cast of the re-centered
+    codebook absorbs f64 summation-association differences between the
+    engines' AVG implementations."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        k=_K,
+        n_centroids=16,
+        nprobe=2,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+        train_iterations=1,
+    )
 
 
 @query(

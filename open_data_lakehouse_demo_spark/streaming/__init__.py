@@ -23,6 +23,7 @@ from open_data_lakehouse_demo_spark.streaming.manager import (  # noqa: F401
     StreamingWorkerManager,
 )
 from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401
+    emission_schedule,
     events_as_bus_updates,
     replay_to_json_files,
 )

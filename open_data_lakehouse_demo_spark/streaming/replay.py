@@ -64,6 +64,36 @@ def events_as_bus_updates(events: DataFrame, shift_to: str | None = None) -> Dat
     )
 
 
+def emission_schedule(
+    updates: DataFrame, start_at: str, rate_per_sec: float = 1.0
+) -> DataFrame:
+    """T6 pacing contract: assign each envelope its producer emit time.
+
+    The reference's replay producer sleeps 1s between sends
+    (kafka_service.py:71-104) — a wall-clock behavior that can't be
+    asserted offline without flaky sleep-based tests.  This expresses the
+    SEMANTIC contract instead: the k-th envelope in (timestamp, id) order
+    is emitted at ``start_at + k/rate`` seconds, so
+      * consecutive ``emit_at`` values differ by exactly 1/rate seconds,
+      * emit order is the deterministic (timestamp, id) total order.
+    A production Kafka sender replays the schedule with its own clock;
+    tests assert the intervals and monotonicity exactly (wall-clock-free).
+
+    Scale note: the global row_number is a single-partition window, which
+    is CORRECT here — the schedule is producer-sized (bounded by the
+    replay window; even a day at 1 msg/s is 86k rows), never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("timestamp", "id")
+    rn = F.row_number().over(w) - F.lit(1)
+    return updates.withColumn(
+        "emit_at",
+        F.lit(start_at).cast("timestamp")
+        + F.make_interval(secs=rn.cast("double") / F.lit(float(rate_per_sec))),
+    )
+
+
 def replay_to_json_files(
     updates: DataFrame, out_dir: str, n_batches: int = 4
 ) -> list[str]:

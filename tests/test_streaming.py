@@ -182,6 +182,42 @@ def test_replay_producer_roundtrip(spark, tmp_path):
     assert parsed.filter(F.col("bus_line_id") == (103 % 25)).count() == 1
 
 
+def test_replay_emission_schedule_rate_contract(spark):
+    """T6 pacing: the reference producer emits 1 msg/s
+    (kafka_service.py:71-104). Wall-clock-free assertion of the semantic
+    contract — consecutive emit_at exactly 1/rate apart, emit order = the
+    deterministic (timestamp, id) total order, shifted timestamps monotone
+    along the schedule."""
+    events = spark.createDataFrame(
+        [(i, f"2025-01-01 10:{i:02d}:00", 100 + i, "click", float(10 * i)) for i in range(8)],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    updates = st.events_as_bus_updates(events, shift_to="2025-06-01 00:00:00")
+    sched = st.emission_schedule(updates, start_at="2025-06-02 09:00:00", rate_per_sec=1.0)
+    rows = sorted(sched.collect(), key=lambda r: r["emit_at"])
+    assert len(rows) == 8
+    deltas = {
+        (b["emit_at"] - a["emit_at"]).total_seconds() for a, b in zip(rows, rows[1:])
+    }
+    assert deltas == {1.0}  # exactly 1 msg/s, no wall clock involved
+    assert rows[0]["emit_at"].isoformat().startswith("2025-06-02T09:00:00")
+    # emit order is the (timestamp, id) total order; the shifted payload
+    # timestamps are monotone along the schedule
+    assert [r["id"] for r in rows] == sorted(
+        (r["id"] for r in rows),
+        key=lambda i: next((r["timestamp"], r["id"]) for r in rows if r["id"] == i),
+    )
+    ts_seq = [r["timestamp"] for r in rows]
+    assert ts_seq == sorted(ts_seq)
+    # 2 msg/s halves the spacing
+    sched2 = st.emission_schedule(updates, start_at="2025-06-02 09:00:00", rate_per_sec=2.0)
+    rows2 = sorted(sched2.collect(), key=lambda r: r["emit_at"])
+    deltas2 = {
+        (b["emit_at"] - a["emit_at"]).total_seconds() for a, b in zip(rows2, rows2[1:])
+    }
+    assert deltas2 == {0.5}
+
+
 def _envelope_at(eid, ts, ride, stop_id, remaining, boarding, line_id=1):
     return json.dumps(
         {
