@@ -29,26 +29,8 @@ def _inventory():
 # fresh row, (b) anything absent from the PREVIOUS artifact re-appears,
 # keeping every query green in the union of the two most recent artifacts.
 _PRIORITY = [
-    # hash-fail in r02 (floored-seconds gap test + uncast HUGEINT
-    # session_id in the oracle — both fixed) — needs a fresh green row
-    "user_sessions",
-    # no driver row in CORRECTNESS_r02 (rotated out for the r01 backlog);
-    # all were hash-green (or rows-green) in r01 — re-surface them
-    "user_time_bounds",
-    "collected_values",
-    "top_orders",
-    "demand_by_month",
-    "demand_by_dayofweek",
-    "english_docs_sample",
-    "ar_forecast_daily",
-    "bus_ride_simulation",
-    "image_feature_extract",
-    "audio_feature_extract",
-    "video_frame_sample",
-]
-_TAIL = [
-    # hash-green in CORRECTNESS_r02 (the freshest artifact) — safe to
-    # rotate out for one round
+    # the 16 queries rotated out in r03 (r03's _TAIL) — re-surface so the
+    # r03∪r04 union again covers the full inventory (VERDICT r3 item 2)
     "buyer_cohort_setops",
     "revenue_rollup_region_nation",
     "asof_demand_join",
@@ -63,9 +45,45 @@ _TAIL = [
     "demand_avg_recent",
     "customer_order_status",
     "first_event_per_user",
-    # rows-only by design (no oracle), rows recorded in r02
     "value_quantiles_sketch",
     "distinct_users_hll",
+    # touched in round 4 — fresh rows required:
+    # new oracle-checked 1-Lloyd-round trained-IVF variant
+    "cosine_topk_ivf_kmeans1",
+    # k-means training redesign (driver-side codebook, fused rounds)
+    "cosine_topk_ivf_kmeans",
+    # shared norm base + dot_batch signed-zero normalization
+    "ann_recall_eval",
+    "cosine_topk_ivf",
+    "cosine_topk_bruteforce",
+    "embedding_near_dup_lsh",
+    # single-scan fused unigram+bigram generator (materialize dropped)
+    "bigram_stats",
+    # auto-AR common-sample AIC fix
+    "ar_forecast_daily",
+    "auto_ar_xreg_forecast_daily",
+    "token_shard_assignment",
+]
+_TAIL = [
+    # hash-green in CORRECTNESS_r03 (the freshest artifact) and untouched
+    # this round — safe to rotate out for one round
+    "user_time_bounds",
+    "collected_values",
+    "top_orders",
+    "demand_by_month",
+    "demand_by_dayofweek",
+    "english_docs_sample",
+    "value_quantiles",
+    "last_lineitem_per_order",
+    "forecast_vs_actual",
+    "actual_vs_two_forecasts",
+    "hourly_conservation_check",
+    "summarized_demand_gapfill",
+    "linear_trend_forecast_daily",
+    "scalar_gauntlet",
+    "exact_dedup_docs",
+    "text_quality_profile",
+    "vocab_stats",
 ]
 
 
