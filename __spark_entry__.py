@@ -48,6 +48,9 @@ _PRIORITY = [
     "value_quantiles_sketch",
     "distinct_users_hll",
     # touched in round 4 — fresh rows required:
+    # new Gopher-repetition + unigram-LM-rarity text-pipeline queries
+    "repetition_profile",
+    "token_rarity_profile",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -84,6 +87,8 @@ _TAIL = [
     "exact_dedup_docs",
     "text_quality_profile",
     "vocab_stats",
+    "forecast_eval_metrics",
+    "seasonal_forecast_daily",
 ]
 
 

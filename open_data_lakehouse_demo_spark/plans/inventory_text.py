@@ -257,6 +257,178 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2112.11446 Table A1 uses
+# 0.18-0.20 on web text; tuned here to the synthetic corpus' measured
+# quantiles so the flag splits the fixture rather than saturating).
+_TOP_BIGRAM_FRAC_MAX = 0.10
+_DUP_WORD_FRAC_MAX = 0.6
+
+_REPETITION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars,
+         1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS g
+  FROM toks WHERE len(tk) >= 2
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+    MAX(struct_pack(c := c, g := g, chars := c * length(g))) AS top,
+    SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY 1
+)
+SELECT f.doc_id, f.dup_word_frac,
+  COALESCE(CAST(a.top.chars AS DOUBLE) / f.n_chars, 0.0) AS top_bigram_char_frac,
+  LEAST(1.0, COALESCE(CAST(a.dup_chars AS DOUBLE) / f.n_chars, 0.0)) AS dup_bigram_char_frac,
+  (COALESCE(CAST(a.top.chars AS DOUBLE) / f.n_chars, 0.0) > {_TOP_BIGRAM_FRAC_MAX}
+   OR f.dup_word_frac > {_DUP_WORD_FRAC_MAX}) AS is_repetitive
+FROM feat f LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("repetition_profile", ("TX7",), oracle=_REPETITION_ORACLE, tags=("text",))
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter metrics per document (Rae et al.
+    2021 §A1.1): duplicate-word fraction, characters covered by the most
+    frequent word-bigram, characters inside ALL duplicated bigrams, and
+    the resulting repetitive-document flag — the repetition-removal gate
+    every LLM training-data pipeline runs before quality filtering.
+
+    Scale shape: one tokenize scan; the bigram fan-out is a Generate in
+    the scan stage; two hash aggregates — (doc, bigram) counts then the
+    per-doc top/dup rollup (both partial-agg friendly); the doc-keyed
+    join back to the scalar features is co-partitioned on doc_id.  All
+    counts are integers (exact across engines); divisions happen once at
+    the end on identical operands.  Tiebreak for 'most frequent bigram'
+    is (count DESC, bigram DESC) via one max(struct) — no window, no
+    sort."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize, word_shingles
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    docs = t(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", F.length("text").alias("n_chars"),
+                              tokenize(F.col("text")).alias("tk")))
+    feat = toks.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
+        ).alias("dup_word_frac"),
+    )
+    grams = toks.filter(F.size("tk") >= 2).select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("c"), F.col("g"), (F.col("c") * F.length("g")).alias("chars")
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    top_frac = F.coalesce(
+        F.col("top.chars").cast("double") / F.col("n_chars"), F.lit(0.0)
+    )
+    dup_frac = F.least(
+        F.lit(1.0),
+        F.coalesce(F.col("dup_chars").cast("double") / F.col("n_chars"), F.lit(0.0)),
+    )
+    return feat.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "dup_word_frac",
+        top_frac.alias("top_bigram_char_frac"),
+        dup_frac.alias("dup_bigram_char_frac"),
+        (
+            (top_frac > _TOP_BIGRAM_FRAC_MAX)
+            | (F.col("dup_word_frac") > _DUP_WORD_FRAC_MAX)
+        ).alias("is_repetitive"),
+    )
+
+
+_RARITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+ucnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM ucnt) AS v FROM toks),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(u.c) AS sum_cnt,
+         SUM(CASE WHEN u.c * (SELECT v FROM tot) < (SELECT n FROM tot) THEN 1 ELSE 0 END) AS rare_cnt
+  FROM toks t JOIN ucnt u USING (w) GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  (CAST(sum_cnt AS DOUBLE) / (SELECT n FROM tot)) / n_tokens AS mean_token_prob,
+  CAST(rare_cnt AS DOUBLE) / n_tokens AS rare_token_frac
+FROM per_doc
+"""
+
+
+@query("token_rarity_profile", ("TX8",), oracle=_RARITY_ORACLE, tags=("text",))
+def token_rarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy per document (the CCNet/Wikipedia-LM
+    filter idea with a corpus-internal LM): mean corpus unigram
+    probability of the doc's tokens, plus the fraction of tokens rarer
+    than the corpus mean token count — low mean-prob / high rare-frac
+    docs are the gibberish candidates an LM-perplexity filter would cut.
+
+    Engine-portable by construction: every aggregate is an exact integer
+    sum (token counts), the 'rare' predicate is the integer comparison
+    c·|V| < N (no division), and the two final divisions run once on
+    identical operands in a mirrored order — no log(), whose libm
+    rounding differs across engines.
+
+    Scale shape: one tokenize+explode scan; vocabulary counts are
+    zipf-bounded (same broadcast argument + HONEST LIMIT as
+    bigram_stats); the per-doc rollup shuffles fact rows once on doc_id."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+
+    docs = t(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w")))
+    # vocab-sized; three consumers (count table, |V|, N) — materialize per
+    # io.materialize's aggregate-reduced contract
+    ucnt = materialize(toks.groupBy("w").agg(F.count("*").alias("c")))
+    tot = ucnt.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )  # N tokens, |V| vocab
+    per_doc = (
+        toks.join(F.broadcast(ucnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sum_cnt"),
+            F.sum(
+                F.when(F.col("c") * F.col("v") < F.col("n"), 1).otherwise(0)
+            ).alias("rare_cnt"),
+            F.first("n").alias("n_total"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("sum_cnt").cast("double") / F.col("n_total")) / F.col("n_tokens")
+        ).alias("mean_token_prob"),
+        (F.col("rare_cnt").cast("double") / F.col("n_tokens")).alias("rare_token_frac"),
+    )
+
+
 _MIN_PAIR = 5
 
 _BIGRAM_ORACLE = f"""
