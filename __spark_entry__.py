@@ -51,6 +51,9 @@ _PRIORITY = [
     # new Gopher-repetition + unigram-LM-rarity text-pipeline queries
     "repetition_profile",
     "token_rarity_profile",
+    # new cluster-canonicalization + mixture-resampling pipeline queries
+    "dup_cluster_canonical",
+    "source_mixture_sample",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -89,6 +92,8 @@ _TAIL = [
     "vocab_stats",
     "forecast_eval_metrics",
     "seasonal_forecast_daily",
+    "language_id",
+    "curated_corpus",
 ]
 
 

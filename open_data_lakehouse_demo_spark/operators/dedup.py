@@ -244,6 +244,54 @@ def connected_components(
     )
 
 
+def canonical_per_component(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Keep-best selection per duplicate cluster — the canonicalization
+    step that turns ``connected_components`` output into a dedup decision:
+    every cluster keeps exactly one representative, chosen by the quality
+    score (ties → lowest id, so the choice is total and engine-portable).
+
+    ``components``: (node, component) from connected_components.
+    ``scored``: a frame carrying ``id_col`` + ``score_col`` (higher =
+    better; e.g. doc length, quality score, recency).
+
+    Scale shape: one shuffle join on the node id (components are
+    dup-cluster-sized, typically ≪ corpus), one hash-aggregate argmax via
+    max(struct(score, -id, id)) — map-side partial, no sort, no window —
+    and one component-keyed join back. Output: (id_col, component,
+    score_col, canonical_doc, is_canonical); downstream keeps
+    ``is_canonical`` rows plus every unclustered doc.
+    """
+    sized = components.join(
+        scored.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
+        "node",
+    )
+    canon = (
+        sized.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score"),
+                    (-F.col("node")).alias("neg_id"),
+                    F.col("node").alias("id"),
+                )
+            ).alias("b")
+        )
+        .select("component", F.col("b.id").alias("canonical_doc"))
+    )
+    return sized.join(canon, "component").select(
+        F.col("node").alias(id_col),
+        "component",
+        F.col("_score").alias(score_col),
+        "canonical_doc",
+        (F.col("node") == F.col("canonical_doc")).alias("is_canonical"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -288,3 +288,140 @@ def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
     )
     return assign_token_shards(docs, "doc_id", "n_tokens", target_tokens=20000)
+
+
+_CANON_ORACLE = f"""
+WITH RECURSIVE
+{_SHINGLE_SETS_SQL.lstrip()},
+{MINHASH_CANDS_SQL.lstrip()},
+verified AS ({_VERIFY_SQL}),
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, least(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+sized AS (
+  SELECT c.node, c.component, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+canon AS (
+  SELECT component, node AS canonical_doc FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY component ORDER BY n_chars DESC, node
+    ) AS rn FROM sized
+  ) WHERE rn = 1
+)
+SELECT s.node AS doc_id, s.component, s.n_chars, c.canonical_doc,
+       s.node = c.canonical_doc AS is_canonical
+FROM sized s JOIN canon c USING (component)
+"""
+
+
+@query(
+    "dup_cluster_canonical",
+    ("DD6", "DD7"),
+    oracle=_CANON_ORACLE,
+    tags=("dedup", "iterative"),
+)
+def dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonicalization of near-dup clusters: connected
+    components over MinHash-verified pairs, then each cluster elects one
+    representative by content length (ties -> lowest doc_id) — the
+    decision step that turns cluster resolution into an actionable dedup
+    (keep is_canonical, drop the rest).  Pairwise dedup drops an arbitrary
+    side of each pair; cluster-canonical keeps the BEST member of the
+    whole transitive group — the policy real curation pipelines use
+    (operators/dedup.py canonical_per_component).
+
+    Oracle: the dup_clusters recursive CTE extended with the same argmax,
+    so the full iterate-then-choose path stays hash-checked."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comps = dedup.connected_components(pairs)
+    return dedup.canonical_per_component(
+        comps, docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id", "n_chars",
+    )
+
+
+# Target LANGUAGE mixture of the output corpus (shares sum to 1) — the
+# "upsample English, cap the rest" rebalancing every multilingual training
+# mix specifies. Single source of truth; the oracle SQL mirrors it.
+_MIX_SHARES = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+
+_MIX_CASE_SQL = (
+    "CASE lang " + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_SHARES.items()) + " END"
+)
+
+_MIX_ORACLE = f"""
+WITH by_lang AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tok FROM documents GROUP BY 1
+),
+shares AS (
+  SELECT lang, tok, {_MIX_CASE_SQL} AS share FROM by_lang
+),
+cap AS (SELECT MIN(CAST(tok AS DOUBLE) / share) AS t FROM shares),
+rates AS (
+  SELECT lang, share * (SELECT t FROM cap) / tok AS rate FROM shares
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, r.rate
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0 < r.rate
+"""
+
+
+@query(
+    "source_mixture_sample",
+    ("PIPE5",),
+    oracle=_MIX_ORACLE,
+    tags=("pipeline", "sampling"),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture resampler: hit a TARGET language mix exactly,
+    keeping as much data as feasible.  The max corpus size T satisfying
+    every share is min over langs of tokens_l / share_l (the binding
+    language keeps 100%); each language then keeps rate_l =
+    share_l * T / tokens_l of its tokens via the deterministic id-hash
+    sampler — the standard mixture-weights materialization step between
+    curation and tokenization.
+
+    Engine-portable: per-language token totals are exact integer sums;
+    T and the rates are single mirrored double divisions; the keep
+    decision is a pure hash function of the row (reproducible across
+    engines, retries, repartitioning).  Scale shape: one language-sized
+    aggregate (broadcast back), then a map-side filter — zero fact-table
+    shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    share = None
+    for k, v in _MIX_SHARES.items():
+        share = (
+            F.when(F.col("lang") == k, F.lit(v))
+            if share is None
+            else share.when(F.col("lang") == k, F.lit(v))
+        )
+    by_lang = docs.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("tok"))
+    shares = by_lang.select("lang", "tok", share.alias("share"))
+    cap = shares.agg(F.min(F.col("tok").cast("double") / F.col("share")).alias("t"))
+    rates = shares.crossJoin(F.broadcast(cap)).select(
+        "lang", (F.col("share") * F.col("t") / F.col("tok")).alias("rate")
+    )
+    h = dedup.token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#mix")))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h.cast("double") / F.lit(4294967296.0) < F.col("rate"))
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "rate")
+    )
