@@ -85,3 +85,27 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_canonical_per_component_keep_best_and_ties(spark):
+    """Each cluster keeps its max-score member; score ties resolve to the
+    LOWEST id (total, engine-portable order)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import canonical_per_component
+
+    comps = spark.createDataFrame(
+        # cluster 1: clear winner (node 3); cluster 10: tie between 10, 11
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node BIGINT, component BIGINT",
+    )
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 12), (10, 7), (11, 7)],
+        "doc_id BIGINT, score BIGINT",
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_doc"], r["is_canonical"])
+        for r in canonical_per_component(comps, scored, "doc_id", "score").collect()
+    }
+    assert rows == {
+        1: (3, False), 2: (3, False), 3: (3, True),
+        10: (10, True), 11: (10, False),  # tie -> lowest id
+    }

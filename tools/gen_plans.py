@@ -164,6 +164,26 @@ CHECKS = [
         "horizon fan-out reads the seasonal profile from the carried map — "
         "no joins anywhere in the plan.",
     ),
+    (
+        "repetition_profile",
+        ["Generate", "0x:Window", "HashAggregate"],
+        "Bigram fan-out is a Generate in the scan stage; the per-doc "
+        "top-bigram argmax is a max(struct) hash aggregate — no window, "
+        "no sort; the doc-keyed feature join co-partitions on doc_id.",
+    ),
+    (
+        "token_rarity_profile",
+        ["BroadcastHashJoin", "0x:Window", "HashAggregate"],
+        "Vocabulary counts broadcast back onto the exploded token stream; "
+        "per-doc rollups are exact integer hash aggregates — one fact "
+        "shuffle on doc_id, no windows.",
+    ),
+    (
+        "source_mixture_sample",
+        ["BroadcastHashJoin", "0x:Window", "PushedFilters"],
+        "Language-sized rate table broadcast onto the docs scan; the keep "
+        "decision is a map-side hash filter — zero fact-table shuffles.",
+    ),
 ]
 
 

@@ -45,6 +45,11 @@ SLICE = [
     ("token_shard_assignment", "two-phase distributed prefix sum"),
     ("distinct_users_hll_portable", "portable-register HLL sketch"),
     ("value_quantiles_histogram", "fixed-width histogram quantile sketch"),
+    ("cosine_topk_ivf_kmeans", "driver-side-codebook Lloyd training + literal-assign search"),
+    ("repetition_profile", "bigram fan-out + per-doc argmax rollup"),
+    ("token_rarity_profile", "broadcast vocab join + exact integer rollups"),
+    ("dup_cluster_canonical", "iterative components + keep-best argmax"),
+    ("source_mixture_sample", "language-sized agg broadcast + map-side hash filter"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
