@@ -54,6 +54,8 @@ _PRIORITY = [
     # new cluster-canonicalization + mixture-resampling pipeline queries
     "dup_cluster_canonical",
     "source_mixture_sample",
+    # new exact shared-substring-span dedup signal
+    "shared_substring_spans",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -94,6 +96,7 @@ _TAIL = [
     "seasonal_forecast_daily",
     "language_id",
     "curated_corpus",
+    "stratified_sample_docs",
 ]
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -432,6 +432,86 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verified_pairs(cands, sets, threshold)
+
+
+def shared_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 4,
+    max_df: int = 20,
+) -> DataFrame:
+    """Exact shared-substring detection between documents (the Lee et al.
+    2107.06499 ExactSubstr dedup signal, re-expressed relationally): for
+    every doc pair, the longest run of CONSECUTIVE shared k-token shingles
+    — a run of r shingles ⇔ a shared span of r+k-1 tokens, the
+    copy-paste/boilerplate overlap that Jaccard-style whole-doc similarity
+    misses when documents are otherwise different.
+
+    Plan (suffix-array-free, pure joins/windows — scales as the inverted
+    index, not the corpus square):
+      1. positioned shingle hashes (doc, pos, h) — one Generate per doc;
+      2. df-cap drops boilerplate shingles appearing in > ``max_df`` docs
+         (the standard hot-key guard; candidate generation only);
+      3. inverted-index self-join on h → co-occurrences (doc_a, doc_b,
+         pa, pb) — output-sized, bounded by shared-shingle mass;
+      4. runs via gaps-and-islands on each alignment DIAGONAL pa-pb:
+         consecutive shared positions have constant pa - row_number, so
+         one window per (doc_a, doc_b, diag) + one count aggregate finds
+         every maximal run — no iteration;
+      5. keep pairs whose longest run ≥ ``min_run``.
+
+    Output (doc_a, doc_b, max_run, span_tokens), doc_a < doc_b.
+    Window keys (doc_a, doc_b, diag) are high-cardinality → the sort is
+    many small partitions, never a global sort.
+    """
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+
+    toks = spread(
+        df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
+    )
+    # signature-table shape: the positioned-hash table feeds the df-cap agg
+    # and both self-join sides
+    sh = materialize(
+        toks.filter(F.size("tk") >= k)
+        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
+        .select("doc", "pos", token_hash(F.col("s")).alias("h"))
+    )
+    rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
+        F.col("d") <= max_df
+    )
+    shc = sh.join(rare.select("h"), "h")
+    # one row per (pos-pair, h) by construction — no DISTINCT needed
+    cand = (
+        shc.alias("x")
+        .join(shc.alias("y"), "h")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+        )
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = (
+        cand.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_len").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+        .select(
+            "doc_a",
+            "doc_b",
+            "max_run",
+            (F.col("max_run") + F.lit(k - 1)).alias("span_tokens"),
+        )
+    )
 
 
 def minhash_lsh_pairs(

@@ -425,3 +425,60 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h.cast("double") / F.lit(4294967296.0) < F.col("rate"))
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "rate")
     )
+
+
+_SUBSTR_K = 4        # shingle width (tokens)
+_SUBSTR_MIN_RUN = 4  # min consecutive shared shingles (span ≥ k+min_run-1 tokens)
+_SUBSTR_DF_CAP = 20
+
+_SUBSTR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substring(md5(array_to_string(tk[i:i+{_SUBSTR_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM toks, unnest(range(1, greatest(len(tk) - {_SUBSTR_K - 1}, 0) + 1)) t(i)
+  WHERE len(tk) >= {_SUBSTR_K}
+),
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY h),
+shc AS (SELECT s.* FROM sh s JOIN dfreq USING (h) WHERE dfreq.d <= {_SUBSTR_DF_CAP}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM shc a JOIN shc b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+islands AS (
+  SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len FROM (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+    FROM cand
+  ) GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b, MAX(run_len) AS max_run,
+       MAX(run_len) + {_SUBSTR_K - 1} AS span_tokens
+FROM islands GROUP BY doc_a, doc_b
+HAVING MAX(run_len) >= {_SUBSTR_MIN_RUN}
+"""
+
+
+@query(
+    "shared_substring_spans",
+    ("DD8",),
+    oracle=_SUBSTR_ORACLE,
+    tags=("dedup",),
+)
+def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans between document pairs (ExactSubstr
+    dedup signal, Lee et al. 2021): longest run of consecutive shared
+    4-token shingles per pair, found relationally — inverted-index
+    co-occurrences grouped by alignment diagonal, runs via one
+    gaps-and-islands window (operators/dedup.py shared_substring_runs).
+    Catches copy-paste overlap between documents that whole-doc Jaccard
+    misses when the rest of the text differs."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.shared_substring_runs(
+        docs, "doc_id", "text",
+        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+    )
