@@ -87,6 +87,29 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_shared_substring_runs_planted_span(spark):
+    """A planted 10-token exact span between otherwise-different docs must
+    yield max_run = 10-k+1 consecutive shared k-shingles; unrelated docs
+    must not pair."""
+    from open_data_lakehouse_demo_spark.operators.dedup import shared_substring_runs
+
+    span = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "zeta eta " + span + " theta iota kappa"),
+            (3, "completely different words nothing shared here at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = shared_substring_runs(docs, "doc_id", "text", k=4, min_run=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["max_run"] == 10 - 4 + 1  # 7 consecutive shared 4-shingles
+    assert r["span_tokens"] == 10
+
+
 def test_canonical_per_component_keep_best_and_ties(spark):
     """Each cluster keeps its max-score member; score ties resolve to the
     LOWEST id (total, engine-portable order)."""

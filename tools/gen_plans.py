@@ -184,6 +184,15 @@ CHECKS = [
         "Language-sized rate table broadcast onto the docs scan; the keep "
         "decision is a map-side hash filter — zero fact-table shuffles.",
     ),
+    (
+        "shared_substring_spans",
+        ["Window", "HashAggregate", "0x:CartesianProduct", "BroadcastHashJoin"],
+        "Candidates come from the df-capped inverted-index equi-join over "
+        "the materialized positioned-shingle table (never a cross join; "
+        "the shingle Generate runs once inside the checkpoint subtree); "
+        "runs resolve via ONE gaps-and-islands window over "
+        "high-cardinality (pair, diagonal) keys plus two hash aggregates.",
+    ),
 ]
 
 
