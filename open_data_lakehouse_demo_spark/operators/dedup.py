@@ -466,14 +466,20 @@ def shared_substring_runs(
     Window keys (doc_a, doc_b, diag) are high-cardinality → the sort is
     many small partitions, never a global sort.
     """
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
     toks = spread(
         df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
     )
-    # signature-table shape: the positioned-hash table feeds the df-cap agg
-    # and both self-join sides
-    sh = materialize(
+    # The positioned-hash table feeds the df-cap agg and both self-join
+    # sides. It is deliberately NOT materialized: it is per-token-OCCURRENCE
+    # (fact-scale — localCheckpointing it would pin the whole tokenized
+    # corpus in executor storage, violating io.materialize's contract), so
+    # the tokenize+hash lineage recomputes per consumer — CPU, not storage.
+    # A production run at 10^9 docs would persist this as a real stage
+    # table (the per-doc signature tables elsewhere in this module stay
+    # checkpointable because they are doc-sized, not token-sized).
+    sh = (
         toks.filter(F.size("tk") >= k)
         .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
         .select("doc", "pos", token_hash(F.col("s")).alias("h"))

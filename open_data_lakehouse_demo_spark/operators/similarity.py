@@ -223,19 +223,31 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _is_prepared_base(df: DataFrame) -> bool:
+    """A frame whose columns are EXACTLY (vid, vec, nrm) is a
+    caller-prepared norm table.  Exact-set match (not subset) so a source
+    table that merely happens to carry those names among others is never
+    silently hijacked; the caller's id_col/vec_col are ignored only for
+    frames this function already produced."""
+    return set(df.columns) == {"vid", "vec", "nrm"}
+
+
 def _ensure_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """No-op when the caller already prepared a (vid, vec, nrm) norm table
     — lets a multi-arm query (e.g. ann_recall_eval) build and materialize
     the norm scan ONCE and feed it to several operators."""
-    if {"vid", "vec", "nrm"}.issubset(df.columns):
+    if _is_prepared_base(df):
         return df
     return _with_norm(df, id_col, vec_col)
 
 
 def _ensure_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Materialized variant of ``_ensure_norm`` — a caller-prepared base is
-    assumed already checkpointed (re-checkpointing would copy the blocks)."""
-    if {"vid", "vec", "nrm"}.issubset(df.columns):
+    """Materialized variant of ``_ensure_norm``.
+
+    CONTRACT: a caller passing a prepared (vid, vec, nrm) frame must have
+    materialized it (re-checkpointing here would copy the blocks; NOT
+    materializing makes every training round re-run the norm lineage)."""
+    if _is_prepared_base(df):
         return df
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
@@ -302,7 +314,9 @@ def assign_centroids(
         # argmax as ONE hash aggregate instead of a window (no sort, pure
         # map-side partial agg): max over struct(ccos, -centroid_id, …)
         # is exactly rank-1 of ORDER BY ccos DESC, centroid_id ASC —
-        # including NaN ordering, where both paths treat NaN as greatest.
+        # including NULL cosines (zero norms under non-ANSI division),
+        # which rank last in both paths and fall through to the lowest
+        # centroid id when every cosine is NULL (verified empirically).
         best = scored.groupBy("vid").agg(
             F.max(
                 F.struct(
@@ -386,13 +400,21 @@ def _assign_chunk(chunk64: np.ndarray, cmat64: np.ndarray, cnrm: np.ndarray) -> 
     """(c, C) cosine matrix for a chunk of vectors vs the codebook — the
     bit-exact fold math shared by every literal-codebook stage:
     exact f32→f64 products, ``np.add.accumulate`` sequential fold with the
-    ``+ 0.0`` zero-seed normalization, fold-norm division, and NaN→+inf so
-    numpy orderings reproduce Spark/DuckDB's NaN-greatest semantics."""
-    prods = chunk64[:, None, :] * cmat64[None, :, :]  # exact products
-    dots = np.add.accumulate(prods, axis=2)[:, :, -1] + 0.0
-    vnrm = np.sqrt(np.add.accumulate(chunk64 * chunk64, axis=1)[:, -1] + 0.0)
-    cos = dots / (vnrm[:, None] * cnrm[None, :])
-    return np.where(np.isnan(cos), np.inf, cos)
+    ``+ 0.0`` zero-seed normalization, fold-norm division.
+
+    Zero-norm semantics: with ANSI off (the project session), Spark's
+    x/0.0 is NULL, which ranks LAST under the join path's ``ccos DESC``
+    window / ``max(struct)`` (verified empirically — Spark never produces
+    NaN here).  numpy's division yields ±inf/NaN instead, so every
+    non-finite cosine maps to -inf: zero-norm pairings rank last, and an
+    all--inf row falls through to the first (lowest-vid) centroid —
+    matching the join path's all-NULL tiebreak exactly."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prods = chunk64[:, None, :] * cmat64[None, :, :]  # exact products
+        dots = np.add.accumulate(prods, axis=2)[:, :, -1] + 0.0
+        vnrm = np.sqrt(np.add.accumulate(chunk64 * chunk64, axis=1)[:, -1] + 0.0)
+        cos = dots / (vnrm[:, None] * cnrm[None, :])
+    return np.where(np.isfinite(cos), cos, -np.inf)
 
 
 def assign_ids_batch(
@@ -410,12 +432,13 @@ def assign_ids_batch(
       * dots/norms: the proven exact-product + sequential-fold math
         (``_assign_chunk``);
       * ranking: Spark's ``max(struct(ccos, -centroid_id, …))`` / window
-        ``ORDER BY ccos DESC, centroid_id`` orders NaN greatest, then
-        lowest centroid id — mirrored by substituting +inf for NaN (no
-        finite cosine can reach inf: |dot| ≤ DIM·max² which is finite
-        whenever the norms are nonzero) and a STABLE ascending argsort of
-        the negated cosines over the ascending-vid codebook (stable ⇒ ties
-        keep the lowest centroid id first).
+        ``ORDER BY ccos DESC, centroid_id`` ranks valid cosines first
+        (NULL — zero-norm division under non-ANSI — last, lowest
+        centroid id on ties) — mirrored by mapping non-finite numpy
+        cosines to -inf (see ``_assign_chunk``) and a STABLE ascending
+        argsort of the negated cosines over the ascending-vid codebook
+        (stable ⇒ ties keep the lowest centroid id first; -inf sorts
+        last after negation).
 
     The codebook rides the task closure (C·DIM·4 bytes — 4 KB at C=16;
     HONEST LIMIT: beyond C·DIM ≈ 10^6 floats switch to an explicit

@@ -304,50 +304,67 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resulting repetitive-document flag — the repetition-removal gate
     every LLM training-data pipeline runs before quality filtering.
 
-    Scale shape: one tokenize scan; the bigram fan-out is a Generate in
-    the scan stage; two hash aggregates — (doc, bigram) counts then the
-    per-doc top/dup rollup (both partial-agg friendly); the doc-keyed
-    join back to the scalar features is co-partitioned on doc_id.  All
-    counts are integers (exact across engines); divisions happen once at
-    the end on identical operands.  Tiebreak for 'most frequent bigram'
-    is (count DESC, bigram DESC) via one max(struct) — no window, no
-    sort."""
+    Scale shape: ONE tokenize scan — the per-doc scalar features ride the
+    bigram Generate as carried columns, so there is no separate feature
+    branch and no join; two hash aggregates — (doc, bigram) counts then
+    the per-doc top/dup rollup (both partial-agg friendly).  All counts
+    are integers (exact across engines); divisions happen once at the
+    end on identical operands.  Tiebreak for 'most frequent bigram' is
+    (count DESC, bigram DESC) via one max(struct) — no window, no sort."""
     from open_data_lakehouse_demo_spark.operators.dedup import tokenize, word_shingles
     from open_data_lakehouse_demo_spark.sources.io import spread
 
     docs = t(spark, sf_dir, "documents")
+    # ONE tokenize scan, no join back: the per-doc scalar features ride
+    # the bigram explode as carried columns (constant per doc), and docs
+    # with < 2 tokens emit a NULL-sentinel row so they survive to the
+    # final rollup (mirroring the oracle's LEFT JOIN) — the same
+    # fused-generator discipline as bigram_stats.
     toks = spread(docs.select("doc_id", F.length("text").alias("n_chars"),
                               tokenize(F.col("text")).alias("tk")))
-    feat = toks.select(
+    exploded = toks.select(
         "doc_id",
         "n_chars",
         (
             F.lit(1.0)
             - F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
         ).alias("dup_word_frac"),
+        F.explode(
+            F.when(F.size("tk") >= 2, word_shingles(F.col("tk"), 2)).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("g"),
     )
-    grams = toks.filter(F.size("tk") >= 2).select(
-        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("g")
+    cnt = exploded.groupBy("doc_id", "g").agg(
+        F.count("*").alias("c"),
+        F.max("n_chars").alias("n_chars"),
+        F.max("dup_word_frac").alias("dup_word_frac"),
     )
-    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     agg = cnt.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.max("dup_word_frac").alias("dup_word_frac"),
         F.max(
-            F.struct(
-                F.col("c"), F.col("g"), (F.col("c") * F.length("g")).alias("chars")
+            F.when(
+                F.col("g").isNotNull(),
+                F.struct(
+                    F.col("c"), F.col("g"), (F.col("c") * F.length("g")).alias("chars")
+                ),
             )
         ).alias("top"),
         F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(F.lit(0))
+            F.when(
+                F.col("g").isNotNull() & (F.col("c") >= 2),
+                F.col("c") * F.length("g"),
+            ).otherwise(F.lit(0))
         ).alias("dup_chars"),
     )
     top_frac = F.coalesce(
         F.col("top.chars").cast("double") / F.col("n_chars"), F.lit(0.0)
     )
     dup_frac = F.least(
-        F.lit(1.0),
-        F.coalesce(F.col("dup_chars").cast("double") / F.col("n_chars"), F.lit(0.0)),
+        F.lit(1.0), F.col("dup_chars").cast("double") / F.col("n_chars")
     )
-    return feat.join(agg, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
         "dup_word_frac",
         top_frac.alias("top_bigram_char_frac"),
@@ -392,9 +409,11 @@ def token_rarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands in a mirrored order — no log(), whose libm
     rounding differs across engines.
 
-    Scale shape: one tokenize+explode scan; vocabulary counts are
-    zipf-bounded (same broadcast argument + HONEST LIMIT as
-    bigram_stats); the per-doc rollup shuffles fact rows once on doc_id."""
+    Scale shape: TWO passes over the token stream by necessity — the
+    count-build aggregate must complete before the probability join can
+    read it, and the vocabulary table (zipf-bounded; same broadcast
+    argument + HONEST LIMIT as bigram_stats) is the only stored
+    intermediate; the per-doc rollup shuffles fact rows once on doc_id."""
     from open_data_lakehouse_demo_spark.operators.dedup import tokenize
     from open_data_lakehouse_demo_spark.sources.io import materialize, spread
 

@@ -275,7 +275,10 @@ def cosine_topk_ivf_kmeans1(spark: SparkSession, sf_dir: str) -> DataFrame:
     update step itself gets a DuckDB hash check (multi-round refinement
     stays rows-only by nature).  The f32 cast of the re-centered
     codebook absorbs f64 summation-association differences between the
-    engines' AVG implementations."""
+    engines' AVG implementations — except when a mean element lands
+    exactly on an f32 rounding boundary (~2^-29 per element, ~2e-6 per
+    run over the 16×64 codebook): a residual, quantified flake risk
+    accepted for getting the update step under the hash gate at all."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(
         emb,
@@ -299,13 +302,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trading recall for speed (nprobe/n_centroids tuning).
 
     Both rankings share deterministic tiebreaks, so recall is exact and
-    engine-portable, and both arms derive from ONE scored pair table (the
-    IVF arm = the exact arm's pairs filtered by inverted-list membership —
-    identical cosines by construction, half the pair-scoring work of two
-    independent plans). The hit-join keys on (query_id, neighbor_id) —
-    k rows per probe per side, so the join input is tiny regardless of
-    corpus size. The pair table is |probes|·n rows of 3 narrow columns;
-    like any exact-recall harness, it presumes an eval-sized probe batch."""
+    engine-portable, and both arms derive from ONE scored pair EXPRESSION
+    (the IVF arm = the exact arm's pairs filtered by inverted-list
+    membership — identical cosines by construction, and one join tree
+    fewer than two independent top-k plans). The pair fan-out itself is
+    never stored — |probes|·n is quadratic-scale under the
+    corpus-proportional probe filter, so each arm streams its own pass.
+    The hit-join keys on (query_id, neighbor_id) — k rows per probe per
+    side, so the join input is tiny regardless of corpus size."""
     from pyspark.sql import Window
 
     from open_data_lakehouse_demo_spark.sources.io import materialize
@@ -324,14 +328,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
-    pairs = materialize(
-        base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
-            "query_id",
-            F.col("vid").alias("neighbor_id"),
-            sim.cosine(
-                F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
-            ).alias("cosine"),
-        )
+    # NOT materialized: pairs is |probes|·n rows and the probe set here is
+    # corpus-proportional (vid % 50), so checkpointing it would store an
+    # O(n²/50) intermediate — each arm recomputes the fan-out instead
+    # (CPU, not storage; the broadcast probe side makes each pass one
+    # corpus scan). A fixed-size probe batch could materialize it.
+    pairs = base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        sim.cosine(
+            F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

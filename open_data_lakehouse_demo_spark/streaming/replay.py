@@ -73,11 +73,13 @@ def emission_schedule(
     (kafka_service.py:71-104) — a wall-clock behavior that can't be
     asserted offline without flaky sleep-based tests.  This expresses the
     SEMANTIC contract instead: the k-th envelope in (timestamp, id) order
-    is emitted at ``start_at + k/rate`` seconds, so
-      * consecutive ``emit_at`` values differ by exactly 1/rate seconds,
-      * emit order is the deterministic (timestamp, id) total order.
-    A production Kafka sender replays the schedule with its own clock;
-    tests assert the intervals and monotonicity exactly (wall-clock-free).
+    is emitted at ``start_at + k/rate`` seconds (rounded to timestamp
+    precision, i.e. whole microseconds), so
+      * emit order is the deterministic (timestamp, id) total order,
+      * consecutive ``emit_at`` values differ by exactly 1/rate seconds
+        whenever 1/rate is representable in whole microseconds (1.0, 2.0,
+        0.5, …); for rates like 3.0 the per-step deltas alternate by 1 µs
+        while the k/rate FORMULA — the actual invariant — stays exact.
 
     Scale note: the global row_number is a single-partition window, which
     is CORRECT here — the schedule is producer-sized (bounded by the

@@ -129,6 +129,38 @@ def test_bucket_udf_parity(spark):
         assert list(r["bb"]) == list(r["be"])
 
 
+def test_literal_assignment_matches_join_path_with_zero_vector(spark):
+    """Zero-norm vectors/centroids: Spark's non-ANSI x/0.0 is NULL (ranks
+    last); the literal path maps non-finite numpy cosines to -inf. Both
+    paths must produce identical assignments on a corpus containing a
+    zero vector — including the all-NULL fallthrough to the lowest id."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vs = rng.normal(size=(12, sim.DIM)).astype(np.float32)
+    vs[3] = 0.0  # zero vector: NULL cosine vs every centroid
+    rows = [(int(i), [float(x) for x in vs[i]]) for i in range(len(vs))]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    base = sim._with_norm(df, "vec_id", "embedding")
+    cents_rows = base.orderBy("vid").limit(4).select("vid", "vec").collect()
+    vids = [r["vid"] for r in cents_rows]
+    mat = np.array([r["vec"] for r in cents_rows], dtype=np.float32)
+    lit = {
+        r["vid"]: r["cid"]
+        for r in base.select(
+            "vid", sim.assign_ids_batch("vec", vids, mat)[0].alias("cid")
+        ).collect()
+    }
+    joined = {
+        r["vid"]: r["centroid_id"]
+        for r in sim.assign_centroids(
+            base, sim._codebook_df(spark, vids, mat), n_assign=1
+        ).collect()
+    }
+    assert lit == joined
+    assert lit[3] == min(vids)  # all-NULL/-inf row -> lowest centroid id
+
+
 def test_kmeans_codebook_matches_numpy_lloyd(emb_df):
     """3 Lloyd rounds on the 40-vector fixture must match a numpy
     reference (same deterministic init, same cosine assignment rule)."""
