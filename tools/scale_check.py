@@ -50,6 +50,7 @@ SLICE = [
     ("token_rarity_profile", "broadcast vocab join + exact integer rollups"),
     ("dup_cluster_canonical", "iterative components + keep-best argmax"),
     ("source_mixture_sample", "language-sized agg broadcast + map-side hash filter"),
+    ("shared_substring_spans", "df-capped positional inverted index + diagonal islands"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
@@ -157,7 +158,13 @@ Notes on reading specific rows:
   ~C(10,2)=45× more TRUE pairs — the emitted result itself grows ~45×.
   Runtime grew far less than the output did, because banding only pairs
   within clusters (the candidate join stays output-sized, the design
-  property that keeps MinHash-LSH viable at 100 TB).""")
+  property that keeps MinHash-LSH viable at 100 TB).
+- shared_substring_spans is the same output-driven story at per-POSITION
+  granularity: with every doc copied """ + str(COPIES) + """×, each shared
+  span co-occurs across ~45× more doc pairs and the positional
+  co-occurrence rows grow with it, so the emitted pair set — not the
+  candidate machinery — carries the growth; the df-cap keeps boilerplate
+  shingles from ever making the join corpus-quadratic.""")
 
 
 if __name__ == "__main__":
