@@ -56,6 +56,8 @@ _PRIORITY = [
     "source_mixture_sample",
     # new exact shared-substring-span dedup signal
     "shared_substring_spans",
+    # new concat-and-chunk sequence-packing assignment
+    "packed_example_assignment",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -97,6 +99,7 @@ _TAIL = [
     "language_id",
     "curated_corpus",
     "stratified_sample_docs",
+    "benchmark_decontaminate",
 ]
 
 

@@ -105,6 +105,50 @@ def assign_token_shards(
     )
 
 
+def assign_packed_examples(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk example assignment (GPT-style pretraining packing):
+    documents are concatenated in ``order_col`` order and cut into
+    fixed-``seq_len`` training examples; each document learns which
+    example(s) its tokens land in.
+
+    Derived entirely from the same two-phase distributed prefix sum as
+    ``assign_token_shards`` (the global running token count), so it
+    inherits that operator's scalability and its ``order_col`` UNIQUENESS
+    precondition.  Output per doc:
+      first_example  = (cum - tokens) // seq_len   (0-based)
+      last_example   = (cum - 1)      // seq_len
+      offset_in_example = (cum - tokens) % seq_len
+      crosses_boundary  = first_example != last_example
+    — exactly what a tokenizer job needs to route each document's tokens
+    into packed sequences (and to decide attention-mask resets at doc
+    boundaries).  PRECONDITION: every doc has tokens ≥ 1 (a 0-token doc
+    would compute last = first - 1 from the cum-1 arithmetic — filter
+    empties upstream, as any tokenizer pipeline does).
+    """
+    assigned = assign_token_shards(
+        docs, order_col, tokens_col, target_tokens=seq_len, n_partitions=n_partitions
+    )
+    first = F.expr(f"CAST((cum_tokens - {tokens_col}) DIV {int(seq_len)} AS BIGINT)")
+    last = F.expr(f"CAST((cum_tokens - 1) DIV {int(seq_len)} AS BIGINT)")
+    return assigned.select(
+        order_col,
+        tokens_col,
+        "cum_tokens",
+        first.alias("first_example"),
+        last.alias("last_example"),
+        F.expr(f"CAST((cum_tokens - {tokens_col}) % {int(seq_len)} AS BIGINT)").alias(
+            "offset_in_example"
+        ),
+        (first != last).alias("crosses_boundary"),
+    )
+
+
 def write_token_shards(
     docs: DataFrame,
     path: str,

@@ -482,3 +482,54 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
     )
+
+
+_PACK_SEQ_LEN = 2048
+
+_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_SEQ_LEN} AS BIGINT) AS first_example,
+       CAST((cum_tokens - 1) // {_PACK_SEQ_LEN} AS BIGINT) AS last_example,
+       CAST((cum_tokens - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_example,
+       (cum_tokens - n_tokens) // {_PACK_SEQ_LEN} <> (cum_tokens - 1) // {_PACK_SEQ_LEN}
+         AS crosses_boundary
+FROM cum
+"""
+
+
+@query(
+    "packed_example_assignment",
+    ("PIPE6",),
+    oracle=_PACK_ORACLE,
+    tags=("pipeline",),
+)
+def packed_example_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/sharding.py
+    assign_packed_examples): global prefix-sum of token counts in doc_id
+    order cut into 2048-token training examples — each doc's first/last
+    example ids, in-example offset, and boundary-crossing flag, i.e. the
+    routing table a tokenizer job needs to emit packed sequences with
+    per-doc attention-mask resets.  Same two-phase parallel prefix sum as
+    token_shard_assignment; the oracle is the equivalent single-window
+    cumsum."""
+    from open_data_lakehouse_demo_spark.functions.text import ws_token_count
+    from open_data_lakehouse_demo_spark.operators.sharding import (
+        assign_packed_examples,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_packed_examples(docs, "doc_id", "n_tokens", seq_len=_PACK_SEQ_LEN)
