@@ -110,6 +110,55 @@ def test_shared_substring_runs_planted_span(spark):
     assert r["span_tokens"] == 10
 
 
+def test_shared_substring_runs_matches_lcs_dp(spark):
+    """Independent cross-check: on random small-vocab docs (uncapped df),
+    span_tokens per pair must equal the true longest common token
+    substring computed by classic DP — the relational diagonal-islands
+    plan and the quadratic reference must agree exactly."""
+    import numpy as np
+
+    from open_data_lakehouse_demo_spark.operators.dedup import shared_substring_runs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(8)]
+    docs_py = [
+        [vocab[j] for j in rng.integers(0, len(vocab), size=rng.integers(10, 41))]
+        for _ in range(12)
+    ]
+    k = 3
+
+    def lcs_tokens(a, b):  # longest common substring (tokens), O(n*m) DP
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    expected = {}
+    for i in range(len(docs_py)):
+        for j in range(i + 1, len(docs_py)):
+            l = lcs_tokens(docs_py[i], docs_py[j])
+            if l >= k:  # pairs below the shingle width can't appear
+                expected[(i, j)] = l
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs_py)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["span_tokens"]
+        for r in shared_substring_runs(
+            df, "doc_id", "text", k=k, min_run=1, max_df=10**6
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_canonical_per_component_keep_best_and_ties(spark):
     """Each cluster keeps its max-score member; score ties resolve to the
     LOWEST id (total, engine-portable order)."""
