@@ -58,6 +58,8 @@ _PRIORITY = [
     "shared_substring_spans",
     # new concat-and-chunk sequence-packing assignment
     "packed_example_assignment",
+    # new single-pass recall-vs-nprobe tuning sweep
+    "ann_recall_sweep",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -100,6 +102,7 @@ _TAIL = [
     "curated_corpus",
     "stratified_sample_docs",
     "benchmark_decontaminate",
+    "latest_bus_state_batch",
 ]
 
 

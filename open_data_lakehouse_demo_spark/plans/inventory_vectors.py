@@ -376,3 +376,165 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_hits"),
         (F.coalesce("n", F.lit(0)).cast("double") / _K).alias("recall_at_k"),
     )
+
+
+_SWEEP_NPROBES = (1, 2, 4)
+
+
+def _sweep_oracle() -> str:
+    cums = ",\n         ".join(
+        f"SUM(CASE WHEN pair_rank <= {np} THEN 1 ELSE 0 END) OVER "
+        f"(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_{np}"
+        for np in _SWEEP_NPROBES
+    )
+    levels = " UNION ALL ".join(
+        f"SELECT {np} AS nprobe, n_probes, "
+        f"CAST(SUM(CASE WHEN bf_rn <= {_K} AND pair_rank <= {np} "
+        f"AND cum_{np} <= {_K} THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"/ ({_K} * n_probes) AS mean_recall FROM ann GROUP BY n_probes"
+        for np in _SWEEP_NPROBES
+    )
+    return f"""
+WITH {_BASE_SQL},
+probes AS (SELECT vid AS query_id, vec AS qvec, nrm AS qnrm FROM base WHERE vid % {_PROBE_MOD} = 0),
+pairs AS (
+  SELECT p.query_id, b.vid AS neighbor_id,
+         {_dot('p.qvec', 'b.vec')} / (p.qnrm * b.nrm) AS cosine
+  FROM probes p JOIN base b ON b.vid <> p.query_id
+),
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+scored AS (
+  SELECT b.vid, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+corpus_cid AS (
+  SELECT vid AS neighbor_id, centroid_id AS ncid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probe_cids AS (
+  SELECT vid AS query_id, centroid_id AS qcid, rn AS crank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= {max(_SWEEP_NPROBES)}
+),
+ann AS (
+  SELECT query_id, neighbor_id, cosine, pair_rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS bf_rn,
+         {cums},
+         COUNT(DISTINCT query_id) OVER () AS n_probes
+  FROM (
+    SELECT x.query_id AS query_id, x.neighbor_id, x.cosine, pc.crank AS pair_rank
+    FROM pairs x
+    JOIN corpus_cid cc USING (neighbor_id)
+    LEFT JOIN probe_cids pc ON pc.query_id = x.query_id AND pc.qcid = cc.ncid
+  )
+)
+{levels}
+"""
+
+
+@query(
+    "ann_recall_sweep",
+    ("V4", "PIPE2"),
+    oracle=_sweep_oracle(),
+    tags=("similarity", "eval"),
+)
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe tuning curve in ONE pair pass: every scored
+    probe×corpus pair is annotated with the rank of the probe list that
+    would admit it (pair_rank), and each sweep level's top-k membership
+    falls out of a cumulative conditional count over the SAME
+    (cosine DESC, neighbor) sort — one window sort serves the exact
+    ranking and all nprobe levels simultaneously, instead of re-running
+    an IVF plan per level.  Output: (nprobe, n_probes, mean_recall) —
+    the curve an ANN deployment reads to pick its recall/latency point.
+
+    Portability: hit counts are exact integers; mean_recall is one
+    mirrored division.  Scale: the single pair fan-out is eval-arm-sized
+    (brute-force ground truth is inherent to recall measurement); the
+    window partitions by query_id — many small sorts, never global."""
+    from pyspark.sql import Window
+
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
+    p = base.filter(F.col("vid") % _PROBE_MOD == 0)
+    probes_b = p.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        sim.cosine(
+            F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
+        ).alias("cosine"),
+    )
+    centroids = base.orderBy("vid").limit(16)
+    corpus_cid = sim.assign_centroids(base, centroids, n_assign=1).select(
+        F.col("vid").alias("neighbor_id"), F.col("centroid_id").alias("ncid")
+    )
+    probe_cids = sim.assign_centroids(
+        p, centroids, n_assign=max(_SWEEP_NPROBES)
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("centroid_id").alias("qcid"),
+        F.col("crank").alias("crank"),
+    )
+    ann = (
+        pairs.join(corpus_cid, "neighbor_id")
+        .join(
+            F.broadcast(probe_cids),
+            (pairs["query_id"] == probe_cids["query_id"])
+            & (F.col("qcid") == F.col("ncid")),
+            "left",
+        )
+        .select(
+            pairs["query_id"].alias("query_id"),
+            "neighbor_id",
+            "cosine",
+            F.col("crank").alias("pair_rank"),
+        )
+    )
+    wo = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    ann = ann.withColumn("bf_rn", F.row_number().over(wo))
+    for np_ in _SWEEP_NPROBES:
+        ann = ann.withColumn(
+            f"cum_{np_}",
+            F.sum(
+                F.when(F.col("pair_rank") <= np_, 1).otherwise(0)
+            ).over(wcum),
+        )
+    n_probes = ann.agg(F.count_distinct("query_id").alias("n_probes"))
+    levels = [
+        ann.agg(
+            F.sum(
+                F.when(
+                    (F.col("bf_rn") <= _K)
+                    & (F.col("pair_rank") <= np_)
+                    & (F.col(f"cum_{np_}") <= _K),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        ).select(F.lit(np_).alias("nprobe"), "hits")
+        for np_ in _SWEEP_NPROBES
+    ]
+    from functools import reduce as _reduce
+
+    all_levels = _reduce(lambda a, b: a.unionByName(b), levels)
+    return all_levels.crossJoin(F.broadcast(n_probes)).select(
+        "nprobe",
+        "n_probes",
+        (
+            F.col("hits").cast("double") / (F.lit(_K) * F.col("n_probes"))
+        ).alias("mean_recall"),
+    )
