@@ -185,6 +185,22 @@ CHECKS = [
         "decision is a map-side hash filter — zero fact-table shuffles.",
     ),
     (
+        "ann_recall_sweep",
+        ["Window", "HashAggregate", "0x:CartesianProduct"],
+        "All nprobe levels + the exact ranking share ONE window sort (the "
+        "cumulative conditional counts use the same partition/order spec, "
+        "so Catalyst fuses them into a single Window operator); level "
+        "recalls are integer conditional aggregates over that frame.",
+    ),
+    (
+        "packed_example_assignment",
+        ["Window", "HashAggregate"],
+        "Same two-phase distributed prefix sum as token_shard_assignment "
+        "(range partition -> per-partition totals -> broadcast offsets -> "
+        "within-partition windows); example ids/offsets are arithmetic "
+        "over the running sum.",
+    ),
+    (
         "shared_substring_spans",
         ["Window", "HashAggregate", "0x:CartesianProduct", "BroadcastHashJoin"],
         "Candidates come from the df-capped inverted-index equi-join over "
