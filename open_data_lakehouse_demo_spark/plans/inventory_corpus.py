@@ -399,6 +399,11 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler — the standard mixture-weights materialization step between
     curation and tokenization.
 
+    Languages OUTSIDE the target mix get a NULL share → NULL rate → the
+    keep predicate is false, i.e. they are dropped entirely (share 0) —
+    the behavior a mixture spec implies, and identical in the oracle's
+    CASE-without-ELSE.
+
     Engine-portable: per-language token totals are exact integer sums;
     T and the rates are single mirrored double divisions; the keep
     decision is a pure hash function of the row (reproducible across
