@@ -60,6 +60,8 @@ _PRIORITY = [
     "packed_example_assignment",
     # new single-pass recall-vs-nprobe tuning sweep
     "ann_recall_sweep",
+    # new incremental batch-vs-index near-dup detection
+    "incremental_near_dups",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -103,6 +105,7 @@ _TAIL = [
     "stratified_sample_docs",
     "benchmark_decontaminate",
     "latest_bus_state_batch",
+    "capacity_alerts_batch",
 ]
 
 

@@ -540,9 +540,23 @@ def minhash_lsh_pairs(
 
     # same signature-table materialization as ngram_jaccard_pairs
     sets = materialize(_doc_shingle_sets(df, id_col, text_col, n))
+    bands = _minhash_bands(sets)
+    cands = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_pairs(cands, sets, threshold)
+
+
+def _minhash_bands(sets: DataFrame) -> DataFrame:
+    """(doc, band_id, band_key) LSH band table from a (doc, sh) set table —
+    the persistable dedup INDEX (constant rows per doc)."""
     sigs = sets.select("doc", minhash_signature(F.col("sh")).alias("sig"))
     r = N_HASHES // N_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -562,14 +576,48 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", "bk.band_id", "bk.band_key")
+
+
+def minhash_lsh_pairs_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup detection: a NEW batch against an already-
+    indexed corpus — the production shape of continuous ingestion, where
+    re-running full-corpus dedup per batch is O(corpus) wasted work.
+
+    The batch's band table joins (batch ∪ index) — per-batch work scales
+    with the BATCH (plus collision fan-in), never the corpus; in
+    production ``_minhash_bands(old)`` and the old shingle sets are
+    PERSISTED tables maintained across batches (here rebuilt from old_df,
+    which doesn't change the join shape).  Output = exactly the
+    full-corpus ``minhash_lsh_pairs`` result restricted to pairs touching
+    the batch (both new×old and new×new), doc_a < doc_b — so appending
+    batch pairs to the accumulated pair set reproduces full-corpus dedup.
+    """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    sets_old = materialize(_doc_shingle_sets(old_df, id_col, text_col, n))
+    sets_new = materialize(_doc_shingle_sets(new_df, id_col, text_col, n))
+    bands_new = _minhash_bands(sets_new)
+    bands_all = _minhash_bands(sets_old).unionByName(bands_new)
+    # new×new collisions surface twice (x,y swapped) — least/greatest +
+    # distinct normalizes; new×old once per collision
     cands = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_key"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        bands_new.alias("x")
+        .join(bands_all.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.least(F.col("x.doc"), F.col("y.doc")).alias("doc_a"),
+            F.greatest(F.col("x.doc"), F.col("y.doc")).alias("doc_b"),
+        )
         .distinct()
     )
-    return _verified_pairs(cands, sets, threshold)
+    return _verified_pairs(cands, sets_old.unionByName(sets_new), threshold)
 
 
 def simhash_pairs(

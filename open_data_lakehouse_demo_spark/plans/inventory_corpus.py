@@ -538,3 +538,38 @@ def packed_example_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
     )
     return assign_packed_examples(docs, "doc_id", "n_tokens", seq_len=_PACK_SEQ_LEN)
+
+
+_BATCH_MOD = 10  # batch = doc_id % 10 == 0 (10% "newly ingested" docs)
+
+# Oracle = the FULL-corpus minhash pair set restricted to pairs touching
+# the batch — the equivalence the incremental operator guarantees.
+_INCR_ORACLE = f"""
+WITH {_SHINGLE_SETS_SQL},
+{MINHASH_CANDS_SQL},
+verified AS ({_VERIFY_SQL})
+SELECT * FROM verified
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+  AND (doc_a % {_BATCH_MOD} = 0 OR doc_b % {_BATCH_MOD} = 0)
+"""
+
+
+@query(
+    "incremental_near_dups",
+    ("DD9", "DD3"),
+    oracle=_INCR_ORACLE,
+    tags=("dedup", "pipeline"),
+)
+def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a newly-ingested batch (doc_id % 10 == 0)
+    against the indexed corpus (operators/dedup.py
+    minhash_lsh_pairs_incremental): per-batch work scales with the batch,
+    not the corpus — the continuous-ingestion shape.  Oracle = the
+    full-corpus MinHash pair set restricted to pairs touching the batch,
+    i.e. the exact-equivalence contract the incremental path guarantees."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _BATCH_MOD == 0)
+    old = docs.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    return dedup.minhash_lsh_pairs_incremental(
+        old, new, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.operators import dedup
 from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
@@ -157,6 +158,38 @@ def test_shared_substring_runs_matches_lcs_dp(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """Incremental (batch vs indexed corpus) must equal the full-corpus
+    pair set restricted to pairs touching the batch — the exact
+    equivalence contract of continuous-ingestion dedup."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(12):
+        # clusters of near-identical docs spanning the batch boundary
+        text = base + f" tail{i % 4}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    incr = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs_incremental(
+            old, batch, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+        if r["doc_a"] % 3 == 0 or r["doc_b"] % 3 == 0
+    }
+    assert incr == full and len(incr) > 0
 
 
 def test_canonical_per_component_keep_best_and_ties(spark):
