@@ -48,6 +48,20 @@ def ntz_epoch_seconds(ts: Column) -> Column:
     return day * 86400 + sid
 
 
+def ntz_epoch_micros(ts: Column) -> Column:
+    """Wall-clock epoch MICROSECONDS of a TIMESTAMP_NTZ — the µs-precision
+    sibling of ntz_epoch_seconds (same pure field arithmetic, same DST-gap
+    rationale; ``unix_micros`` rejects NTZ outright). Spark's extract has
+    no MICROSECONDS field, but SECOND yields an exact DECIMAL(8,6)
+    seconds-within-minute — × 1e6 in decimal space loses nothing."""
+    day = F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    min_us = (F.hour(ts) * 60 + F.minute(ts)).cast("bigint") * F.lit(60_000_000).cast(
+        "bigint"
+    )
+    sub_us = (F.date_part(F.lit("SECOND"), ts) * 1_000_000).cast("bigint")
+    return day * F.lit(86_400_000_000).cast("bigint") + min_us + sub_us
+
+
 def timestamp_bucket(ts: Column | str, bucket_seconds: int) -> Column:
     """Floor a timestamp to a fixed-width bucket — GoogleSQL TIMESTAMP_BUCKET.
 

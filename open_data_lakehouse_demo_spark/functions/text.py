@@ -132,3 +132,41 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
         lambda i: token_hash(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
     return F.array_min(window_hashes)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (TX9)
+#
+# The patterns below are deliberately written in the regex dialect subset
+# shared by Java regex (Spark executors) and RE2 (DuckDB oracle): no
+# backreferences, no lookaround, ASCII word boundaries only. Scrub order is
+# a contract: EMAIL first (emails contain dots that an IP pattern could
+# partially match), then PHONE, then IPV4; the replacement tokens contain
+# no digits or '@', so later passes can never re-match inside an earlier
+# redaction.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_PASSES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+)
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("bigint")
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, then phones, then IPv4s (fixed pass order — see
+    module contract above). Pure Column expression: the whole scrub stays
+    inside whole-stage codegen, no Python in the hot path."""
+    out = text
+    for pattern, token in _PII_PASSES:
+        out = F.regexp_replace(out, pattern, token)
+    return out

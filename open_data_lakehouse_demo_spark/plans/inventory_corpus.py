@@ -573,3 +573,54 @@ def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_incremental(
         old, new, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE7 — deterministic salted train/val/test split
+# ---------------------------------------------------------------------------
+#
+# The split every training-data materialization ends with: a stable,
+# engine-independent hash split (NOT sample()/rand(), which are
+# partitioning- and engine-dependent). h = 60-bit md5 of 'split:'||doc_id
+# (the salt namespaces this split against every other md5 use in the
+# repo), bucket = h % 100 → <80 train, <90 val, else test. Re-running on
+# a grown corpus never reassigns an existing document — the property that
+# keeps eval sets uncontaminated across dataset refreshes.
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bkt
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+FROM h
+"""
+
+
+@query("hash_split_assignment", ("PIPE7",), oracle=_SPLIT_ORACLE, tags=("pipeline",))
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test split (80/10/10).
+
+    Scale shape: map-only — one whole-stage-codegen scan computes the md5
+    bucket and the CASE label; no shuffle, no state. Downstream writers
+    partition by the split column (sources/io.write_parquet clustered
+    mode), so the split costs one scan regardless of corpus size, and the
+    assignment of any document is reproducible from its id alone on any
+    engine with md5 (the portable-hash contract shared with the HLL and
+    CMS sketches)."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    bkt = h % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").alias("split"),
+    )

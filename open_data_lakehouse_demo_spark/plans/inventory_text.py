@@ -553,3 +553,111 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TX9 — PII detection + redaction profile
+# ---------------------------------------------------------------------------
+#
+# The synthetic corpus contains no organic PII, so the query derives a
+# deterministic "dirty" text from each document (doc_id-seeded email /
+# phone / IP fragments appended to the real text, plus decoys that must
+# NOT match) and the operator under test is the scrub itself:
+# functions/text.py scrub_pii — pattern set, pass order, and the
+# count-what-you-redact contract (each pass counts matches on the text as
+# the PREVIOUS pass left it). Oracle replicates construction + scrub in
+# RE2; patterns are written in the Java∩RE2 dialect subset.
+
+_DIRTY_SQL = (
+    "text || ' contact'"
+    " || CASE WHEN doc_id % 2 = 0"
+    "         THEN ' user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'"
+    "         ELSE ' ref +' || (doc_id % 90000) END"  # decoy: no dashes => not a phone
+    " || ' phone +1-555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256)"
+    "         ELSE ' ver 9.9' END"  # decoy: two octets => not an IPv4
+)
+
+_PII_ORACLE = rf"""
+WITH dirty AS (
+  SELECT doc_id, {_DIRTY_SQL} AS dt FROM documents
+), p1 AS (
+  SELECT doc_id, dt,
+         len(regexp_extract_all(dt, '{tx.PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(dt, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM dirty
+), p2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{tx.PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(t1, '{tx.PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM p1
+)
+SELECT doc_id,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_phones AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t2, '{tx.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+  regexp_replace(t2, '{tx.PII_IPV4_RE}', '<IP>', 'g') AS redacted,
+  CAST(length(regexp_replace(t2, '{tx.PII_IPV4_RE}', '<IP>', 'g')) AS BIGINT)
+    AS redacted_len
+FROM p2
+"""
+
+
+@query("pii_scrub_profile", ("TX9",), oracle=_PII_ORACLE, tags=("text",))
+def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-document email /
+    phone / IPv4 match counts and the fully-redacted text.
+
+    Scale shape: map-only — every pattern pass is a Column expression
+    (regexp_extract_all/regexp_replace) inside one whole-stage-codegen
+    scan stage; no shuffle, no Python. At 100 TB this is the ideal
+    embarrassingly-parallel operator: throughput scales linearly with
+    executors and the regex dialect contract (functions/text.py) keeps
+    the scrub portable across engines."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" user"), did.cast("string"), F.lit("@mail"),
+                (did % 7).cast("string"), F.lit(".example.com"),
+            ),
+        ).otherwise(F.concat(F.lit(" ref +"), (did % 90000).cast("string"))),
+        F.lit(" phone +1-555-"),
+        F.lpad(((did * 37) % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip 10."), (did % 256).cast("string"),
+                F.lit(".0."), ((did * 3) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit(" ver 9.9")),
+    )
+    staged = (
+        docs.select("doc_id", dirty.alias("dt"))
+        .select(
+            "doc_id",
+            tx.pii_count(F.col("dt"), tx.PII_EMAIL_RE).alias("n_emails"),
+            F.regexp_replace("dt", tx.PII_EMAIL_RE, "<EMAIL>").alias("t1"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            tx.pii_count(F.col("t1"), tx.PII_PHONE_RE).alias("n_phones"),
+            F.regexp_replace("t1", tx.PII_PHONE_RE, "<PHONE>").alias("t2"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        tx.pii_count(F.col("t2"), tx.PII_IPV4_RE).alias("n_ips"),
+        F.regexp_replace("t2", tx.PII_IPV4_RE, "<IP>").alias("redacted"),
+        F.length(F.regexp_replace("t2", tx.PII_IPV4_RE, "<IP>")).cast("bigint").alias(
+            "redacted_len"
+        ),
+    )

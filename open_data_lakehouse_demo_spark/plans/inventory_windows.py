@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from open_data_lakehouse_demo_spark.functions.compat import ntz_epoch_seconds
+from open_data_lakehouse_demo_spark.functions.compat import (
+    ntz_epoch_micros,
+    ntz_epoch_seconds,
+)
 from open_data_lakehouse_demo_spark.plans.inventory import dec, query, t
 
 _MOMENTUM_ORACLE = """
@@ -186,4 +189,123 @@ def monthly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click").alias("click_value"),
         F.col("purchase").alias("purchase_value"),
         F.col("view").alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — ordered-funnel conversion (signup → view → click → purchase)
+# ---------------------------------------------------------------------------
+#
+# Strict sequential funnel: a user reaches step k only via the EARLIEST
+# event of step k's type that is strictly after their step-(k-1) time.
+# Hash-parity policy for the time math: per-user step latencies are exact
+# BIGINT microsecond diffs (unix_micros vs date_diff('microsecond')), the
+# cross-user aggregate is an exact integer SUM, and the single
+# double-division chain (sum → /n → /3.6e9) is identical in both engines,
+# so the emitted doubles are bit-identical regardless of partitioning.
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+), u AS (
+  SELECT s1.user_id, t1, t2, t3, t4
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          LEFT JOIN s4 USING (user_id)
+), agg AS (
+  SELECT
+    COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3, COUNT(t4) AS u4,
+    SUM(date_diff('microsecond', t1, t2)) AS us2,
+    SUM(date_diff('microsecond', t1, t3)) AS us3,
+    SUM(date_diff('microsecond', t1, t4)) AS us4
+  FROM u
+)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'signup' AS step, CAST(u1 AS BIGINT) AS users,
+         CAST(0.0 AS DOUBLE) AS avg_hours_from_signup FROM agg
+  UNION ALL
+  SELECT 2, 'view', CAST(u2 AS BIGINT),
+         CAST(us2 AS DOUBLE) / u2 / 3600000000.0 FROM agg
+  UNION ALL
+  SELECT 3, 'click', CAST(u3 AS BIGINT),
+         CAST(us3 AS DOUBLE) / u3 / 3600000000.0 FROM agg
+  UNION ALL
+  SELECT 4, 'purchase', CAST(u4 AS BIGINT),
+         CAST(us4 AS DOUBLE) / u4 / 3600000000.0 FROM agg
+)
+"""
+
+
+@query("funnel_conversion", ("W5", "A1", "J7"), oracle=_FUNNEL_ORACLE, tags=("window",))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis over the event stream: how many users
+    progress signup → view → click → purchase in strict timestamp order,
+    and the average latency from signup to each step.
+
+    Scale shape: each step is a user-keyed MIN aggregate joined to the
+    previous step's user-level table — all four shuffles hash on the SAME
+    key (user_id), so AQE/co-partitioning reuses the exchange and the
+    join per step is 1:N on an already-reduced (one-row-per-user) build
+    side. The final funnel aggregate reduces to ONE row and fans out to 4
+    step rows with a no-shuffle unpivot (stack). No window sort anywhere:
+    conditional MIN beats sorting each user's history at 100 TB."""
+    events = t(spark, sf_dir, "events")
+
+    def step(prev: DataFrame, etype: str, tprev: str, tcur: str) -> DataFrame:
+        nxt = (
+            events.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", tprev), "user_id")
+            .filter(F.col("ts") > F.col(tprev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcur))
+        )
+        return nxt
+
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = step(s1, "view", "t1", "t2")
+    s3 = step(s2, "click", "t2", "t3")
+    s4 = step(s3, "purchase", "t3", "t4")
+    u = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+    )
+    us = lambda c: ntz_epoch_micros(F.col(c))  # noqa: E731
+    agg = u.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+        F.count("t4").alias("u4"),
+        F.sum(us("t2") - us("t1")).alias("us2"),
+        F.sum(us("t3") - us("t1")).alias("us3"),
+        F.sum(us("t4") - us("t1")).alias("us4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'signup',   u1, CAST(0.0 AS DOUBLE), "
+            "2, 'view',     u2, CAST(us2 AS DOUBLE) / u2 / 3600000000.0D, "
+            "3, 'click',    u3, CAST(us3 AS DOUBLE) / u3 / 3600000000.0D, "
+            "4, 'purchase', u4, CAST(us4 AS DOUBLE) / u4 / 3600000000.0D) "
+            "AS (step_idx, step, users, avg_hours_from_signup)"
+        )
+    ).select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        F.col("users").cast("bigint").alias("users"),
+        "avg_hours_from_signup",
     )

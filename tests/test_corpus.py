@@ -121,3 +121,29 @@ def test_mixture_sample_water_filling_semantics(spark):
     kept_langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
     assert "xx" not in kept_langs
     assert kept.filter(F.col("lang") == "en").count() == 40  # rate 1.0 keeps all
+
+
+def test_hash_split_assignment_oracle_parity(spark, duck):
+    q = QUERIES["hash_split_assignment"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "hash_split_assignment")
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A document's split never changes when the corpus around it does —
+    the decontamination-across-refreshes property of a salted hash split."""
+    q = QUERIES["hash_split_assignment"]
+    full = {r["doc_id"]: r["split"] for r in q.spark(spark, SF_DIR).collect()}
+    small = {
+        r["doc_id"]: r["split"]
+        for r in q.spark(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert small  # non-empty subset corpus
+    for doc_id, split in small.items():
+        if doc_id in full:
+            assert full[doc_id] == split
+    # all three splits materialize and ratios are plausibly 80/10/10
+    from collections import Counter
+
+    cnt = Counter(full.values())
+    assert set(cnt) == {"train", "val", "test"}
+    assert cnt["train"] > cnt["val"] and cnt["train"] > cnt["test"]

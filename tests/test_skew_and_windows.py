@@ -146,3 +146,28 @@ def test_streaming_dedup_drops_producer_retries(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 2  # retry envelope removed
     assert {r["bus_stop_index"] for r in rows} == {0, 1}
+
+
+def test_funnel_conversion_oracle_parity(spark, duck):
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["funnel_conversion"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "funnel_conversion")
+
+
+def test_funnel_is_monotone_and_ordered(spark):
+    """Funnel counts can only shrink step-over-step, and average latency
+    from signup is non-decreasing across steps (strict-order semantics)."""
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        QUERIES["funnel_conversion"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["step_idx"],
+    )
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+    hours = [r["avg_hours_from_signup"] for r in rows]
+    assert all(b >= a for a, b in zip(hours, hours[1:]))

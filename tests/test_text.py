@@ -73,3 +73,33 @@ def test_text_oracle_parity(spark, duck, name):
     q = QUERIES[name]
     assert q.oracle is not None
     assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, name)
+
+
+def test_pii_scrub_profile_oracle_parity(spark, duck):
+    q = QUERIES["pii_scrub_profile"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "pii_scrub_profile")
+
+
+def test_scrub_pii_patterns_and_pass_order(spark):
+    """Known-answer scrub: realistic PII redacts, decoys survive, and the
+    email pass runs before phone/ip (replacement tokens never re-match)."""
+    rows = [
+        ("reach me at jane.doe+spam@corp.example.co.uk thanks",),
+        ("call +1-555-0100 or +44-123-4567 now",),
+        ("host 192.168.0.1 and 10.0.0.255 up; ver 9.9 is not an ip",),
+        ("ref +12345 has no dashes; 1.2.3 has three octets",),
+        ("mixed a@b.io then +1-555-9999 then 8.8.8.8",),
+    ]
+    df = spark.createDataFrame(rows, ["t"]).select(
+        tx.scrub_pii(F.col("t")).alias("s"),
+        tx.pii_count(F.col("t"), tx.PII_EMAIL_RE).alias("ne"),
+        tx.pii_count(F.col("t"), tx.PII_PHONE_RE).alias("np"),
+        tx.pii_count(F.col("t"), tx.PII_IPV4_RE).alias("ni"),
+    )
+    got = df.collect()
+    assert got[0]["s"] == "reach me at <EMAIL> thanks" and got[0]["ne"] == 1
+    assert got[1]["s"] == "call <PHONE> or <PHONE> now" and got[1]["np"] == 2
+    assert got[2]["s"] == "host <IP> and <IP> up; ver 9.9 is not an ip"
+    assert got[2]["ni"] == 2
+    assert got[3]["s"] == rows[3][0]  # decoys untouched
+    assert got[4]["s"] == "mixed <EMAIL> then <PHONE> then <IP>"
