@@ -18,7 +18,7 @@ sort. Two tiers here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.functions.compat import approx_quantiles
@@ -273,4 +273,119 @@ def value_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("p") == 0.25, F.col("q"))).alias("q25"),
         F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias("q50"),
         F.max(F.when(F.col("p") == 0.75, F.col("q"))).alias("q75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (portable, oracle-hashed)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 64  # buckets per row
+_CMS_TOPK = 20
+
+_CMS_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+         AS token
+  FROM documents
+), rws AS (
+  SELECT unnest(range(0, {_CMS_D})) AS r
+), pairs AS (
+  SELECT token, r,
+         CAST(('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || token), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM toks, rws
+), sketch AS (
+  SELECT r, bucket, COUNT(*) AS c FROM pairs GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY 1
+), cand AS (
+  SELECT e.token, e.exact_count, w.r,
+         CAST(('0x' || substring(md5('cms' || CAST(w.r AS VARCHAR) || ':' || e.token), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM exact e, rws w
+), est AS (
+  SELECT c.token, c.exact_count, MIN(s.c) AS est_count
+  FROM cand c JOIN sketch s ON c.r = s.r AND c.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT token,
+  CAST(est_count AS BIGINT) AS est_count,
+  CAST(exact_count AS BIGINT) AS exact_count,
+  CAST(est_count - exact_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY est_count DESC, token
+LIMIT {_CMS_TOPK}
+"""
+
+
+def _cms_pairs(token: Column) -> Column:
+    """(row, bucket) array for one token under the portable md5 CMS hash."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
+        lambda r: F.struct(
+            r.cast("int").alias("r"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), token)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _CMS_W
+            ).alias("bucket"),
+        ),
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    ("A10",),
+    oracle=_CMS_ORACLE,
+    tags=("sketch",),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a PORTABLE Count-Min sketch (d=3 rows ×
+    w=64 buckets, md5-salted row hashes) — reported next to the exact
+    counts so the CMS one-sided error (est ≥ exact, never under) is
+    driver-visible, fully oracle-HASHED like the portable HLL.
+
+    Scale shape: the sketch is a ≤ d·w-cell integer table that partial-
+    aggregates map-side — the shuffle carries at most 192 rows no matter
+    the corpus size, and merging shard sketches is cell-wise addition
+    (the mergeable contract). Estimate read-out joins the candidate set
+    against the broadcast sketch (d rows per candidate, MIN across rows).
+    The exact-count arm exists for the error audit; a production 100 TB
+    run keeps only the sketch + a candidate stream.
+    """
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    pairs = toks.select(F.explode(_cms_pairs(F.col("token"))).alias("rb")).select(
+        F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    sketch = pairs.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    cand = exact.select(
+        "token", "exact_count", F.explode(_cms_pairs(F.col("token"))).alias("rb")
+    ).select("token", "exact_count", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(
+            "token",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+        .limit(_CMS_TOPK)
     )

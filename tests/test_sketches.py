@@ -134,3 +134,43 @@ def test_histogram_quantiles_oracle_parity_and_accuracy(spark, duck):
     for r in sdf.collect():
         for got, want in zip((r["q25"], r["q50"], r["q75"]), exact[r["event_type"]]):
             assert abs(got - want) <= bin_w, (r["event_type"], got, want, bin_w)
+
+
+def test_cms_heavy_hitters_oracle_parity(spark, duck):
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["cms_heavy_hitters"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "cms_heavy_hitters")
+
+
+def test_cms_one_sided_error_and_mergeable(spark):
+    """CMS never underestimates, and the sketch of a sharded corpus is the
+    cell-wise sum of shard sketches (the mergeable contract)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+    from open_data_lakehouse_demo_spark.plans.inventory_sketches import _cms_pairs
+
+    q = QUERIES["cms_heavy_hitters"]
+    rows = q.spark(spark, SF_DIR).collect()
+    assert rows and all(r["est_count"] >= r["exact_count"] for r in rows)
+    assert all(r["overestimate"] == r["est_count"] - r["exact_count"] for r in rows)
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    pairs = toks.select(
+        "doc_id", F.explode(_cms_pairs(F.col("token"))).alias("rb")
+    ).select("doc_id", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+
+    def cells(df):
+        return {
+            (r["r"], r["bucket"]): r["c"]
+            for r in df.groupBy("r", "bucket").agg(F.count("*").alias("c")).collect()
+        }
+
+    full = cells(pairs)
+    lo = cells(pairs.filter(F.col("doc_id") % 2 == 0))
+    hi = cells(pairs.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
