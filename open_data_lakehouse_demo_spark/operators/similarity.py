@@ -718,3 +718,71 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.25,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    coarse-cluster the embedding space, then exhaustively compare ONLY
+    within each cluster and drop the higher-id member of every pair with
+    cosine ≥ threshold (keep-first rule — deterministic, id-stable).
+
+    Output: one row per REMOVED vector — (removed_id, keeper_id,
+    cosine_to_keeper) where keeper = the lowest-id partner over threshold
+    (ties impossible: one row per partner id).
+
+    Scale shape: clustering bounds the quadratic — all-pairs work is
+    Σ|cluster|² instead of n². The knob that keeps that sum flat at 100 TB
+    is n_clusters ∝ corpus size (SemDeDup uses ~50k clusters for LAION-
+    scale; locally 16 over 500 vectors keeps the same ~n/32 cluster
+    width). The self-join is an equi-join on centroid_id; with cluster
+    counts in the tens of thousands the join keys spread evenly and AQE
+    splits any skewed list. Default codebook = lowest-id sample (oracle-
+    reproducible); pass kmeans_codebook(...) for trained clusters where
+    removal quality matters.
+    """
+    base = _ensure_base(df, id_col, vec_col)
+    centroids = (
+        codebook if codebook is not None else base.orderBy("vid").limit(n_clusters)
+    )
+    assigned = assign_centroids(base, centroids, n_assign=1).select(
+        "centroid_id", "vid", "vec", "nrm"
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vid").alias("vid_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vid").alias("vid_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(
+            "vid_a",
+            "vid_b",
+            cosine(
+                F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # keep-first: the removed doc's keeper is its lowest-id over-threshold
+    # partner; min(struct) = one hash aggregate, no window sort
+    kept = dups.groupBy("vid_b").agg(F.min(F.struct("vid_a", "cosine")).alias("k"))
+    return kept.select(
+        F.col("vid_b").alias("removed_id"),
+        F.col("k.vid_a").alias("keeper_id"),
+        F.col("k.cosine").alias("cosine_to_keeper"),
+    )

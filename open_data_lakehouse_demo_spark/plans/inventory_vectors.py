@@ -538,3 +538,52 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double") / (F.lit(_K) * F.col("n_probes"))
         ).alias("mean_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DD10 — SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_THRESHOLD = 0.25
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH {_BASE_SQL},
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+scored AS (
+  SELECT b.vid, b.vec, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT centroid_id, vid, vec, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT a.vid AS vid_a, b.vid AS vid_b,
+         {_dot('a.vec', 'b.vec')} / (a.nrm * b.nrm) AS cosine
+  FROM assign1 a JOIN assign1 b
+    ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+  WHERE {_dot('a.vec', 'b.vec')} / (a.nrm * b.nrm) >= {_SEMANTIC_THRESHOLD}
+)
+SELECT vid_b AS removed_id, vid_a AS keeper_id, cosine AS cosine_to_keeper
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid_b ORDER BY vid_a) AS rn FROM dups
+) WHERE rn = 1
+"""
+
+
+@query(
+    "semantic_dedup",
+    ("DD10", "V2"),
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("similarity", "dedup"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-bounded exhaustive cosine dedup over embeddings —
+    removed docs with their lowest-id keeper (operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs(
+        emb, n_clusters=16, threshold=_SEMANTIC_THRESHOLD
+    )

@@ -214,3 +214,26 @@ def test_ivf_kmeans_recall_not_worse_than_sampled(emb_df):
         codebook=sim.kmeans_codebook(df, n_centroids=4, n_iterations=3),
     )
     assert recall(trained) >= recall(sampled) - 1  # allow one-probe jitter
+
+
+def test_semantic_dedup_oracle_parity(spark, duck):
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["semantic_dedup"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "semantic_dedup")
+
+
+def test_semantic_dedup_keep_first_semantics(spark):
+    """Every removal points at a strictly lower id, at/above threshold,
+    and each vector is removed at most once (one keeper per removed)."""
+    from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
+        _SEMANTIC_THRESHOLD,
+    )
+
+    rows = QUERIES["semantic_dedup"].spark(spark, SF_DIR).collect()
+    assert rows
+    removed = [r["removed_id"] for r in rows]
+    assert len(removed) == len(set(removed))
+    for r in rows:
+        assert r["keeper_id"] < r["removed_id"]
+        assert r["cosine_to_keeper"] >= _SEMANTIC_THRESHOLD
