@@ -1,0 +1,159 @@
+"""Product quantization (PQ) + asymmetric-distance (ADC) search.
+
+The memory-bound scale path for billion-vector similarity (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+64-dim embedding into M=8 subspaces of 8 dims, quantize each subvector to
+one of 16 per-subspace codes, and search with a per-probe lookup table —
+the corpus shrinks from 64 float32 (256 B) to 8 uint4-sized codes per
+vector, and distance evaluation is M table lookups instead of a 64-wide
+dot product.
+
+Spark-first shape:
+  - the codebook is tiny (M × 16 subvectors) and BROADCAST everywhere;
+  - encoding is one scan: subspace fan-out is a generator (explode of a
+    computed array, no shuffle), the per-(vid, subspace) argmin is a
+    single min(struct) hash aggregate (no window sort), and codes
+    re-assemble with an array_sort over the M-element collect_list;
+  - ADC search broadcasts the per-probe LUT (M × 16 doubles per probe)
+    against the ENCODED corpus — the big side never re-reads the raw
+    vectors, which is the entire point of PQ at 100 TB.
+
+Portability contract (same policy as operators/similarity.py): every
+distance is a SEQUENTIAL fold in a defined order — L2² folds left-to-right
+over the 8 dims from a +0.0 seed (squares are never -0.0, so DuckDB's
+seedless list_reduce over the same order is bit-identical), and the ADC
+sum folds over subspaces 0..M-1. The driver hash therefore matches the
+DuckDB oracle exactly (plans/inventory_vectors.py).
+
+Default codebook = subvectors of the NCODES lowest-id vectors (the same
+deterministic, oracle-reproducible seeding as the IVF coarse quantizer);
+a k-means-per-subspace trained codebook slots into the same broadcast
+path where recall matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+M = 8  # subspaces
+SUB = DIM // M  # dims per subspace
+NCODES = 16  # codes per subspace
+
+
+def sub_slices(vec: Column) -> Column:
+    """array<struct<s int, vs array<double>>> — the M subvectors of ``vec``
+    (float→double element cast, matching the oracle's CAST AS DOUBLE)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.transform(
+                F.slice(vec, s * SUB + 1, SUB), lambda x: x.cast("double")
+            ).alias("vs"),
+        ),
+    )
+
+
+def l2sq_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance over two SUB-dim double arrays."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(SUB)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i)),
+    )
+
+
+def pq_codebook(vectors: DataFrame, id_col: str = "vid", vec_col: str = "vec") -> DataFrame:
+    """(s, code_id, cs) — per-subspace codebook from the NCODES lowest-id
+    vectors; code_id = rank of the seed vector's id (0-based).
+
+    The unpartitioned row_number window here runs on the POST-limit seeds
+    relation (≤ NCODES rows) — bounded at any corpus size, so the
+    single-partition window warning it triggers is vacuous."""
+    w = Window.orderBy(id_col)
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(NCODES)
+        .select((F.row_number().over(w) - 1).alias("code_id"), F.col(vec_col).alias("v"))
+    )
+    return seeds.select("code_id", F.explode(sub_slices(F.col("v"))).alias("sc")).select(
+        F.col("sc.s").alias("s"), "code_id", F.col("sc.vs").alias("cs")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame, codebook: DataFrame, id_col: str = "vid", vec_col: str = "vec"
+) -> DataFrame:
+    """(vid, codes array<int>) — nearest code per subspace (L2², ties to
+    the lowest code_id via one min(struct) hash aggregate)."""
+    subs = vectors.select(
+        F.col(id_col).alias("vid"), F.explode(sub_slices(F.col(vec_col))).alias("sc")
+    ).select("vid", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
+    scored = subs.join(F.broadcast(codebook), "s").select(
+        "vid", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("d2")
+    )
+    best = scored.groupBy("vid", "s").agg(F.min(F.struct("d2", "code_id")).alias("b"))
+    return best.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", F.col("b.code_id").alias("code_id")))),
+            lambda x: x["code_id"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ codes + per-probe ADC lookup tables.
+
+    Output (query_id, neighbor_id, adc_dist), adc ascending with
+    neighbor-id tiebreak, self excluded. The corpus side of the search
+    join carries ONLY (vid, codes) — 8 small ints per vector.
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    codebook = pq_codebook(base)
+    codes = pq_encode(base, codebook)
+    probes = base.filter(probe_filter) if probe_filter is not None else base
+    psubs = probes.select(
+        F.col("vid").alias("query_id"), F.explode(sub_slices(F.col("vec"))).alias("sc")
+    ).select("query_id", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
+    plut0 = psubs.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("pd2")
+    )
+    per_s = plut0.groupBy("query_id", "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "pd2"))), lambda x: x["pd2"]
+        ).alias("rw")
+    )
+    lut = per_s.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("s", "rw"))), lambda x: x["rw"]).alias(
+            "lut"
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(M)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), s),
+                    F.element_at(F.col("codes"), s) + 1,
+                ),
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

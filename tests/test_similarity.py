@@ -237,3 +237,46 @@ def test_semantic_dedup_keep_first_semantics(spark):
     for r in rows:
         assert r["keeper_id"] < r["removed_id"]
         assert r["cosine_to_keeper"] >= _SEMANTIC_THRESHOLD
+
+
+def test_pq_adc_oracle_parity(spark, duck):
+    q = QUERIES["pq_adc_topk"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "pq_adc_topk")
+
+
+def test_pq_encoding_shape_and_recall(spark):
+    """Codes are M ints in [0, NCODES); ADC top-5 recalls ground-truth
+    L2 neighbors far above chance (PQ is approximate, not random)."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"))
+    codes = pq.pq_encode(base, pq.pq_codebook(base)).collect()
+    assert len(codes) == base.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == pq.M
+        assert all(0 <= c < pq.NCODES for c in r["codes"])
+
+    got = QUERIES["pq_adc_topk"].spark(spark, SF_DIR).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # exact L2 ground truth via numpy
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = total = 0
+    for qid, nbrs in approx.items():
+        qv = mat[ids == qid][0]
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        truth = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        hits += len(nbrs & truth)
+        total += 5
+    recall = hits / total
+    # chance level for 5-of-499 is ~1%; even an UNTRAINED sampled codebook
+    # on near-isotropic synthetic vectors should sit several times above
+    # chance (measured 0.14 at sf0.01 — trained codebooks go higher)
+    assert recall >= 0.05, f"PQ recall {recall:.2f} below sanity floor"
