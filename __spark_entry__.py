@@ -62,6 +62,16 @@ _PRIORITY = [
     "ann_recall_sweep",
     # new incremental batch-vs-index near-dup detection
     "incremental_near_dups",
+    # new round-4 additions (PII scrub, funnel, split, CMS, SemDeDup, PQ,
+    # containment, OHLC) — fresh rows required
+    "pii_scrub_profile",
+    "funnel_conversion",
+    "hash_split_assignment",
+    "cms_heavy_hitters",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "containment_dups",
+    "daily_ohlc",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -81,6 +91,16 @@ _PRIORITY = [
 _TAIL = [
     # hash-green in CORRECTNESS_r03 (the freshest artifact) and untouched
     # this round — safe to rotate out for one round
+    "pricing_summary",
+    "order_features",
+    "minute_fanout",
+    # rows-only media stubs, recorded in r03 and untouched this round
+    # (video_frame_sample stays in-window — it was the r3 perf flag)
+    "image_feature_extract",
+    "audio_feature_extract",
+    "doc_fingerprints",
+    "generated_rides",
+    "user_sessions",
     "user_time_bounds",
     "collected_values",
     "top_orders",

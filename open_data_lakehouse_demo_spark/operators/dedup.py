@@ -679,3 +679,79 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric-containment near-dups: pairs where EITHER document's
+    shingle set is ≥ t contained in the other's — C(A→B) = |A∩B| / |A|.
+
+    Catches the subset-duplicate class Jaccard misses entirely: a snippet
+    quoted inside a much longer page has C(snippet→page) ≈ 1 while
+    J = |A∩B|/|A∪B| ≈ |A|/|B| can be arbitrarily small. The standard
+    curation recipe runs Jaccard for same-size near-dups and containment
+    for quote/boilerplate/subset removal.
+
+    Candidate generation is lossless for max-containment ≥ t by the
+    one-sided prefix-filtering theorem: if |A∩B| ≥ ⌈t·|A|⌉ then the first
+    |A| - ⌈t·|A|⌉ + 1 elements of A (global hash order) must hit B —
+    so the index joins each doc's PREFIX against the FULL index (vs
+    prefix×prefix for Jaccard; the asymmetric side needs the whole
+    containing set). Same exact-integer prefix arithmetic as
+    prefix_length; ``max_df`` drops boilerplate shingles from candidate
+    generation (documented approximation — verification uses full sets).
+
+    Output (doc_a, doc_b, containment_a, containment_b, jaccard) with
+    doc_a < doc_b and max(containment) ≥ t.
+
+    Scale shape: identical to ngram_jaccard_pairs — one materialized
+    signature table, df-capped inverted-index equi-join (prefix side is
+    (1-t)× smaller; the full side is the same index the Jaccard path
+    builds), verification via array_intersect on the joined sets. The
+    candidate fan-out stays output-sized under the df cap.
+    """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    threshold = threshold_pct / 100.0
+    sets = materialize(_doc_shingle_sets(df, id_col, text_col, n))
+    full = sets.select("doc", F.explode("sh").alias("h"))
+    rare = full.groupBy("h").agg(F.count("*").alias("df_h")).filter(
+        F.col("df_h") <= max_df
+    )
+    full_r = full.join(rare.select("h"), "h")
+    pref_r = sets.select(
+        "doc",
+        F.explode(F.slice("sh", 1, prefix_length(F.size("sh"), threshold_pct))).alias("h"),
+    ).join(rare.select("h"), "h")
+    cands = (
+        pref_r.alias("x")
+        .join(full_r.alias("y"), "h")
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.least(F.col("x.doc"), F.col("y.doc")).alias("doc_a"),
+            F.greatest(F.col("x.doc"), F.col("y.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / F.size("sh_a").cast("double")).alias("containment_a"),
+            (inter.cast("double") / F.size("sh_b").cast("double")).alias("containment_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+    )

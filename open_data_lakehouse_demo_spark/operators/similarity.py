@@ -766,8 +766,11 @@ def semantic_dedup_pairs(
         F.col("vec").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # shuffle_hash: the self-join fans out quadratically within clusters —
+    # a sort-merge join would sort BOTH fanned-out sides; hash-join on the
+    # cluster id streams them (same reasoning as the LSH candidate join)
     dups = (
-        a.join(b, "centroid_id")
+        a.join(b.hint("shuffle_hash"), "centroid_id")
         .filter(F.col("vid_a") < F.col("vid_b"))
         .select(
             "vid_a",

@@ -206,3 +206,52 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# DD11 — asymmetric containment (subset-duplicate) detection
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_SETS_SQL},
+full_idx AS (SELECT doc, unnest(sh) AS h FROM shs),
+rare AS (SELECT h FROM full_idx GROUP BY h HAVING COUNT(*) <= {_MAX_DF}),
+fullr AS (SELECT doc, h FROM full_idx WHERE h IN (SELECT h FROM rare)),
+pref AS (
+  SELECT doc, unnest(sh[1:CAST(len(sh) - floor(({_T_PCT} * len(sh) + 99) / 100) + 1 AS INT)]) AS h
+  FROM shs
+),
+prefr AS (SELECT doc, h FROM pref WHERE h IN (SELECT h FROM rare)),
+cands AS (
+  SELECT DISTINCT least(x.doc, y.doc) AS doc_a, greatest(x.doc, y.doc) AS doc_b
+  FROM prefr x JOIN fullr y ON x.h = y.h AND x.doc <> y.doc
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)
+      AS containment_a,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(b.sh) AS DOUBLE)
+      AS containment_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+  FROM cands c JOIN shs a ON c.doc_a = a.doc JOIN shs b ON c.doc_b = b.doc
+)
+SELECT * FROM verified
+WHERE greatest(containment_a, containment_b) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "containment_dups",
+    ("DD11",),
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("dedup",),
+)
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs by asymmetric shingle containment ≥ 0.8 —
+    one-sided prefix-filtered inverted index (operators/dedup.py
+    containment_pairs); catches quote/excerpt dups Jaccard misses."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", threshold_pct=_T_PCT, max_df=_MAX_DF
+    )

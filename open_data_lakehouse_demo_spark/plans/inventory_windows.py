@@ -252,37 +252,38 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     progress signup → view → click → purchase in strict timestamp order,
     and the average latency from signup to each step.
 
-    Scale shape: each step is a user-keyed MIN aggregate joined to the
-    previous step's user-level table — all four shuffles hash on the SAME
-    key (user_id), so AQE/co-partitioning reuses the exchange and the
-    join per step is 1:N on an already-reduced (one-row-per-user) build
-    side. The final funnel aggregate reduces to ONE row and fans out to 4
-    step rows with a no-shuffle unpivot (stack). No window sort anywhere:
-    conditional MIN beats sorting each user's history at 100 TB."""
+    Scale shape (windowFunnel-style single pass): ONE user-keyed shuffle.
+    The aggregate keeps min(signup ts) as a scalar plus one timestamp
+    ARRAY per later step type (collect_list of a type-gated ts — nulls
+    are skipped, so each array holds only that user's view/click/purchase
+    times); the strict-order mins then resolve per user with pure array
+    expressions — array_min(filter(arr, ts > t_prev)) — no joins, no
+    window sort, no re-scan. This beats the classic 4-level join chain
+    (4 co-keyed shuffles + 4 sequential barrier jobs; the oracle keeps
+    that formulation) at the cost of bounded per-user state: the arrays
+    hold one user's per-type event times, the same state bound as any
+    sessionization — for pathological hot users, cap with a dated
+    pre-filter or fall back to the join chain. The final funnel aggregate
+    reduces to ONE row and fans out to 4 step rows with a no-shuffle
+    unpivot (stack)."""
     events = t(spark, sf_dir, "events")
-
-    def step(prev: DataFrame, etype: str, tprev: str, tcur: str) -> DataFrame:
-        nxt = (
-            events.filter(F.col("event_type") == etype)
-            .join(prev.select("user_id", tprev), "user_id")
-            .filter(F.col("ts") > F.col(tprev))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(tcur))
-        )
-        return nxt
-
-    s1 = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    typed = events.filter(
+        F.col("event_type").isin(*_FUNNEL_STEPS)
+    ).select("user_id", "event_type", "ts")
+    gate = lambda et: F.when(F.col("event_type") == et, F.col("ts"))  # noqa: E731
+    per_user = typed.groupBy("user_id").agg(
+        F.min(gate("signup")).alias("t1"),
+        F.collect_list(gate("view")).alias("vs"),
+        F.collect_list(gate("click")).alias("cs"),
+        F.collect_list(gate("purchase")).alias("ps"),
     )
-    s2 = step(s1, "view", "t1", "t2")
-    s3 = step(s2, "click", "t2", "t3")
-    s4 = step(s3, "purchase", "t3", "t4")
+    after = lambda arr, prev: F.array_min(  # noqa: E731
+        F.filter(F.col(arr), lambda x: x > F.col(prev))
+    )
     u = (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .join(s4, "user_id", "left")
+        per_user.withColumn("t2", after("vs", "t1"))
+        .withColumn("t3", after("cs", "t2"))
+        .withColumn("t4", after("ps", "t3"))
     )
     us = lambda c: ntz_epoch_micros(F.col(c))  # noqa: E731
     agg = u.agg(
@@ -308,4 +309,72 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         F.col("users").cast("bigint").alias("users"),
         "avg_hours_from_signup",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS1 — OHLC time-series downsample (hypertable-rollup shape)
+# ---------------------------------------------------------------------------
+#
+# The classic continuous-aggregate: per (event_type, day), the first/last
+# value by timestamp plus min/max — open/high/low/close. Determinism
+# contract: first/last resolve via min/max over struct(ts, event_id,
+# value) — the event_id tiebreak makes equal-timestamp rows order-stable
+# in both engines, and the struct min is ONE hash aggregate (no window
+# sort over the fact table).
+
+_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, day,
+  MAX(CASE WHEN rn_open = 1 THEN value END) AS open_value,
+  MAX(value) AS high_value,
+  MIN(value) AS low_value,
+  MAX(CASE WHEN rn_close = 1 THEN value END) AS close_value,
+  COUNT(*) AS n_events
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("daily_ohlc", ("TS1", "A2"), oracle=_OHLC_ORACLE, tags=("window",))
+def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC downsample of the event value stream per type — the
+    continuous-aggregate/hypertable-rollup shape.
+
+    Scale shape: ONE aggregate over (type, day): open/close are min/max
+    over struct(ts, event_id, value) (deterministic under equal
+    timestamps via the id tiebreak; the oracle's window formulation is
+    the same total order), high/low/count are plain aggregates. Struct
+    min/max buffers aren't hash-aggregatable, so Spark plans a
+    SortAggregate — still a map-side PARTIAL aggregate (the per-partition
+    sort is on the tiny (type, day) group key, not a global sort), and
+    the single shuffle carries only group rows. No window over the fact
+    table — the oracle's two ROW_NUMBER windows exist for SQL clarity
+    only. This is the rollup you'd maintain incrementally under streaming
+    ingestion (streaming/job.py's windowed aggregates share the shape)."""
+    events = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    agg = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min(key).alias("o"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(key).alias("c"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        F.col("o.value").alias("open_value"),
+        "high_value",
+        "low_value",
+        F.col("c.value").alias("close_value"),
+        "n_events",
     )

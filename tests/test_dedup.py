@@ -214,3 +214,31 @@ def test_canonical_per_component_keep_best_and_ties(spark):
         1: (3, False), 2: (3, False), 3: (3, True),
         10: (10, True), 11: (10, False),  # tie -> lowest id
     }
+
+
+def test_containment_dups_oracle_parity(spark, duck):
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["containment_dups"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "containment_dups")
+
+
+def test_containment_catches_planted_subset_dup(spark):
+    """A short doc fully quoted inside a much longer one: Jaccard stays
+    tiny (size ratio) but containment fires — the asymmetric class."""
+    from open_data_lakehouse_demo_spark.operators.dedup import containment_pairs
+
+    snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [
+        (1, snippet),
+        (2, filler + " " + snippet + " " + filler),
+        (3, "totally different words here " + " ".join(f"x{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment_a"] == 1.0  # snippet fully contained
+    assert r["jaccard"] < 0.1  # Jaccard would never flag it
+    assert (1, 3) not in got and (2, 3) not in got

@@ -171,3 +171,27 @@ def test_funnel_is_monotone_and_ordered(spark):
     assert users == sorted(users, reverse=True)
     hours = [r["avg_hours_from_signup"] for r in rows]
     assert all(b >= a for a, b in zip(hours, hours[1:]))
+
+
+def test_daily_ohlc_oracle_parity(spark, duck):
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["daily_ohlc"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "daily_ohlc")
+
+
+def test_daily_ohlc_invariants(spark):
+    """low <= open/close <= high, and n_events sums to the table size."""
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["daily_ohlc"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low_value"] <= r["open_value"] <= r["high_value"]
+        assert r["low_value"] <= r["close_value"] <= r["high_value"]
+    total = sum(r["n_events"] for r in rows)
+    assert total == read_parquet(spark, f"{SF_DIR}/events.parquet").count()

@@ -209,6 +209,69 @@ CHECKS = [
         "runs resolve via ONE gaps-and-islands window over "
         "high-cardinality (pair, diagonal) keys plus two hash aggregates.",
     ),
+    (
+        "pii_scrub_profile",
+        ["0x:Exchange", "* Project", "0x:BatchEvalPython"],
+        "Map-only: every regex pass (detect + redact) is a Column "
+        "expression inside ONE codegen scan stage — zero shuffles, zero "
+        "Python, embarrassingly parallel at any scale.",
+    ),
+    (
+        "hash_split_assignment",
+        ["0x:Exchange", "* Project"],
+        "Map-only salted-hash split: md5 bucket + CASE label computed in "
+        "the scan stage; the split costs one pass regardless of corpus "
+        "size.",
+    ),
+    (
+        "funnel_conversion",
+        ["ObjectHashAggregate", "0x:Join", "0x:Window", "0x:Sort"],
+        "windowFunnel-style single pass: ONE user-keyed shuffle collecting "
+        "min(signup) + per-type ts arrays; strict-order mins resolve with "
+        "array expressions — no join chain (4 shuffles + 4 barrier jobs "
+        "in the classic formulation, which the oracle keeps), no window "
+        "sort. Funnel rollup reduces to 1 row and unpivots via stack.",
+    ),
+    (
+        "cms_heavy_hitters",
+        ["Generate", "BroadcastHashJoin", "TakeOrderedAndProject", "0x:SortMergeJoin"],
+        "CMS cells partial-aggregate map-side (<=192-row shuffle at any "
+        "corpus size); candidate read-out joins the BROADCAST sketch; "
+        "top-k is a per-partition TakeOrdered merge, not a global sort.",
+    ),
+    (
+        "semantic_dedup",
+        ["ShuffledHashJoin", "BroadcastNestedLoopJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
+        "Cluster assignment is the broadcast O(n*C) codegen scan (the "
+        "BroadcastNestedLoopJoin); the within-cluster self-join is hinted "
+        "shuffle_hash so the quadratic fan-out streams instead of "
+        "sorting; keep-first keeper = one min(struct) hash aggregate.",
+    ),
+    (
+        "containment_dups",
+        ["BroadcastHashJoin", "Generate", "0x:SortMergeJoin", "0x:CartesianProduct"],
+        "One-sided prefix filter: the candidate join streams each doc's "
+        "PREFIX against the full df-capped index (broadcast under AQE at "
+        "this SF; equi-join on the shingle hash at scale) — never a cross "
+        "join; verification reads full sets via array_intersect.",
+    ),
+    (
+        "daily_ohlc",
+        ["SortAggregate", "1x:- Exchange (", "0x:Window", "0x:Join"],
+        "OHLC downsample: min/max over struct(ts,id,value) plans as a "
+        "map-side PARTIAL SortAggregate (struct buffers aren't "
+        "hash-aggregatable; the sort key is the small group key) with "
+        "exactly one group-row shuffle — no window over the fact table.",
+    ),
+    (
+        "pq_adc_topk",
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
+        "Codebook (M x 16 subvectors) broadcasts into both the encode and "
+        "LUT joins; ADC search is the BroadcastNestedLoopJoin of per-probe "
+        "LUTs against the ENCODED corpus (8 ints/vector — the raw "
+        "vectors never re-read); per-(vid,subspace) argmin is a "
+        "min(struct) hash aggregate.",
+    ),
 ]
 
 

@@ -54,6 +54,11 @@ SLICE = [
     ("packed_example_assignment", "prefix-sum example routing"),
     ("ann_recall_sweep", "single-sort multi-nprobe recall curve"),
     ("incremental_near_dups", "batch-vs-index band join"),
+    ("pii_scrub_profile", "map-only regex scrub (linear ceiling)"),
+    ("funnel_conversion", "single-shuffle windowFunnel arrays"),
+    ("cms_heavy_hitters", "mergeable CMS cells + broadcast read-out"),
+    ("semantic_dedup", "cluster-bounded quadratic dedup"),
+    ("pq_adc_topk", "encoded-corpus ADC broadcast search"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
