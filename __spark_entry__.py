@@ -72,6 +72,7 @@ _PRIORITY = [
     "pq_adc_topk",
     "containment_dups",
     "daily_ohlc",
+    "skewed_join_salted",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -98,6 +99,7 @@ _TAIL = [
     # (video_frame_sample stays in-window — it was the r3 perf flag)
     "image_feature_extract",
     "audio_feature_extract",
+    "ngram_jaccard_dups",
     "doc_fingerprints",
     "generated_rides",
     "user_sessions",

@@ -151,3 +151,65 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "n_buyers",
     )
+
+
+# ---------------------------------------------------------------------------
+# SK1 — explicit salted skew join (driver-verified: salting is invisible)
+# ---------------------------------------------------------------------------
+#
+# event_type has 5 values over the whole fact table — the worst-case hot
+# key. The Spark path routes the join through operators/skew.salted_join
+# (key + uniform salt, dimension replicated per salt bucket); the oracle
+# is the PLAIN join + aggregate, so the driver hash proves the salt
+# refines only the partitioning, never the match. All comparisons are
+# exact: value*n > sum in decimal space — no cross-engine division or
+# float-average hazards.
+
+_SALTED_ORACLE = """
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS n_t,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_t
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,2)) * d.n_t > d.sum_t
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
+@query("skewed_join_salted", ("SK1", "J4"), oracle=_SALTED_ORACLE, tags=("extended",))
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join on a 5-value (maximally hot) key, executed
+    through the explicit salting pattern (operators/skew.salted_join:
+    per-row salt on the fact side, dimension replicated per salt bucket)
+    and aggregated back — the oracle is the plain join, so correctness of
+    the salt (partitioning-only, match-exact) is driver-hashed.
+
+    Scale shape: without salting, 5 keys hash to ≤5 reducers and one
+    task drags the stage; salting spreads each key over 16 buckets. The
+    dimension replication is an explode of a literal range (no shuffle),
+    and the above-average test is exact decimal cross-multiplication
+    (value·n > sum) — no division, no float average."""
+    from open_data_lakehouse_demo_spark.operators.skew import salted_join
+
+    events = t(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.count("*").alias("n_t"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_t"),
+    )
+    joined = salted_join(
+        events.select("event_type", "value"), dim, on=["event_type"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("value").cast("decimal(18,2)") * F.col("n_t") > F.col("sum_t"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_above_avg"),
+    )

@@ -58,3 +58,10 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         ddl.drop_table(spark, "lakehouse_test.orders_b")
         ddl.drop_table(spark, "lakehouse_test.lineitem_b")
+
+
+def test_skewed_join_salted_oracle_parity(spark, duck):
+    from tests.oracle_utils import assert_matches_oracle
+
+    q = QUERIES["skewed_join_salted"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "skewed_join_salted")

@@ -264,6 +264,15 @@ CHECKS = [
         "exactly one group-row shuffle — no window over the fact table.",
     ),
     (
+        "skewed_join_salted",
+        ["Generate", "0x:CartesianProduct", "0x:SortMergeJoin"],
+        "Explicit salting: the dimension replicates per salt bucket via a "
+        "Generate (explode of a literal range — no shuffle for the "
+        "replication); the join key is (event_type, salt), so each hot "
+        "key spreads over 16 reducers. AQE broadcasts the 80-row salted "
+        "dim at this SF; the pattern targets broadcast-ineligible cases.",
+    ),
+    (
         "pq_adc_topk",
         ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
         "Codebook (M x 16 subvectors) broadcasts into both the encode and "

@@ -59,6 +59,9 @@ SLICE = [
     ("cms_heavy_hitters", "mergeable CMS cells + broadcast read-out"),
     ("semantic_dedup", "cluster-bounded quadratic dedup"),
     ("pq_adc_topk", "encoded-corpus ADC broadcast search"),
+    ("containment_dups", "one-sided prefix-filtered containment join"),
+    ("daily_ohlc", "partial sort-agg OHLC downsample"),
+    ("skewed_join_salted", "hot-key salted join + decimal cross-multiply"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
