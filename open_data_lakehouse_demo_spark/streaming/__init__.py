@@ -27,3 +27,6 @@ from open_data_lakehouse_demo_spark.streaming.replay import (  # noqa: F401
     events_as_bus_updates,
     replay_to_json_files,
 )
+from open_data_lakehouse_demo_spark.streaming.rollups import (  # noqa: F401
+    windowed_ohlc,
+)

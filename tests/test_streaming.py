@@ -631,3 +631,87 @@ def test_session_window_stream_matches_batch_sessionization(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch_twin(spark, tmp_path):
+    """Replaying the events table through the windowed_ohlc stream must be
+    byte-identical to the batch daily_ohlc query over the same rows — the
+    struct(ts, event_id, value) total order makes open/close independent
+    of arrival order (the reason the rollup avoids first()/last())."""
+    import datetime
+
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+    from open_data_lakehouse_demo_spark.streaming.rollups import windowed_ohlc
+
+    events = read_parquet(spark, f"{SF_DIR}/events.parquet").select(
+        "ts", "event_type", "event_id", "value"
+    )
+    # bound the set so every window finalizes: keep days < the max day,
+    # then append one late sentinel row on the max day to push the
+    # watermark past all kept windows
+    bounds = events.agg(F.max(F.col("ts").cast("date")).alias("dmax")).collect()[0]
+    kept = events.filter(F.col("ts").cast("date") < F.lit(bounds["dmax"]))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # jsonl roundtrip with full microsecond precision
+    rows = kept.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_type",
+        "event_id",
+        "value",
+    ).collect()
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps({"ts_s": r["ts_s"], "event_type": r["event_type"],
+                                "event_id": r["event_id"], "value": r["value"]}) + "\n")
+    sentinel = {
+        "ts_s": f"{bounds['dmax'].isoformat()} 23:59:59.000000",
+        "event_type": "view", "event_id": -1, "value": 0.0,
+    }
+
+    schema = "ts_s string, event_type string, event_id bigint, value double"
+    parsed = (
+        spark.readStream.schema(schema).json(src)
+        .select(
+            # watermarks require TIMESTAMP (LTZ) — parse in the session tz
+            # (pinned UTC in session.py), so wall times match the batch
+            # twin's NTZ values exactly
+            F.to_timestamp(F.col("ts_s"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "event_id",
+            "value",
+        )
+    )
+    out = str(tmp_path / "ohlc_out")
+    q = (
+        windowed_ohlc(parsed, "1 day", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write(json.dumps(sentinel) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_start"].date().isoformat(), r["event_type"]): (
+            r["open_value"], r["high_value"], r["low_value"], r["close_value"], r["n_events"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = QUERIES["daily_ohlc"]
+    want = {
+        (r["day"].isoformat(), r["event_type"]): (
+            r["open_value"], r["high_value"], r["low_value"], r["close_value"], r["n_events"]
+        )
+        for r in batch.spark(spark, SF_DIR).collect()
+        if r["day"] < bounds["dmax"]
+    }
+    assert got == want and len(got) > 0
