@@ -73,6 +73,7 @@ _PRIORITY = [
     "containment_dups",
     "daily_ohlc",
     "skewed_join_salted",
+    "ivf_pq_topk",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -100,6 +101,7 @@ _TAIL = [
     "image_feature_extract",
     "audio_feature_extract",
     "ngram_jaccard_dups",
+    "dup_clusters",
     "doc_fingerprints",
     "generated_rides",
     "user_sessions",

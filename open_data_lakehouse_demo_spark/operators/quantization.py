@@ -117,6 +117,12 @@ def pq_adc_topk(
     Output (query_id, neighbor_id, adc_dist), adc ascending with
     neighbor-id tiebreak, self excluded. The corpus side of the search
     join carries ONLY (vid, codes) — 8 small ints per vector.
+
+    HONEST LIMIT: the per-probe LUT table (M×NCODES doubles per probe)
+    broadcasts, so the probe BATCH must stay broadcast-sized (~10⁵ probes
+    at these constants); larger query sets shard into sequential batches
+    — the corpus-side encoded table is reused untouched across batches,
+    which is the PQ serving pattern anyway.
     """
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     codebook = pq_codebook(base)
@@ -140,6 +146,104 @@ def pq_adc_topk(
     )
     adc = (
         codes.join(F.broadcast(lut))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(M)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), s),
+                    F.element_at(F.col("codes"), s) + 1,
+                ),
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """IVF + PQ composition — the billion-vector full-corpus search path.
+
+    Exhaustive ADC (pq_adc_topk) scores every encoded vector per probe:
+    per-probe O(N). Composing the IVF coarse quantizer in front prunes
+    the corpus side to the probe's ``nprobe`` inverted lists BEFORE the
+    LUT join, so per-probe work is O(N·nprobe/n_centroids) — with
+    n_centroids ∝ √N (the FAISS heuristic) the scored set stays flat as
+    the corpus grows. This is the standard IVFPQ index layout: the
+    inverted lists store (vid, 8 codes) — 8 small ints per vector.
+
+    Both the coarse centroids and the PQ codes derive from the same
+    NCODES lowest-id seed vectors (deterministic, oracle-reproducible;
+    swap in kmeans_codebook/trained sub-codebooks where recall matters).
+    The candidate join is an equi-join on centroid_id; probe LUTs
+    broadcast (same probe-batch bound as pq_adc_topk).
+
+    Output (query_id, neighbor_id, adc_dist) — top-k by ADC per probe,
+    neighbor-id tiebreak, self excluded.
+    """
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+
+    base = sim._ensure_base(df, id_col, vec_col)
+    cents = base.orderBy("vid").limit(n_centroids)
+    codebook = pq_codebook(base)
+
+    # inverted lists: (centroid_id, vid, codes) — encode with the coarse
+    # assignment carried through the argmin/assembly group keys
+    assigned = sim.assign_centroids(base, cents, n_assign=1).select(
+        "centroid_id", "vid", "vec"
+    )
+    subs = assigned.select(
+        "centroid_id", "vid", F.explode(sub_slices(F.col("vec"))).alias("sc")
+    ).select("centroid_id", "vid", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
+    scored = subs.join(F.broadcast(codebook), "s").select(
+        "centroid_id", "vid", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("d2")
+    )
+    best = scored.groupBy("centroid_id", "vid", "s").agg(
+        F.min(F.struct("d2", "code_id")).alias("b")
+    )
+    lists = best.groupBy("centroid_id", "vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", F.col("b.code_id").alias("code_id")))),
+            lambda x: x["code_id"],
+        ).alias("codes")
+    )
+
+    probes = base.filter(probe_filter) if probe_filter is not None else base
+    passign = sim.assign_centroids(probes, cents, n_assign=nprobe).select(
+        "centroid_id", F.col("vid").alias("query_id")
+    )
+    psubs = probes.select(
+        F.col("vid").alias("query_id"), F.explode(sub_slices(F.col("vec"))).alias("sc")
+    ).select("query_id", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
+    plut0 = psubs.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("pd2")
+    )
+    per_s = plut0.groupBy("query_id", "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "pd2"))), lambda x: x["pd2"]
+        ).alias("rw")
+    )
+    lut = per_s.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("s", "rw"))), lambda x: x["rw"]).alias(
+            "lut"
+        )
+    )
+    # both sides are probe-batch-sized (bounded by the broadcast contract)
+    probe_side = passign.join(F.broadcast(lut), "query_id")
+    adc = (
+        lists.join(F.broadcast(probe_side), "centroid_id")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",

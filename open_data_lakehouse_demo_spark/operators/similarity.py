@@ -746,6 +746,13 @@ def semantic_dedup_pairs(
     splits any skewed list. Default codebook = lowest-id sample (oracle-
     reproducible); pass kmeans_codebook(...) for trained clusters where
     removal quality matters.
+
+    HONEST LIMIT: both sides of the self-join re-derive the assignment
+    lineage (the assigned corpus is fact-scale, outside io.materialize's
+    reduced-intermediate contract), so the broadcast-assign scan runs
+    twice — CPU, not storage. A production pipeline that persists the
+    cluster assignment as a table (the usual SemDeDup shape) pays it
+    once.
     """
     base = _ensure_base(df, id_col, vec_col)
     centroids = (

@@ -663,3 +663,99 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(
         emb, k=_K, probe_filter=F.col("vid") % _PROBE_MOD == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# V6 — IVF + PQ composition (pruned ADC search)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+_IVF_PQ_ORACLE = f"""
+WITH {_BASE_SQL},
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+cscored AS (
+  SELECT b.vid, b.vec, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT centroid_id, vid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+passign AS (
+  SELECT centroid_id, vid AS query_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM cscored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+seeds AS (
+  SELECT vid, vec, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS code_id
+  FROM base ORDER BY vid LIMIT {pq.NCODES}
+),
+subs AS (SELECT unnest(range(0, {pq.M})) AS s),
+codebook AS (
+  SELECT s.s, d.code_id,
+         list_transform(range(1, {pq.SUB + 1}), i -> CAST(d.vec[s.s * {pq.SUB} + i] AS DOUBLE)) AS cs
+  FROM seeds d, subs s
+),
+corpsub AS (
+  SELECT b.vid, s.s,
+         list_transform(range(1, {pq.SUB + 1}), i -> CAST(b.vec[s.s * {pq.SUB} + i] AS DOUBLE)) AS vs
+  FROM base b, subs s
+),
+enc0 AS (
+  SELECT c.vid, c.s, cb.code_id,
+         list_reduce(list_transform(range(1, {pq.SUB + 1}),
+                     i -> (c.vs[i] - cb.cs[i]) * (c.vs[i] - cb.cs[i])), (a, b) -> a + b) AS d2
+  FROM corpsub c JOIN codebook cb ON c.s = cb.s
+),
+enc AS (
+  SELECT vid, s, code_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d2, code_id) AS rn FROM enc0
+  ) WHERE rn = 1
+),
+enc_codes AS (SELECT vid, list(code_id ORDER BY s) AS codes FROM enc GROUP BY 1),
+plut0 AS (
+  SELECT c.vid AS query_id, c.s, cb.code_id,
+         list_reduce(list_transform(range(1, {pq.SUB + 1}),
+                     i -> (c.vs[i] - cb.cs[i]) * (c.vs[i] - cb.cs[i])), (a, b) -> a + b) AS pd2
+  FROM corpsub c JOIN codebook cb ON c.s = cb.s
+  WHERE c.vid % {_PROBE_MOD} = 0
+),
+plut_s AS (SELECT query_id, s, list(pd2 ORDER BY code_id) AS rw FROM plut0 GROUP BY 1, 2),
+plut AS (SELECT query_id, list(rw ORDER BY s) AS lut FROM plut_s GROUP BY 1),
+adc AS (
+  SELECT p.query_id, e.vid AS neighbor_id,
+         list_reduce(list_transform(range(1, {pq.M + 1}),
+                     s -> l.lut[s][e.codes[s] + 1]), (a, b) -> a + b) AS adc_dist
+  FROM enc_codes e
+  JOIN assign1 a ON e.vid = a.vid
+  JOIN passign p ON a.centroid_id = p.centroid_id AND e.vid <> p.query_id
+  JOIN plut l ON l.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_K}
+"""
+
+
+@query(
+    "ivf_pq_topk",
+    ("V6", "V2", "V5"),
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity",),
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: coarse 16-list quantizer prunes the corpus to nprobe=2
+    inverted lists of (vid, 8 codes), then ADC-scores only those — the
+    flat-per-probe-cost composition that searches 10^9 vectors
+    (operators/quantization.py ivf_pq_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return pq.ivf_pq_topk(
+        emb, k=_K, n_centroids=16, nprobe=_IVFPQ_NPROBE,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+    )

@@ -280,3 +280,23 @@ def test_pq_encoding_shape_and_recall(spark):
     # on near-isotropic synthetic vectors should sit several times above
     # chance (measured 0.14 at sf0.01 — trained codebooks go higher)
     assert recall >= 0.05, f"PQ recall {recall:.2f} below sanity floor"
+
+
+def test_ivf_pq_oracle_parity(spark, duck):
+    q = QUERIES["ivf_pq_topk"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "ivf_pq_topk")
+
+
+def test_ivf_pq_subset_of_exhaustive_adc(spark):
+    """IVFPQ scores a SUBSET of the exhaustive-ADC candidates (the probe's
+    nprobe lists), so each returned distance must also appear in the
+    exhaustive ADC scoring and can never beat its top-1."""
+    ex = QUERIES["pq_adc_topk"].spark(spark, SF_DIR).collect()
+    iv = QUERIES["ivf_pq_topk"].spark(spark, SF_DIR).collect()
+    assert iv
+    best_ex = {}
+    for r in ex:
+        d = best_ex.get(r["query_id"])
+        best_ex[r["query_id"]] = min(d, r["adc_dist"]) if d is not None else r["adc_dist"]
+    for r in iv:
+        assert r["adc_dist"] >= best_ex[r["query_id"]] - 1e-12

@@ -264,6 +264,13 @@ CHECKS = [
         "exactly one group-row shuffle — no window over the fact table.",
     ),
     (
+        "ivf_pq_topk",
+        ["BroadcastHashJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
+        "IVFPQ: the candidate join is an equi-join on centroid_id against "
+        "the inverted (vid, codes) lists — the corpus prunes to nprobe "
+        "lists BEFORE any ADC scoring; codebook and probe LUTs broadcast.",
+    ),
+    (
         "skewed_join_salted",
         ["Generate", "0x:CartesianProduct", "0x:SortMergeJoin"],
         "Explicit salting: the dimension replicates per salt bucket via a "

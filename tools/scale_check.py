@@ -62,6 +62,7 @@ SLICE = [
     ("containment_dups", "one-sided prefix-filtered containment join"),
     ("daily_ohlc", "partial sort-agg OHLC downsample"),
     ("skewed_join_salted", "hot-key salted join + decimal cross-multiply"),
+    ("ivf_pq_topk", "IVF-pruned ADC over inverted code lists"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
@@ -175,7 +176,23 @@ Notes on reading specific rows:
   span co-occurs across ~45× more doc pairs and the positional
   co-occurrence rows grow with it, so the emitted pair set — not the
   candidate machinery — carries the growth; the df-cap keeps boilerplate
-  shingles from ever making the join corpus-quadratic.""")
+  shingles from ever making the join corpus-quadratic.
+- containment_dups inherits the same ~45×-true-pairs output growth (every
+  copy of a doc is mutually contained with every other copy), with the
+  one-sided prefix index keeping candidates output-sized.
+- semantic_dedup runs this check with the query's FIXED 16-cluster
+  codebook, so 10× data makes every cluster 10× wider and the in-cluster
+  quadratic ~100× — the measured sub-10× ratio is floor-amortization on
+  top of that. The production contract (operator docstring) is
+  n_clusters ∝ corpus size, which holds per-cluster width — and thus the
+  Σ|cluster|² work per row — constant.
+- pq_adc_topk is EXHAUSTIVE ADC by design (per-probe O(N) table lookups,
+  like cosine_topk_bruteforce): probes AND corpus both grow 10×, so the
+  scored-pair product grows 100× and the measured ~24× is that product
+  minus floor amortization. Exhaustive ADC is the re-ranking/serving
+  primitive; the scale path for full-corpus search is the IVF+PQ
+  composition (ivf_pq_topk), which prunes the corpus side to nprobe
+  inverted lists before the LUT join.""")
 
 
 if __name__ == "__main__":
