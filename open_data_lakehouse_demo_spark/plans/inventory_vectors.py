@@ -595,10 +595,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from open_data_lakehouse_demo_spark.operators import quantization as pq  # noqa: E402
 
-_PQ_ORACLE = f"""
-WITH base AS (
-  SELECT vec_id AS vid, embedding AS vec FROM embeddings
-),
+# Shared PQ CTE block (assumes a `base` CTE with (vid, vec) in scope):
+# codebook from the NCODES lowest-id seeds, subspace slices, argmin
+# encoding, assembled code lists, and the per-probe LUT tables. Reused by
+# both the exhaustive-ADC and the IVFPQ oracles — one source of truth for
+# the fold arithmetic.
+_PQ_CTES = f"""
 seeds AS (
   SELECT vid, vec, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS code_id
   FROM base ORDER BY vid LIMIT {pq.NCODES}
@@ -634,7 +636,14 @@ plut0 AS (
   WHERE c.vid % {_PROBE_MOD} = 0
 ),
 plut_s AS (SELECT query_id, s, list(pd2 ORDER BY code_id) AS rw FROM plut0 GROUP BY 1, 2),
-plut AS (SELECT query_id, list(rw ORDER BY s) AS lut FROM plut_s GROUP BY 1),
+plut AS (SELECT query_id, list(rw ORDER BY s) AS lut FROM plut_s GROUP BY 1)
+"""
+
+_PQ_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+),
+{_PQ_CTES},
 adc AS (
   SELECT p.query_id, e.vid AS neighbor_id,
          list_reduce(list_transform(range(1, {pq.M + 1}),
@@ -691,42 +700,7 @@ passign AS (
     FROM cscored WHERE vid % {_PROBE_MOD} = 0
   ) WHERE rn <= {_IVFPQ_NPROBE}
 ),
-seeds AS (
-  SELECT vid, vec, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS code_id
-  FROM base ORDER BY vid LIMIT {pq.NCODES}
-),
-subs AS (SELECT unnest(range(0, {pq.M})) AS s),
-codebook AS (
-  SELECT s.s, d.code_id,
-         list_transform(range(1, {pq.SUB + 1}), i -> CAST(d.vec[s.s * {pq.SUB} + i] AS DOUBLE)) AS cs
-  FROM seeds d, subs s
-),
-corpsub AS (
-  SELECT b.vid, s.s,
-         list_transform(range(1, {pq.SUB + 1}), i -> CAST(b.vec[s.s * {pq.SUB} + i] AS DOUBLE)) AS vs
-  FROM base b, subs s
-),
-enc0 AS (
-  SELECT c.vid, c.s, cb.code_id,
-         list_reduce(list_transform(range(1, {pq.SUB + 1}),
-                     i -> (c.vs[i] - cb.cs[i]) * (c.vs[i] - cb.cs[i])), (a, b) -> a + b) AS d2
-  FROM corpsub c JOIN codebook cb ON c.s = cb.s
-),
-enc AS (
-  SELECT vid, s, code_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d2, code_id) AS rn FROM enc0
-  ) WHERE rn = 1
-),
-enc_codes AS (SELECT vid, list(code_id ORDER BY s) AS codes FROM enc GROUP BY 1),
-plut0 AS (
-  SELECT c.vid AS query_id, c.s, cb.code_id,
-         list_reduce(list_transform(range(1, {pq.SUB + 1}),
-                     i -> (c.vs[i] - cb.cs[i]) * (c.vs[i] - cb.cs[i])), (a, b) -> a + b) AS pd2
-  FROM corpsub c JOIN codebook cb ON c.s = cb.s
-  WHERE c.vid % {_PROBE_MOD} = 0
-),
-plut_s AS (SELECT query_id, s, list(pd2 ORDER BY code_id) AS rw FROM plut0 GROUP BY 1, 2),
-plut AS (SELECT query_id, list(rw ORDER BY s) AS lut FROM plut_s GROUP BY 1),
+{_PQ_CTES.strip()},
 adc AS (
   SELECT p.query_id, e.vid AS neighbor_id,
          list_reduce(list_transform(range(1, {pq.M + 1}),
