@@ -329,6 +329,78 @@ def decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (the constant-memory membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 124
+BLOOM_BITS_PER_WORD = 62  # ≤62 keeps 1<<offset inside signed-BIGINT range
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD  # 7688 bits
+BLOOM_K = 4  # hash functions, salted 'bloom{j}:'
+# Sizing: m/n ≈ 32 bits/member at the fixed ~240-member benchmark set →
+# per-probe FP (1-e^{-kn/m})^k ≈ 2e-4, so ANY-of-~50-shingles doc-level
+# flagging stays ~1% FP. A Bloom filter is sized to its FIXED member set
+# (the eval suite), never to the growing corpus it filters.
+
+
+def _bloom_bit(s: Column, j: int) -> Column:
+    """Bit position 0..BLOOM_M-1 of hash j for member string ``s``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % F.lit(BLOOM_M)
+
+
+def _bloom_mask(offset: Column) -> Column:
+    """1 << offset for a COLUMN offset 0..61 (F.shiftleft takes only a
+    Python-int shift): powers of two are exactly representable doubles up
+    to 2^62, so pow→bigint is bit-exact here."""
+    return F.pow(F.lit(2.0), offset.cast("double")).cast("bigint")
+
+
+def bloom_sketch(members: DataFrame, member_col: str = "s") -> DataFrame:
+    """1-row (words map<bigint,bigint>) Bloom bitmap over a member-string
+    relation: K salted md5 bit positions per member, OR-folded into
+    BLOOM_WORDS 62-bit words.
+
+    Mergeable contract: shard sketches merge by per-word bitwise OR (the
+    same bit_or aggregate), like the portable HLL/CMS registers. The
+    whole sketch is ≤ BLOOM_WORDS rows before pivoting — the shuffle
+    carries at most BLOOM_WORDS rows per partition regardless of member
+    count.
+    """
+    bits = members.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col(member_col), j) for j in range(BLOOM_K)])
+        ).alias("bit")
+    )
+    words = bits.groupBy(F.floor(F.col("bit") / BLOOM_BITS_PER_WORD).alias("word")).agg(
+        F.bit_or(_bloom_mask(F.col("bit") % BLOOM_BITS_PER_WORD)).alias("bits")
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("words")
+    )
+
+
+def bloom_contains(words: Column, s: Column) -> Column:
+    """TRUE iff all K bloom bits of ``s`` are set in the ``words`` map
+    (absent words read as 0) — pure Column logic, evaluated map-side
+    against the broadcast 1-row sketch."""
+    def bit_set(j: int) -> Column:
+        bit = _bloom_bit(s, j)
+        word_bits = F.coalesce(
+            F.element_at(words, F.floor(bit / BLOOM_BITS_PER_WORD).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        )
+        mask = _bloom_mask(bit % BLOOM_BITS_PER_WORD)
+        return word_bits.bitwiseAND(mask) != 0
+
+    out = bit_set(0)
+    for j in range(1, BLOOM_K):
+        out = out & bit_set(j)
+    return out
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct text.
 

@@ -165,6 +165,117 @@ def pq_adc_topk(
     return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+SQ_LEVELS = 255  # int8-style scalar quantization: codes 0..255
+
+
+def sq_stats(base: DataFrame) -> DataFrame:
+    """1-row (mns array<double>, scales array<double>) — per-dimension
+    min and (max-min)/255 step over the corpus.
+
+    One posexplode scan + a DIM-row hash aggregate; the result is a
+    single broadcastable row (2×DIM doubles), the scalar-quantization
+    "codebook". At 100 TB this is a map-side partial min/max — the
+    shuffle carries DIM rows per partition.
+    """
+    dims = base.select(F.posexplode("vec").alias("pos", "x")).select(
+        "pos", F.col("x").cast("double").alias("x")
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"),
+        ((F.max("x") - F.min("x")) / F.lit(float(SQ_LEVELS))).alias("sc"),
+    )
+    return stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sc"))), lambda s: s["sc"]
+        ).alias("scales"),
+    )
+
+
+def _sq_code(x: Column, mn: Column, sc: Column) -> Column:
+    """Quantize one double to 0..255 (constant dims → 0; top clamped)."""
+    return (
+        F.when(sc == 0.0, F.lit(0))
+        .otherwise(F.least(F.lit(SQ_LEVELS), F.floor((x - mn) / sc).cast("int")))
+        .cast("int")
+    )
+
+
+def sq_encode(base: DataFrame, stats: DataFrame) -> DataFrame:
+    """(vid, codes array<int>) — per-dim uniform quantization against the
+    broadcast stats row. 64 B of codes per vector instead of 256 B of
+    float32 — the 4× memory cut that lets the working set stay in RAM."""
+    return base.crossJoin(F.broadcast(stats)).select(
+        "vid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: _sq_code(
+                F.element_at("vec", i).cast("double"),
+                F.element_at("mns", i),
+                F.element_at("scales", i),
+            ),
+        ).alias("codes"),
+    )
+
+
+def sq_int8_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric L2 against an int8 scalar-quantized
+    corpus (the SQ8 index of FAISS/Milvus): full-precision probes score
+    reconstructed corpus points x̂_i = mn_i + (code_i + 0.5)·step_i.
+
+    Complements PQ (pq_adc_topk): SQ keeps per-dimension resolution
+    (256 levels/dim, 4× compression) where PQ trades resolution for 32×
+    compression — the standard accuracy/memory middle rung.
+
+    Output (query_id, neighbor_id, adc_dist), ascending, neighbor-id
+    tiebreak, self excluded. Portability contract: the distance folds
+    left-to-right over dims 1..DIM from a +0.0 seed (squares are never
+    -0.0), so the DuckDB oracle's seedless list_reduce is bit-identical.
+
+    Scale shape: stats row broadcasts (2×DIM doubles); the corpus side of
+    the search join carries ONLY (vid, codes); probes broadcast (same
+    probe-batch bound as pq_adc_topk).
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    stats = sq_stats(base)
+    codes = sq_encode(base, stats)
+    probes = base.filter(probe_filter) if probe_filter is not None else base
+    pside = (
+        probes.select(
+            F.col("vid").alias("query_id"),
+            F.transform("vec", lambda x: x.cast("double")).alias("pv"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    diff = lambda i: F.element_at("pv", i) - (  # noqa: E731
+        F.element_at("mns", i)
+        + (F.element_at("codes", i) + F.lit(0.5)) * F.element_at("scales", i)
+    )
+    adc = (
+        codes.join(F.broadcast(pside))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                F.lit(0.0),
+                lambda acc, i: acc + diff(i) * diff(i),
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def ivf_pq_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -201,6 +201,126 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "lang", "source")
 
 
+# ---------------------------------------------------------------------------
+# PIPE3b — Bloom-filter decontamination (the constant-memory sketch path)
+# ---------------------------------------------------------------------------
+
+# Fixed-size eval suite: a Bloom filter is sized to its member set, so the
+# benchmark split is CAPPED (~5 docs / ~240 shingles at any sf ≥ 0.01) the
+# way a real eval suite stays constant while the corpus under filter grows.
+_BLOOM_BENCH_CAP = 485
+
+_BLOOM_HASH = (
+    "CAST(('0x' || substring(md5('bloom' || CAST(j AS VARCHAR) || ':' || s), 1, 15)) "
+    f"AS BIGINT) % {dedup.BLOOM_M}"
+)
+
+_BLOOM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), shs AS (
+  SELECT doc,
+    list_transform(range(1, greatest(len(tk) - {_DECON_N - 1}, 1) + 1),
+                   i -> array_to_string(tk[i:i+{_DECON_N - 1}], ' ')) AS sh
+  FROM toks
+), members AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shs
+  WHERE doc % {_BENCH_MOD} = 0 AND doc <= {_BLOOM_BENCH_CAP}
+), mbits AS (
+  SELECT {_BLOOM_HASH} AS bit
+  FROM members, (SELECT unnest(range(0, {dedup.BLOOM_K})) AS j)
+), sketch AS (
+  SELECT bit // {dedup.BLOOM_BITS_PER_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % {dedup.BLOOM_BITS_PER_WORD} AS INT)) AS bits
+  FROM mbits GROUP BY 1
+), csh AS (
+  SELECT DISTINCT doc, unnest(sh) AS s FROM shs WHERE doc % {_BENCH_MOD} <> 0
+), cbits AS (
+  SELECT doc, s, {_BLOOM_HASH} AS bit
+  FROM (SELECT doc, s, unnest(range(0, {dedup.BLOOM_K})) AS j FROM csh)
+), chk AS (
+  SELECT c.doc, c.s,
+         COUNT(*) FILTER (
+           WHERE k.bits IS NOT NULL
+             AND (k.bits & (CAST(1 AS BIGINT) << CAST(c.bit % {dedup.BLOOM_BITS_PER_WORD} AS INT))) <> 0
+         ) AS nset
+  FROM cbits c LEFT JOIN sketch k ON c.bit // {dedup.BLOOM_BITS_PER_WORD} = k.word
+  GROUP BY 1, 2
+), bloomhits AS (
+  SELECT DISTINCT doc FROM chk WHERE nset = {dedup.BLOOM_K}
+), hsh AS (
+  SELECT doc,
+         list_distinct(list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))) AS hs
+  FROM shs
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM hsh
+  WHERE doc % {_BENCH_MOD} = 0 AND doc <= {_BLOOM_BENCH_CAP}
+), exact AS (
+  SELECT DISTINCT f.doc FROM hsh f, unnest(f.hs) AS u(h)
+  WHERE f.doc % {_BENCH_MOD} <> 0 AND h IN (SELECT h FROM bench)
+)
+SELECT b.doc AS doc_id, (e.doc IS NULL) AS false_positive
+FROM bloomhits b LEFT JOIN exact e ON b.doc = e.doc
+ORDER BY doc_id
+"""
+
+
+@query(
+    "bloom_decontaminate",
+    ("PIPE3", "A10"),
+    oracle=_BLOOM_ORACLE,
+    tags=("pipeline", "sketch"),
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination membership via a PORTABLE Bloom filter (124×62-bit
+    words, k=4 salted md5 hashes — operators/dedup.py bloom_sketch):
+    benchmark 8-gram shingles OR-fold into a ≤64-row bitmap that pivots
+    to ONE broadcast map row; the corpus is then probed entirely
+    MAP-SIDE (F.exists over each doc's shingles — no explode, no
+    shuffle), the way a 100 TB scan consults an eval-set filter. The
+    exact hashed-shingle arm (benchmark_decontaminate's semantics) is
+    joined on as the audit column: Bloom error is one-sided, so every
+    exact hit must be flagged and `false_positive` rows quantify the
+    m/k-driven false-positive rate, driver-visible like the CMS
+    overestimate audit."""
+    docs = t(spark, sf_dir, "documents")
+    benchmark = docs.filter(
+        (F.col("doc_id") % _BENCH_MOD == 0) & (F.col("doc_id") <= _BLOOM_BENCH_CAP)
+    )
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+
+    members = benchmark.select(
+        F.explode(dedup.word_shingles(dedup.tokenize("text"), _DECON_N)).alias("s")
+    ).distinct()
+    sketch = dedup.bloom_sketch(members)
+    flagged = (
+        corpus.crossJoin(F.broadcast(sketch))
+        .withColumn("sh", dedup.word_shingles(dedup.tokenize("text"), _DECON_N))
+        .filter(F.exists("sh", lambda s: dedup.bloom_contains(F.col("words"), s)))
+        .select("doc_id")
+    )
+
+    c_sh = corpus.select(
+        "doc_id", F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
+    )
+    b_sh = benchmark.select(
+        F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
+    ).distinct()
+    exact = (
+        c_sh.join(F.broadcast(b_sh), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("ex", F.lit(True))
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .select("doc_id", F.coalesce(~F.col("ex"), F.lit(True)).alias("false_positive"))
+        .orderBy("doc_id")
+    )
+
+
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE
 {_SHINGLE_SETS_SQL.lstrip()},

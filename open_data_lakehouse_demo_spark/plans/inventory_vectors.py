@@ -675,6 +675,72 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V7 — int8 scalar quantization (SQ8) + asymmetric L2 search
+# ---------------------------------------------------------------------------
+
+_SQ_DIST = (
+    f"(p.pv[i] - (s.mns[i] + (c.codes[i] + 0.5) * s.scales[i]))"
+    f" * (p.pv[i] - (s.mns[i] + (c.codes[i] + 0.5) * s.scales[i]))"
+)
+
+_SQ_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+),
+dims AS (SELECT unnest(range(1, {pq.DIM + 1})) AS d),
+stats AS (
+  SELECT d, MIN(CAST(vec[d] AS DOUBLE)) AS mn,
+         (MAX(CAST(vec[d] AS DOUBLE)) - MIN(CAST(vec[d] AS DOUBLE))) / {float(pq.SQ_LEVELS)} AS sc
+  FROM base, dims GROUP BY d
+),
+sarr AS (
+  SELECT list(mn ORDER BY d) AS mns, list(sc ORDER BY d) AS scales FROM stats
+),
+codes AS (
+  SELECT b.vid,
+         list_transform(range(1, {pq.DIM + 1}), i ->
+           CASE WHEN s.scales[i] = 0 THEN 0
+                ELSE LEAST({pq.SQ_LEVELS},
+                           CAST(floor((CAST(b.vec[i] AS DOUBLE) - s.mns[i]) / s.scales[i]) AS INT))
+           END) AS codes
+  FROM base b, sarr s
+),
+probes AS (
+  SELECT vid AS query_id,
+         list_transform(range(1, {pq.DIM + 1}), i -> CAST(vec[i] AS DOUBLE)) AS pv
+  FROM base WHERE vid % {_PROBE_MOD} = 0
+),
+adc AS (
+  SELECT p.query_id, c.vid AS neighbor_id,
+         list_reduce(list_transform(range(1, {pq.DIM + 1}), i -> {_SQ_DIST}),
+                     (a, b) -> a + b) AS adc_dist
+  FROM probes p, codes c, sarr s
+  WHERE c.vid <> p.query_id
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_K}
+"""
+
+
+@query(
+    "sq_int8_topk",
+    ("V7",),
+    oracle=_SQ_ORACLE,
+    tags=("similarity",),
+)
+def sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized (SQ8) approximate top-5: per-dim min/max
+    stats (one broadcastable 2×64-double row) quantize the corpus to
+    0..255 codes; probes score reconstructed points asymmetrically
+    (operators/quantization.py sq_int8_topk) — the 4×-compression
+    middle rung between flat search (V1) and PQ (V5)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return pq.sq_int8_topk(emb, k=_K, probe_filter=F.col("vid") % _PROBE_MOD == 0)
+
+
+# ---------------------------------------------------------------------------
 # V6 — IVF + PQ composition (pruned ADC search)
 # ---------------------------------------------------------------------------
 
