@@ -74,6 +74,15 @@ _PRIORITY = [
     "daily_ohlc",
     "skewed_join_salted",
     "ivf_pq_topk",
+    # second-wave round-4 additions (SQ8 ANN, Bloom decontamination,
+    # SCD2 intervals, multi-touch attribution, BPE merge learning)
+    "sq_int8_topk",
+    "bloom_decontaminate",
+    "scd2_priority_history",
+    "touch_attribution",
+    "bpe_merges",
+    # minhash path refactored this round (_minhash_bands) — fresh row
+    "minhash_lsh_dups",
     # new oracle-checked 1-Lloyd-round trained-IVF variant
     "cosine_topk_ivf_kmeans1",
     # k-means training redesign (driver-side codebook, fused rounds)
@@ -93,6 +102,12 @@ _PRIORITY = [
 _TAIL = [
     # hash-green in CORRECTNESS_r03 (the freshest artifact) and untouched
     # this round — safe to rotate out for one round
+    "simhash_dups",
+    "distinct_users_hll_portable",
+    "value_quantiles_histogram",
+    # rows-only in r03, operator modules untouched this round
+    "bus_ride_simulation",
+    "video_frame_sample",
     "pricing_summary",
     "order_features",
     "minute_fanout",

@@ -1,0 +1,149 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — the tokenizer-training
+step of an LLM data pipeline.
+
+Byte-pair encoding learns a merge table greedily: count adjacent symbol
+pairs over the corpus, merge the most frequent pair everywhere, repeat.
+The classic formulation is single-machine over a word-frequency dict; the
+Spark-first shape keeps exactly that structure but distributes the only
+data-sized object:
+
+  - ONE corpus pass builds the (word, count) frequency table — after
+    that, every round operates on the VOCABULARY (distinct words), which
+    is orders of magnitude smaller than the corpus and shrinks none as
+    the corpus grows 100×  (Heaps' law: |vocab| ~ O(corpus^0.5));
+  - each round is one explode→groupBy over the vocab (pair counts,
+    weighted by word frequency, map-side partial aggregation) + a top-1;
+  - the winning pair (2 short strings + a count) is collected to the
+    driver and folded back in as a LITERAL — the same justified tiny
+    driver-side materialization as the k-means codebook
+    (operators/similarity.py): collecting 1 row per round replaces a
+    per-round join against a 1-row DataFrame and its barrier job;
+  - the merge itself is a vectorized higher-order-function fold over
+    each word's symbol array (left-to-right, non-overlapping — standard
+    BPE semantics), JVM-side, no Python in the loop;
+  - per-round localCheckpoint (sources/io.materialize) cuts the
+    iterative lineage exactly like connected_components does.
+
+Symbols start as characters (no end-of-word marker — GPT-2-style
+within-word merges). Ties on pair count break lexicographically on
+(left, right), making the learned table deterministic; the pytest
+cross-check (tests/test_text.py) reimplements the algorithm in pure
+Python over the same corpus and asserts the exact merge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MERGES_DEFAULT = 8
+
+
+def _char_symbols(word: Column) -> Column:
+    """array<string> of single characters (the BPE start state)."""
+    return F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<left,right>> of adjacent symbol pairs."""
+    n = F.size(syms)
+    return F.when(n < 2, F.array().cast("array<struct<left:string,right:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("left"),
+                F.element_at(syms, i + 1).alias("right"),
+            ),
+        )
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Replace adjacent (left, right) with left+right, LEFT-TO-RIGHT and
+    non-overlapping ("aaa" with pair (a,a) → ["aa","a"]) — one
+    vectorized aggregate fold, no Python."""
+    n = F.size(syms)
+    merged = F.lit(left + right)
+
+    def step(acc: Column, i: Column) -> Column:
+        # F.get is 0-based and returns NULL out of bounds (ANSI-safe,
+        # unlike element_at which throws under Spark 4's default ANSI)
+        cur = F.get(syms, i)
+        nxt = F.get(syms, i + 1)
+        take_pair = (
+            ~acc["skip"]
+            & (cur == F.lit(left))
+            & (nxt.isNotNull() & (nxt == F.lit(right)))
+        )
+        return (
+            F.when(acc["skip"], F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")))
+            .when(
+                take_pair,
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+    return F.aggregate(F.sequence(F.lit(0), n - 1), acc0, step, lambda acc: acc["out"])
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over whitespace tokens — the one corpus-sized pass."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    return (
+        spread(docs)
+        .select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def learn_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES_DEFAULT,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge-table DataFrame
+    (rank, left, right, merged, pair_count) in learned order."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    words = materialize(
+        word_frequencies(docs, text_col).select(
+            _char_symbols(F.col("word")).alias("syms"), "cnt"
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            words.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()  # 1 row: the round's winning pair (driver literal)
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, left, right, left + right, int(cnt)))
+        words = materialize(
+            words.select(_merge_pair(F.col("syms"), left, right).alias("syms"), "cnt")
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )

@@ -161,3 +161,113 @@ def error_time_to_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_bound, F.col("resolved_ts")).alias("resolved_ts"),
         F.when(in_bound, wait).alias("wait_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TJ4 — multi-touch attribution (range join → first/last/linear credit)
+# ---------------------------------------------------------------------------
+
+_ATTR_HOURS = 24
+_CREDIT_SCALE = 1_000_000  # linear credit in ppm — integer-exact division
+
+_ATTR_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT p.purchase_id, t.touch_type, t.tts, t.touch_id
+  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+   AND t.tts BETWEEN p.pts - INTERVAL {_ATTR_HOURS} HOUR AND p.pts
+), ppt AS (
+  SELECT purchase_id, touch_type, COUNT(*) AS c_t FROM pairs GROUP BY 1, 2
+), pp AS (
+  SELECT purchase_id, SUM(c_t) AS n FROM ppt GROUP BY 1
+), firsts AS (
+  SELECT purchase_id, touch_type AS ft FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY tts, touch_id) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), lasts AS (
+  SELECT purchase_id, touch_type AS lt FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY tts DESC, touch_id DESC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT ppt.touch_type,
+  CAST(SUM(ppt.c_t) AS BIGINT) AS n_touches,
+  CAST(SUM(CASE WHEN f.ft = ppt.touch_type THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+  CAST(SUM(CASE WHEN l.lt = ppt.touch_type THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+  CAST(SUM(ppt.c_t * ({_CREDIT_SCALE} // pp.n)) AS BIGINT) AS linear_credit_ppm
+FROM ppt
+JOIN pp USING (purchase_id)
+JOIN firsts f USING (purchase_id)
+JOIN lasts l USING (purchase_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("touch_attribution", ("TJ4", "TJ2", "A1"), oracle=_ATTR_ORACLE, tags=("temporal",))
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase event claims the
+    click/view touches of the same user in the preceding 24 h (range
+    join, bucketized prefilter — operators/temporal_joins.range_join),
+    then first-touch / last-touch / linear-credit models aggregate per
+    touch channel.
+
+    Determinism: first/last per purchase are struct-min/max over
+    (tts, touch_id) — a total order, matching the oracle's tie-broken
+    ROW_NUMBER. Linear credit avoids float division entirely: each touch
+    earns 1_000_000 DIV n ppm (integer-exact in both engines), so the
+    report hashes bit-identically.
+
+    Scale shape: the range join shuffles on user_id with the 25-bucket
+    window explode on the (smaller) purchase side; everything after
+    operates on purchase-count-sized relations — two hash aggregates and
+    purchase-keyed joins AQE can broadcast. No window over the fact
+    table."""
+    from open_data_lakehouse_demo_spark.operators.temporal_joins import range_join
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr(f"INTERVAL '{_ATTR_HOURS}' HOUR")).alias("win_start"),
+    )
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    pairs = range_join(
+        touches, purchases, on=["user_id"], left_ts="tts",
+        range_start="win_start", range_end="pts",
+    ).select("purchase_id", "touch_type", "tts", "touch_id")
+
+    ppt = pairs.groupBy("purchase_id", "touch_type").agg(F.count("*").alias("c_t"))
+    pp = ppt.groupBy("purchase_id").agg(F.sum("c_t").alias("n"))
+    ends = pairs.groupBy("purchase_id").agg(
+        F.min(F.struct("tts", "touch_id", "touch_type")).alias("f"),
+        F.max(F.struct("tts", "touch_id", "touch_type")).alias("l"),
+    )
+    joined = ppt.join(pp, "purchase_id").join(ends, "purchase_id")
+    return (
+        joined.groupBy("touch_type")
+        .agg(
+            F.sum("c_t").cast("bigint").alias("n_touches"),
+            F.sum(
+                F.when(F.col("f.touch_type") == F.col("touch_type"), 1).otherwise(0)
+            ).cast("bigint").alias("first_touch"),
+            F.sum(
+                F.when(F.col("l.touch_type") == F.col("touch_type"), 1).otherwise(0)
+            ).cast("bigint").alias("last_touch"),
+            F.sum(F.col("c_t") * F.expr(f"{_CREDIT_SCALE} div n"))
+            .cast("bigint")
+            .alias("linear_credit_ppm"),
+        )
+        .orderBy("touch_type")
+    )

@@ -661,3 +661,31 @@ def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redacted_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TX9 — BPE merge learning (tokenizer training over the corpus)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_merges",
+    ("TX9",),
+    tags=("text", "pipeline"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges over the documents corpus
+    (operators/bpe.py): one corpus pass builds the word-frequency table,
+    then each greedy round is a vocab-sized explode→groupBy with the
+    winning pair folded back as a driver literal.
+
+    No SQL oracle: the greedy merge loop (argmax + in-place rewrite,
+    8 rounds) is iterative, like dup_clusters' pointer jumping — DuckDB
+    would need 8 chained rewrite CTEs with a non-overlapping
+    left-to-right replace, which plain SQL can't express. The exact
+    merge table (including tie-breaks and pair counts) is cross-checked
+    in tests/test_text.py against an independent pure-Python BPE over
+    the same corpus."""
+    from open_data_lakehouse_demo_spark.operators.bpe import learn_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    return learn_bpe(spark, docs, "text")

@@ -378,3 +378,79 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.value").alias("close_value"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 — SCD2 dimension build (gaps-and-islands → validity intervals)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+           OR o_orderpriority <> LAG(o_orderpriority) OVER w THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+    SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS ver
+  FROM seq
+), grouped AS (
+  SELECT o_custkey, ver, MIN(o_orderpriority) AS o_orderpriority,
+         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+  FROM runs GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(ver AS INT) AS version, o_orderpriority, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to,
+       n_orders,
+       (LEAD(valid_from) OVER wv IS NULL) AS is_current
+FROM grouped
+WINDOW wv AS (PARTITION BY o_custkey ORDER BY ver)
+"""
+
+
+@query("scd2_priority_history", ("W5", "W2", "A2"), oracle=_SCD2_ORACLE, tags=("window",))
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each customer's
+    order-priority sequence into versioned validity intervals
+    [valid_from, valid_to) with an is_current flag — the standard
+    lakehouse dimension-table materialization (the batch twin of the
+    foreachBatch MERGE upsert in streaming/job.py).
+
+    Gaps-and-islands: change-flag via lag, running-sum version numbers,
+    then one aggregate per (customer, version) and a lead() over the
+    collapsed runs for the closing bound. Scale shape: every window and
+    the aggregate share ONE partitioning (o_custkey) — a single shuffle
+    of the fact table, sorts reused across the two window specs; the
+    post-agg lead() runs over the runs relation (version-count-sized,
+    ≪ input). Total tiebreak (o_orderdate, o_orderkey) makes runs
+    deterministic under equal dates."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    chg = F.when(
+        prev.isNull() | (F.col("o_orderpriority") != prev), 1
+    ).otherwise(0)
+    runs = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ver"),
+    )
+    grouped = runs.groupBy("o_custkey", "ver").agg(
+        F.min("o_orderpriority").alias("o_orderpriority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("ver")
+    valid_to = F.lead("valid_from").over(wv)
+    return grouped.select(
+        "o_custkey",
+        F.col("ver").cast("int").alias("version"),
+        "o_orderpriority",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_orders",
+        valid_to.isNull().alias("is_current"),
+    )

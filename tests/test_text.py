@@ -103,3 +103,69 @@ def test_scrub_pii_patterns_and_pass_order(spark):
     assert got[2]["ni"] == 2
     assert got[3]["s"] == rows[3][0]  # decoys untouched
     assert got[4]["s"] == "mixed <EMAIL> then <PHONE> then <IP>"
+
+
+# ---------------------------------------------------------------------------
+# TX9 — BPE merge learning vs an independent pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent reference BPE (dict-of-tuples formulation, Sennrich's
+    algorithm): returns [(rank, left, right, merged, pair_count)]."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        # max count, lexicographic (left, right) tiebreak
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, left + right, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    import duckdb
+
+    wc = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            SELECT w, COUNT(*) FROM (
+              SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM '{SF_DIR}/documents.parquet'
+            ) GROUP BY 1
+            """
+        ).fetchall()
+    }
+    expected = _py_bpe(wc, 8)
+    got = [tuple(r) for r in QUERIES["bpe_merges"].spark(spark, SF_DIR).collect()]
+    assert got == expected
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    """'aaa' under pair (a,a) must become [aa, a], not [a, aa] or [aa, aa]."""
+    from open_data_lakehouse_demo_spark.operators import bpe
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ab",)], ["w"])
+    out = df.select(
+        bpe._merge_pair(bpe._char_symbols(F.col("w")), "a", "a").alias("s")
+    ).collect()
+    assert [r["s"] for r in out] == [["aa", "a"], ["aa", "aa"], ["a", "b"]]
