@@ -244,8 +244,13 @@ def sq_int8_topk(
     the search join carries ONLY (vid, codes); probes broadcast (same
     probe-batch bound as pq_adc_topk).
     """
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    stats = sq_stats(base)
+    # 1-row aggregate consumed by BOTH the encode and the probe branch —
+    # without the checkpoint each crossJoin recomputes the full stats
+    # scan (ReuseExchange misses: the branches prune different columns)
+    stats = materialize(sq_stats(base))
     codes = sq_encode(base, stats)
     probes = base.filter(probe_filter) if probe_filter is not None else base
     pside = (

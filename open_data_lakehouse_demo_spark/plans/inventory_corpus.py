@@ -202,7 +202,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PIPE3b — Bloom-filter decontamination (the constant-memory sketch path)
+# PIPE8 — Bloom-filter decontamination (the constant-memory sketch path)
 # ---------------------------------------------------------------------------
 
 # Fixed-size eval suite: a Bloom filter is sized to its member set, so the
@@ -269,7 +269,7 @@ ORDER BY doc_id
 
 @query(
     "bloom_decontaminate",
-    ("PIPE3", "A10"),
+    ("PIPE8", "A10"),
     oracle=_BLOOM_ORACLE,
     tags=("pipeline", "sketch"),
 )

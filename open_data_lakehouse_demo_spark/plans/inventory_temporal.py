@@ -248,13 +248,25 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_start="win_start", range_end="pts",
     ).select("purchase_id", "touch_type", "tts", "touch_id")
 
-    ppt = pairs.groupBy("purchase_id", "touch_type").agg(F.count("*").alias("c_t"))
-    pp = ppt.groupBy("purchase_id").agg(F.sum("c_t").alias("n"))
-    ends = pairs.groupBy("purchase_id").agg(
-        F.min(F.struct("tts", "touch_id", "touch_type")).alias("f"),
-        F.max(F.struct("tts", "touch_id", "touch_type")).alias("l"),
+    # ONE pass over the join output: per-(purchase, channel) counts carry
+    # their own struct-min/max, so the purchase-level first/last derive
+    # from the tiny ppt relation instead of re-running the range join
+    # (the naive ppt/pp/ends formulation planned the join subtree 3×)
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    ppt = materialize(
+        pairs.groupBy("purchase_id", "touch_type").agg(
+            F.count("*").alias("c_t"),
+            F.min(F.struct("tts", "touch_id", "touch_type")).alias("mn"),
+            F.max(F.struct("tts", "touch_id", "touch_type")).alias("mx"),
+        )
     )
-    joined = ppt.join(pp, "purchase_id").join(ends, "purchase_id")
+    pp = ppt.groupBy("purchase_id").agg(
+        F.sum("c_t").alias("n"),
+        F.min("mn").alias("f"),
+        F.max("mx").alias("l"),
+    )
+    joined = ppt.join(pp, "purchase_id")
     return (
         joined.groupBy("touch_type")
         .agg(

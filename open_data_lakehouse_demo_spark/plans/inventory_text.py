@@ -664,12 +664,12 @@ def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TX9 — BPE merge learning (tokenizer training over the corpus)
+# TX10 — BPE merge learning (tokenizer training over the corpus)
 # ---------------------------------------------------------------------------
 
 @query(
     "bpe_merges",
-    ("TX9",),
+    ("TX10",),
     tags=("text", "pipeline"),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -381,7 +381,7 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W5 — SCD2 dimension build (gaps-and-islands → validity intervals)
+# W6 — SCD2 dimension build (gaps-and-islands → validity intervals)
 # ---------------------------------------------------------------------------
 
 _SCD2_ORACLE = """
@@ -410,7 +410,7 @@ WINDOW wv AS (PARTITION BY o_custkey ORDER BY ver)
 """
 
 
-@query("scd2_priority_history", ("W5", "W2", "A2"), oracle=_SCD2_ORACLE, tags=("window",))
+@query("scd2_priority_history", ("W6", "W2", "A2"), oracle=_SCD2_ORACLE, tags=("window",))
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: collapse each customer's
     order-priority sequence into versioned validity intervals

@@ -9,6 +9,7 @@ regression check:
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -288,6 +289,49 @@ CHECKS = [
         "vectors never re-read); per-(vid,subspace) argmin is a "
         "min(struct) hash aggregate.",
     ),
+    (
+        "sq_int8_topk",
+        ["2x:Scan parquet", "BroadcastNestedLoopJoin", "WindowGroupLimit",
+         "0x:SortMergeJoin", "0x:HashAggregate"],
+        "SQ8 search: the per-dim stats row is checkpoint-materialized so "
+        "BOTH crossJoin consumers read it as ExistingRDD (the naive plan "
+        "ran the stats aggregate twice); the encoded corpus joins the "
+        "broadcast probe batch; top-k prunes per-partition via "
+        "WindowGroupLimit before the final rank.",
+    ),
+    (
+        "bloom_decontaminate",
+        ["BroadcastNestedLoopJoin Cross", "Generate", "BroadcastHashJoin LeftSemi",
+         "0x:SortMergeJoin"],
+        "The 1-row Bloom bitmap crossJoin-broadcasts onto the corpus scan "
+        "and membership is pure Column logic (F.exists over the shingle "
+        "array — no explode, no shuffle on the probe path); the exact "
+        "audit arm is the broadcast semi-join of hashed shingles.",
+    ),
+    (
+        "scd2_priority_history",
+        ["1x:- Exchange (", "Window", "0x:Join", "SortAggregate|HashAggregate"],
+        "SCD2 build: the change-flag window, run aggregate and the "
+        "closing-bound lead() all share the o_custkey partitioning — "
+        "exactly ONE fact-table shuffle, no joins anywhere.",
+    ),
+    (
+        "touch_attribution",
+        ["HashAggregate", "0x:CartesianProduct", "Scan ExistingRDD", "0x:Scan parquet"],
+        "The 24h range join (bucketized, purchase side broadcast with its "
+        "25-bucket Generate) runs ONCE inside the checkpointed "
+        "per-(purchase,channel) aggregate, which carries its own "
+        "first/last structs — the naive first/last/linear formulation "
+        "planned the join subtree three times.",
+    ),
+    (
+        "bpe_merges",
+        ["0x:Scan parquet", "0x:Exchange"],
+        "The learned merge table is a driver-literal LocalTableScan: each "
+        "greedy round ran as one vocab-sized explode→groupBy job with the "
+        "winning pair collected (1 row/round, the k-means-codebook "
+        "pattern), so the RESULT plan is constant-size by design.",
+    ),
 ]
 
 
@@ -295,7 +339,7 @@ def check_plan(spark, name: str, fragments: list[str]) -> tuple[list[str], str]:
     """Return (missing fragments, formatted plan) for one query.
 
     "a|b" fragments accept any alternative (AQE picks strategies by size);
-    "1x:frag" requires EXACTLY one occurrence in the operator tree (e.g.
+    "Nx:frag" requires EXACTLY N occurrences in the operator tree (e.g.
     single-scan assertions — the detail section repeats node names, so the
     count runs on the tree only); "0x:frag" requires ABSENCE from the tree
     (e.g. no sort-merge join, no join at all).
@@ -308,10 +352,9 @@ def check_plan(spark, name: str, fragments: list[str]) -> tuple[list[str], str]:
     tree = plan.split("\n\n")[0]
 
     def ok(f: str) -> bool:
-        if f.startswith("1x:"):
-            return tree.count(f[3:]) == 1
-        if f.startswith("0x:"):
-            return tree.count(f[3:]) == 0
+        m = re.match(r"^(\d+)x:", f)
+        if m:
+            return tree.count(f[m.end():]) == int(m.group(1))
         return any(alt in plan for alt in f.split("|"))
 
     return [f for f in fragments if not ok(f)], plan

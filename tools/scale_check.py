@@ -63,6 +63,10 @@ SLICE = [
     ("daily_ohlc", "partial sort-agg OHLC downsample"),
     ("skewed_join_salted", "hot-key salted join + decimal cross-multiply"),
     ("ivf_pq_topk", "IVF-pruned ADC over inverted code lists"),
+    ("sq_int8_topk", "int8-quantized asymmetric L2 broadcast search"),
+    ("bloom_decontaminate", "map-side Bloom membership + exact audit arm"),
+    ("scd2_priority_history", "single-shuffle gaps-and-islands SCD2 build"),
+    ("touch_attribution", "24h range join + checkpointed channel rollup"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
