@@ -336,18 +336,29 @@ def decontaminate(
 BLOOM_WORDS = 124
 BLOOM_BITS_PER_WORD = 62  # ≤62 keeps 1<<offset inside signed-BIGINT range
 BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD  # 7688 bits
-BLOOM_K = 4  # hash functions, salted 'bloom{j}:'
+BLOOM_K = 4  # hash functions: 4 disjoint 8-hex slices of one md5 digest
 # Sizing: m/n ≈ 32 bits/member at the fixed ~240-member benchmark set →
 # per-probe FP (1-e^{-kn/m})^k ≈ 2e-4, so ANY-of-~50-shingles doc-level
 # flagging stays ~1% FP. A Bloom filter is sized to its FIXED member set
 # (the eval suite), never to the growing corpus it filters.
 
 
-def _bloom_bit(s: Column, j: int) -> Column:
-    """Bit position 0..BLOOM_M-1 of hash j for member string ``s``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), s)), 1, 15), 16, 10
-    ).cast("bigint")
+def bloom_digest(s: Column) -> Column:
+    """The one md5 digest all BLOOM_K bit positions slice (hex chars
+    8j+1..8j+8 → independent 32-bit values; 4×8 hex consumes the whole
+    128-bit digest) — the classic one-hash/partitioned-digest Bloom
+    construction, at identical FP behavior to K salted hashes.
+
+    Callers probing a corpus should PROJECT this column once and pass
+    it to ``bloom_contains``: FilterExec does not eliminate common
+    subexpressions across conjuncts, so an md5 embedded in each of the
+    K bit tests would be recomputed K times per probed string."""
+    return F.md5(F.concat(F.lit("bloom:"), s))
+
+
+def _bloom_bit(dig: Column, j: int) -> Column:
+    """Bit position 0..BLOOM_M-1 of hash j for digest ``dig``."""
+    h = F.conv(F.substring(dig, 1 + 8 * j, 8), 16, 10).cast("bigint")
     return h % F.lit(BLOOM_M)
 
 
@@ -360,8 +371,8 @@ def _bloom_mask(offset: Column) -> Column:
 
 def bloom_sketch(members: DataFrame, member_col: str = "s") -> DataFrame:
     """1-row (words map<bigint,bigint>) Bloom bitmap over a member-string
-    relation: K salted md5 bit positions per member, OR-folded into
-    BLOOM_WORDS 62-bit words.
+    relation: K bit positions sliced from one md5 digest per member,
+    OR-folded into BLOOM_WORDS 62-bit words.
 
     Mergeable contract: shard sketches merge by per-word bitwise OR (the
     same bit_or aggregate), like the portable HLL/CMS registers. The
@@ -369,9 +380,9 @@ def bloom_sketch(members: DataFrame, member_col: str = "s") -> DataFrame:
     carries at most BLOOM_WORDS rows per partition regardless of member
     count.
     """
-    bits = members.select(
+    bits = members.select(bloom_digest(F.col(member_col)).alias("dig")).select(
         F.explode(
-            F.array(*[_bloom_bit(F.col(member_col), j) for j in range(BLOOM_K)])
+            F.array(*[_bloom_bit(F.col("dig"), j) for j in range(BLOOM_K)])
         ).alias("bit")
     )
     words = bits.groupBy(F.floor(F.col("bit") / BLOOM_BITS_PER_WORD).alias("word")).agg(
@@ -382,12 +393,18 @@ def bloom_sketch(members: DataFrame, member_col: str = "s") -> DataFrame:
     )
 
 
-def bloom_contains(words: Column, s: Column) -> Column:
-    """TRUE iff all K bloom bits of ``s`` are set in the ``words`` map
-    (absent words read as 0) — pure Column logic, evaluated map-side
-    against the broadcast 1-row sketch."""
+def bloom_contains(words: Column, dig: Column) -> Column:
+    """TRUE iff all K bloom bits of digest ``dig`` (= ``bloom_digest(s)``,
+    projected ONCE by the caller — see its docstring) are set in the
+    ``words`` map (absent words read as 0) — pure Column logic,
+    evaluated map-side against the broadcast 1-row sketch.
+
+    Apply it to a FLAT digest column (e.g. after an explode), not inside
+    an array higher-order function: HOF lambdas evaluate interpreted,
+    which defeats codegen and measured ~6× slower on the
+    decontamination probe."""
     def bit_set(j: int) -> Column:
-        bit = _bloom_bit(s, j)
+        bit = _bloom_bit(dig, j)
         word_bits = F.coalesce(
             F.element_at(words, F.floor(bit / BLOOM_BITS_PER_WORD).cast("bigint")),
             F.lit(0).cast("bigint"),

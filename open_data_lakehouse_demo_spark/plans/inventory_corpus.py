@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.functions import text as tx
 from open_data_lakehouse_demo_spark.operators import dedup
+from open_data_lakehouse_demo_spark.sources.io import spread
 from open_data_lakehouse_demo_spark.plans.inventory import query, t
 from open_data_lakehouse_demo_spark.plans.inventory_docs import (
     _JACCARD_THRESHOLD,
@@ -211,7 +212,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_BENCH_CAP = 485
 
 _BLOOM_HASH = (
-    "CAST(('0x' || substring(md5('bloom' || CAST(j AS VARCHAR) || ':' || s), 1, 15)) "
+    "CAST(('0x' || substring(md5('bloom:' || s), 1 + 8 * j, 8)) "
     f"AS BIGINT) % {dedup.BLOOM_M}"
 )
 
@@ -275,14 +276,19 @@ ORDER BY doc_id
 )
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination membership via a PORTABLE Bloom filter (124×62-bit
-    words, k=4 salted md5 hashes — operators/dedup.py bloom_sketch):
-    benchmark 8-gram shingles OR-fold into a ≤64-row bitmap that pivots
-    to ONE broadcast map row; the corpus is then probed entirely
-    MAP-SIDE (F.exists over each doc's shingles — no explode, no
-    shuffle), the way a 100 TB scan consults an eval-set filter. The
-    exact hashed-shingle arm (benchmark_decontaminate's semantics) is
-    joined on as the audit column: Bloom error is one-sided, so every
-    exact hit must be flagged and `false_positive` rows quantify the
+    words, k=4 hash slices of one md5 digest — operators/dedup.py
+    bloom_sketch): benchmark 8-gram shingles OR-fold into a ≤64-row
+    bitmap that pivots to ONE broadcast map row; the corpus probe is a
+    map-side explode + whole-stage-codegen bloom_contains filter against
+    the broadcast sketch — the ONLY shuffle is the final distinct over
+    flagged doc ids, which is output-sized (contaminated docs + the FP
+    trickle), the way a 100 TB scan consults an eval-set filter.  (An
+    F.exists HOF over each doc's shingle array has the same semantics
+    with zero shuffle but evaluates interpreted — measured 6× slower;
+    an output-sized distinct is the better trade.)  The exact
+    hashed-shingle arm (benchmark_decontaminate's semantics) is joined
+    on as the audit column: Bloom error is one-sided, so every exact
+    hit must be flagged and `false_positive` rows quantify the
     m/k-driven false-positive rate, driver-visible like the CMS
     overestimate audit."""
     docs = t(spark, sf_dir, "documents")
@@ -295,14 +301,25 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dedup.word_shingles(dedup.tokenize("text"), _DECON_N)).alias("s")
     ).distinct()
     sketch = dedup.bloom_sketch(members)
+    # spread(): the local fixture arrives as ONE parquet split, which
+    # would serialize the HOF shingle construction (measured 4-5s serial
+    # vs sub-second wide — the same reason _doc_shingle_sets spreads)
     flagged = (
-        corpus.crossJoin(F.broadcast(sketch))
-        .withColumn("sh", dedup.word_shingles(dedup.tokenize("text"), _DECON_N))
-        .filter(F.exists("sh", lambda s: dedup.bloom_contains(F.col("words"), s)))
+        spread(corpus).crossJoin(F.broadcast(sketch))
+        .select(
+            "doc_id",
+            "words",
+            F.explode(dedup.word_shingles(dedup.tokenize("text"), _DECON_N)).alias("s"),
+        )
+        # digest projected ONCE per shingle — FilterExec would recompute
+        # an inlined md5 in each of the K bit conjuncts (bloom_digest doc)
+        .select("doc_id", "words", dedup.bloom_digest(F.col("s")).alias("dig"))
+        .filter(dedup.bloom_contains(F.col("words"), F.col("dig")))
         .select("doc_id")
+        .distinct()
     )
 
-    c_sh = corpus.select(
+    c_sh = spread(corpus).select(
         "doc_id", F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
     )
     b_sh = benchmark.select(

@@ -514,24 +514,28 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("pair_rank") <= np_, 1).otherwise(0)
             ).over(wcum),
         )
-    n_probes = ann.agg(F.count_distinct("query_id").alias("n_probes"))
-    levels = [
-        ann.agg(
-            F.sum(
-                F.when(
-                    (F.col("bf_rn") <= _K)
-                    & (F.col("pair_rank") <= np_)
-                    & (F.col(f"cum_{np_}") <= _K),
-                    1,
-                ).otherwise(0)
-            ).alias("hits")
-        ).select(F.lit(np_).alias("nprobe"), "hits")
+    # ONE aggregation computes every sweep level's hit count plus the
+    # probe count, then a stack() generator unpivots the 1-row result —
+    # a per-level `ann.agg(...)` union would re-execute the pair-fanout
+    # + window subtree once per level (4× here; measured 2.45s → the
+    # fused form drops the three redundant passes).
+    hit_cols = [
+        F.sum(
+            F.when(
+                (F.col("bf_rn") <= _K)
+                & (F.col("pair_rank") <= np_)
+                & (F.col(f"cum_{np_}") <= _K),
+                1,
+            ).otherwise(0)
+        ).alias(f"hits_{np_}")
         for np_ in _SWEEP_NPROBES
     ]
-    from functools import reduce as _reduce
-
-    all_levels = _reduce(lambda a, b: a.unionByName(b), levels)
-    return all_levels.crossJoin(F.broadcast(n_probes)).select(
+    one = ann.agg(*hit_cols, F.count_distinct("query_id").alias("n_probes"))
+    stack_args = ", ".join(f"{np_}, hits_{np_}" for np_ in _SWEEP_NPROBES)
+    return one.selectExpr(
+        f"stack({len(_SWEEP_NPROBES)}, {stack_args}) AS (nprobe, hits)",
+        "n_probes",
+    ).select(
         "nprobe",
         "n_probes",
         (

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Spot-check named inventory queries: DuckDB-oracle compare at sf0.01
+(rows + schema-width + order-insensitive value hash, mirroring the
+driver's gate) and warm-median timing at sf0.1.
+
+    PYTHONPATH=. python tools/check_query.py ann_recall_sweep [more...]
+    PYTHONPATH=. python tools/check_query.py --time-only q1 q2
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import statistics
+import sys
+import time
+
+
+def _canon(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    time_only = "--time-only" in sys.argv
+    check_only = "--check-only" in sys.argv
+    sf001 = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    import duckdb
+
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from open_data_lakehouse_demo_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="check-query",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf001}/{t}.parquet'")
+
+    for name in names:
+        q = QUERIES[name]
+        if not time_only:
+            df = q.spark(spark, sf001)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            if q.oracle is None:
+                print(f"{name}: rows-only, spark_rows={len(rows)}")
+            else:
+                cur = con.execute(q.oracle)
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+                sh, oh = _hash_rows(cols, rows), _hash_rows(ocols, orows)
+                ok = (len(rows) == len(orows)
+                      and sorted(cols) == sorted(ocols) and sh == oh)
+                print(f"{name}: rows {len(rows)}/{len(orows)} "
+                      f"schema {sorted(cols) == sorted(ocols)} "
+                      f"hash {sh == oh} -> {'PASS' if ok else 'FAIL'}")
+                if sorted(cols) != sorted(ocols):
+                    print(f"  spark cols: {sorted(cols)}")
+                    print(f"  duck  cols: {sorted(ocols)}")
+        if not check_only:
+            q.spark(spark, sf01).write.format("noop").mode("overwrite").save()
+            ts = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                q.spark(spark, sf01).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            print(f"{name}: median {statistics.median(ts):.2f}s "
+                  f"(runs {[round(x, 2) for x in ts]}) at {sf01}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
