@@ -173,6 +173,43 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan (S2 family): the other splittable columnar warehouse
+    format; Spark's vectorized ORC reader pushes filters and prunes
+    columns exactly like parquet, so every plan property asserted in
+    PLANS.md transfers."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (S3 family) with the same partitioned-layout contract as
+    write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read (S2 family): union the footers of every file
+    under ``path`` (``mergeSchema``) so files written before a column was
+    added scan as NULL for it — the additive-evolution contract Iceberg
+    gives via metadata, reproduced for plain parquet directories.
+
+    Merging footers is an O(#files) planning cost — reserve it for
+    directories that actually evolved; steady-state reads should pass an
+    explicit schema (read_parquet) and keep planning O(1)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
     """Register the testdata parquet tables as temp views (one per table).
 

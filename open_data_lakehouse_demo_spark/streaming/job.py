@@ -605,6 +605,7 @@ def run_pipeline(
     alerts_dir: str,
     state_table_dir: str,
     watermark: str = "10 minutes",
+    available_now: bool = False,
 ):
     """Wire the full dual-sink topology (T5) and start both queries.
 
@@ -613,17 +614,27 @@ def run_pipeline(
                     bus_state parquet table (T4 — the reference overwrites
                     a warehouse table per micro-batch)
     Returns (alerts_query, state_query); caller awaits/stops them.
+
+    ``available_now=True`` runs both queries with Trigger.AvailableNow:
+    drain everything currently in the source in rate-limited micro-batches
+    (maxFilesPerTrigger still applies), then stop — the incremental
+    batch/backfill pattern (catch-up after downtime, scheduled
+    micro-batch jobs) with exactly the same exactly-once checkpoint
+    contract as the continuous run; a later continuous start resumes
+    from the same checkpoints.
     """
     parsed = parse_envelope(read_json_stream(spark, source_dir))
 
-    alerts_q = (
+    alerts_w = (
         alerts_stream(parsed)
         .writeStream.format("json")
         .option("path", alerts_dir)
         .option("checkpointLocation", f"{checkpoint_dir}/alerts")
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        alerts_w = alerts_w.trigger(availableNow=True)
+    alerts_q = alerts_w.start()
 
     state_df = latest_state_agg(parsed, watermark)
 
@@ -633,10 +644,12 @@ def run_pipeline(
         # anti-pattern dropped on purpose (driver OOM at scale).
         batch_df.write.mode("overwrite").parquet(state_table_dir)
 
-    state_q = (
+    state_w = (
         state_df.writeStream.foreachBatch(overwrite_state)
         .option("checkpointLocation", f"{checkpoint_dir}/state")
         .outputMode("complete")
-        .start()
     )
+    if available_now:
+        state_w = state_w.trigger(availableNow=True)
+    state_q = state_w.start()
     return alerts_q, state_q

@@ -715,3 +715,34 @@ def test_streaming_ohlc_matches_batch_twin(spark, tmp_path):
         if r["day"] < bounds["dmax"]
     }
     assert got == want and len(got) > 0
+
+
+def test_available_now_drains_and_stops_then_resumes(spark, dirs):
+    """Trigger.AvailableNow (incremental batch): processes everything in
+    the source then terminates on its own; a later availableNow run on
+    the SAME checkpoints picks up only the new files — the
+    backfill/catch-up contract."""
+    _drop(dirs["src"], "b1.jsonl", BATCH_1)
+    alerts_q, state_q = st.run_pipeline(
+        spark, dirs["src"], dirs["ckpt"], dirs["alerts"], dirs["state"],
+        available_now=True,
+    )
+    assert alerts_q.awaitTermination(120), "alerts query did not self-stop"
+    assert state_q.awaitTermination(120), "state query did not self-stop"
+    assert not alerts_q.isActive and not state_q.isActive
+    n_alerts_first = len(_read_alerts(dirs["alerts"]))
+    assert n_alerts_first == 2  # r1 and r2 alert rows from batch 1
+
+    # catch-up run: only batch 2 is new; exactly-once via shared checkpoint
+    _drop(dirs["src"], "b2.jsonl", BATCH_2)
+    alerts_q2, state_q2 = st.run_pipeline(
+        spark, dirs["src"], dirs["ckpt"], dirs["alerts"], dirs["state"],
+        available_now=True,
+    )
+    assert alerts_q2.awaitTermination(120)
+    assert state_q2.awaitTermination(120)
+    alerts = _read_alerts(dirs["alerts"])
+    assert len(alerts) > n_alerts_first  # batch-2 alerts appended, none re-emitted twice
+    assert ("r2", 1) in {(a["bus_ride_id"], a["remaining_at_stop"]) for a in alerts}
+    state = {r["bus_line_id"] for r in spark.read.parquet(dirs["state"]).collect()}
+    assert state == {1}  # line 2 retired by its last_stop event in batch 2
