@@ -33,6 +33,9 @@ path where recall matters.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,23 +88,145 @@ def pq_codebook(vectors: DataFrame, id_col: str = "vid", vec_col: str = "vec") -
     )
 
 
+def _best_code_cols(extra_null=None) -> list:
+    """M conditional-argmin aggregate columns: b{s} = min over rows with
+    subspace == s of struct(d2, code_id) — min ignores the NULLs the
+    other subspaces' rows contribute, so ONE hash aggregate produces the
+    per-subspace argmins that a groupBy(key, s) + regroup(key) pair
+    would need two shuffles for. M is a compile-time constant, so the
+    pivot width is fixed; ties still break to the lowest code_id via the
+    struct ordering."""
+    return [
+        F.min(F.when(F.col("s") == s, F.struct("d2", "code_id"))).alias(f"b{s}")
+        for s in range(M)
+    ]
+
+
+def _codes_from_best() -> Column:
+    return F.array(*[F.col(f"b{s}.code_id") for s in range(M)]).alias("codes")
+
+
 def pq_encode(
     vectors: DataFrame, codebook: DataFrame, id_col: str = "vid", vec_col: str = "vec"
 ) -> DataFrame:
     """(vid, codes array<int>) — nearest code per subspace (L2², ties to
-    the lowest code_id via one min(struct) hash aggregate)."""
+    the lowest code_id) in ONE hash aggregate (see _best_code_cols)."""
     subs = vectors.select(
         F.col(id_col).alias("vid"), F.explode(sub_slices(F.col(vec_col))).alias("sc")
     ).select("vid", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
     scored = subs.join(F.broadcast(codebook), "s").select(
         "vid", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("d2")
     )
-    best = scored.groupBy("vid", "s").agg(F.min(F.struct("d2", "code_id")).alias("b"))
-    return best.groupBy("vid").agg(
+    return scored.groupBy("vid").agg(*_best_code_cols()).select("vid", _codes_from_best())
+
+
+def pq_seed_matrix(
+    base: DataFrame, id_col: str = "vid", vec_col: str = "vec", n: int = NCODES
+):
+    """(vids, mat32) — the NCODES lowest-id seed vectors collected to the
+    driver: the same justified tiny driver-side materialization as the
+    k-means codebook (operators/similarity.py _kmeans_train) — NCODES×DIM
+    floats (4 KB), independent of corpus size. Collecting it once lets
+    encode/LUT/coarse-assign run as Arrow kernels against a literal
+    codebook instead of explode→broadcast-join→re-aggregate plans (the
+    relational twins pq_encode/_probe_lut remain as the documentation
+    and differential-test path)."""
+    rows = base.orderBy(id_col).limit(n).collect()
+    vids = [int(r[id_col]) for r in rows]
+    return vids, np.array([r[vec_col] for r in rows], dtype=np.float32)
+
+
+def _pq_sub_dists(chunk64: np.ndarray, cb64: np.ndarray) -> np.ndarray:
+    """(n, M, NCODES) L2² between each vector's M subvectors and every
+    code's, with l2sq_fold's exact arithmetic: f32→f64 exact casts, per-dim
+    (a-b)·(a-b) in f64, summed LEFT-TO-RIGHT over the SUB dims
+    (np.add.accumulate ≡ the fold's rounding at every step; squares are
+    never -0.0 so the +0.0 zero-seed is value-neutral). argmin over the
+    code axis then matches min(struct(d2, code_id)) bit-for-bit —
+    first-minimum ties = lowest code_id."""
+    xs = chunk64.reshape(-1, M, 1, SUB)  # (n, M, 1, SUB)
+    cs = cb64.reshape(1, NCODES, M, SUB).transpose(0, 2, 1, 3)  # (1, M, NCODES, SUB)
+    diff = xs - cs
+    sq = diff * diff
+    return np.add.accumulate(sq, axis=-1)[..., -1] + 0.0
+
+
+def pq_codes_batch(vec_col: str, mat32: np.ndarray) -> Column:
+    """array<int> PQ codes per vector against the DRIVER-SIDE codebook —
+    Arrow-batched twin of ``pq_encode`` (bit-identical: see
+    _pq_sub_dists). One Arrow pass replaces the M-way subvector explode,
+    broadcast codebook join and argmin re-aggregation — no shuffle, no
+    ×M·NCODES row amplification; this is the FAISS-shaped encode kernel,
+    which is what a 100 TB encode job should run per partition. Codebook
+    rides the task closure (4 KB; same HONEST LIMIT as
+    assign_ids_batch)."""
+    cb64 = mat32.astype(np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _codes(emb: pd.Series) -> pd.Series:
+        out = []
+        arr = emb.to_numpy()
+        for lo in range(0, len(arr), 2048):
+            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+            d = _pq_sub_dists(chunk, cb64)
+            out.extend(np.argmin(d, axis=2).astype(np.int32))
+        return pd.Series(out)
+
+    return _codes(F.col(vec_col))
+
+
+def pq_lut_batch(vec_col: str, mat32: np.ndarray) -> Column:
+    """array<array<double>> ADC lookup table per probe (lut[s][code_id] =
+    L2² between the probe's subvector s and code code_id) against the
+    driver-side codebook — Arrow-batched twin of ``_probe_lut``,
+    bit-identical via _pq_sub_dists."""
+    cb64 = mat32.astype(np.float64)
+
+    @F.pandas_udf("array<array<double>>")
+    def _lut(emb: pd.Series) -> pd.Series:
+        out = []
+        arr = emb.to_numpy()
+        for lo in range(0, len(arr), 2048):
+            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+            d = _pq_sub_dists(chunk, cb64)  # (n, M, NCODES)
+            out.extend(list(d))
+        return pd.Series(out)
+
+    return _lut(F.col(vec_col))
+
+
+def _probe_lut(plut0: DataFrame) -> DataFrame:
+    """(query_id, lut array<array<double>>) from the per-(probe, subspace,
+    code) distance rows: ONE collect_list aggregate per probe, assembled
+    into the lut[s][code_id] nesting by two array_sorts.
+
+    Shape notes, both measured: collect_list is a TypedImperative
+    aggregate → ObjectHashAggregate, no sort, and the (s, code_id, pd2)
+    struct sorts give a deterministic assembly.  An M×NCODES=128-column
+    conditional min(when(...)) pivot — the "one hash aggregate" shape
+    used for the M=8 encode argmin (_best_code_cols) — is 5× SLOWER
+    here despite the same shuffle count: Catalyst's per-column analysis
+    (constraint propagation over 128 when-branches) dominates at this
+    width. Column-pivot aggregates are only a win at small fixed width."""
+    cells = plut0.groupBy("query_id").agg(
+        F.collect_list(F.struct("s", "code_id", "pd2")).alias("cells")
+    )
+    per_s = F.transform(
+        F.array_sort(
+            F.col("cells")
+        ),  # struct order (s, code_id, pd2): sorts by subspace then code
+        lambda x: F.struct(x["s"].alias("s"), x["pd2"].alias("pd2")),
+    )
+    # split the sorted flat list into M rows of NCODES — positions are
+    # deterministic after the sort, so slicing reproduces lut[s][code_id]
+    return cells.select(
+        "query_id",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("s", F.col("b.code_id").alias("code_id")))),
-            lambda x: x["code_id"],
-        ).alias("codes")
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda j: F.transform(
+                F.slice(per_s, j * NCODES + 1, NCODES), lambda x: x["pd2"]
+            ),
+        ).alias("lut"),
     )
 
 
@@ -123,26 +248,20 @@ def pq_adc_topk(
     at these constants); larger query sets shard into sequential batches
     — the corpus-side encoded table is reused untouched across batches,
     which is the PQ serving pattern anyway.
+
+    Encode and LUT run as Arrow kernels against the driver-side seed
+    codebook (pq_codes_batch/pq_lut_batch — bit-identical to the
+    relational pq_encode/_probe_lut twins, differential-tested): zero
+    shuffles before the candidate join instead of three.
     """
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    codebook = pq_codebook(base)
-    codes = pq_encode(base, codebook)
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    _, mat32 = pq_seed_matrix(base)
+    codes = base.select("vid", pq_codes_batch("vec", mat32).alias("codes"))
     probes = base.filter(probe_filter) if probe_filter is not None else base
-    psubs = probes.select(
-        F.col("vid").alias("query_id"), F.explode(sub_slices(F.col("vec"))).alias("sc")
-    ).select("query_id", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
-    plut0 = psubs.join(F.broadcast(codebook), "s").select(
-        "query_id", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("pd2")
-    )
-    per_s = plut0.groupBy("query_id", "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "pd2"))), lambda x: x["pd2"]
-        ).alias("rw")
-    )
-    lut = per_s.groupBy("query_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("s", "rw"))), lambda x: x["rw"]).alias(
-            "lut"
-        )
+    lut = probes.select(
+        F.col("vid").alias("query_id"), pq_lut_batch("vec", mat32).alias("lut")
     )
     adc = (
         codes.join(F.broadcast(lut))
@@ -244,36 +363,49 @@ def sq_int8_topk(
     the search join carries ONLY (vid, codes); probes broadcast (same
     probe-batch bound as pq_adc_topk).
     """
-    from open_data_lakehouse_demo_spark.sources.io import materialize
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
 
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # spread(): encode and the DIM-step ADC fold are narrow (broadcast
+    # joins only), so they inherit the scan's partitioning — a one-split
+    # local fixture would run the whole interpreted fold on one thread
+    # (measured 3.3s serial vs ~1s wide at sf0.1)
+    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
     # 1-row aggregate consumed by BOTH the encode and the probe branch —
     # without the checkpoint each crossJoin recomputes the full stats
     # scan (ReuseExchange misses: the branches prune different columns)
     stats = materialize(sq_stats(base))
     codes = sq_encode(base, stats)
     probes = base.filter(probe_filter) if probe_filter is not None else base
-    pside = (
-        probes.select(
-            F.col("vid").alias("query_id"),
-            F.transform("vec", lambda x: x.cast("double")).alias("pv"),
-        )
-        .crossJoin(F.broadcast(stats))
+    pside = probes.select(
+        F.col("vid").alias("query_id"),
+        F.transform("vec", lambda x: x.cast("double")).alias("pv"),
     )
-    diff = lambda i: F.element_at("pv", i) - (  # noqa: E731
-        F.element_at("mns", i)
-        + (F.element_at("codes", i) + F.lit(0.5)) * F.element_at("scales", i)
+    # Reconstruct x̂ ONCE per corpus row before the probe join — scoring
+    # inside the join would redo the (mn + (code+0.5)·step) arithmetic
+    # per PAIR, i.e. |probes|× redundantly (measured 2× whole-query cost
+    # at 40 probes). Same doubles in the same order ⇒ bit-identical
+    # distances; the stored index still carries only (vid, codes) — the
+    # reconstruction is a transient projection on the scan, no shuffle.
+    recon = codes.crossJoin(F.broadcast(stats)).select(
+        "vid",
+        F.zip_with(
+            F.col("codes"),
+            F.zip_with("mns", "scales", lambda mn, sc: F.struct(mn.alias("mn"), sc.alias("sc"))),
+            lambda c, ms: ms["mn"] + (c + F.lit(0.5)) * ms["sc"],
+        ).alias("rv"),
     )
     adc = (
-        codes.join(F.broadcast(pside))
+        recon.join(F.broadcast(pside))
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
+            # left-to-right fold over the per-dim squared diffs from a
+            # +0.0 seed — element order matches the oracle's list_reduce
             F.aggregate(
-                F.sequence(F.lit(1), F.lit(DIM)),
+                F.zip_with("pv", "rv", lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
-                lambda acc, i: acc + diff(i) * diff(i),
+                lambda acc, x: acc + x,
             ).alias("adc_dist"),
         )
     )
@@ -310,54 +442,42 @@ def ivf_pq_topk(
     neighbor-id tiebreak, self excluded.
     """
     from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
-    base = sim._ensure_base(df, id_col, vec_col)
-    cents = base.orderBy("vid").limit(n_centroids)
-    codebook = pq_codebook(base)
+    # plain (vid, vec) scan — no _ensure_base: the norm column and its
+    # checkpoint are join-path machinery; assign_ids_batch derives the
+    # identical fold-norms from the raw vectors inside the kernel
+    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    # one driver-side seed collect serves the coarse quantizer AND the PQ
+    # sub-codebooks (both are NCODES-lowest-id constructions); every
+    # per-vector stage below is then a shuffle-free Arrow kernel against
+    # literals — coarse assign (assign_ids_batch, bit-identical to the
+    # assign_centroids join path), encode (pq_codes_batch ≡ pq_encode),
+    # probe LUTs (pq_lut_batch ≡ _probe_lut). The only shuffle left is
+    # the centroid_id candidate equi-join itself.
+    cvids, cmat = pq_seed_matrix(base, n=max(NCODES, n_centroids))
+    cvids, cmat_coarse = cvids[:n_centroids], cmat[:n_centroids]
+    pq_mat = cmat[:NCODES]
 
-    # inverted lists: (centroid_id, vid, codes) — encode with the coarse
-    # assignment carried through the argmin/assembly group keys
-    assigned = sim.assign_centroids(base, cents, n_assign=1).select(
-        "centroid_id", "vid", "vec"
-    )
-    subs = assigned.select(
-        "centroid_id", "vid", F.explode(sub_slices(F.col("vec"))).alias("sc")
-    ).select("centroid_id", "vid", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
-    scored = subs.join(F.broadcast(codebook), "s").select(
-        "centroid_id", "vid", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("d2")
-    )
-    best = scored.groupBy("centroid_id", "vid", "s").agg(
-        F.min(F.struct("d2", "code_id")).alias("b")
-    )
-    lists = best.groupBy("centroid_id", "vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", F.col("b.code_id").alias("code_id")))),
-            lambda x: x["code_id"],
-        ).alias("codes")
+    # inverted lists: (centroid_id, vid, codes) — 8 small ints per vector
+    lists = base.select(
+        F.element_at(
+            sim.assign_ids_batch("vec", cvids, cmat_coarse, 1), 1
+        ).alias("centroid_id"),
+        "vid",
+        pq_codes_batch("vec", pq_mat).alias("codes"),
     )
 
     probes = base.filter(probe_filter) if probe_filter is not None else base
-    passign = sim.assign_centroids(probes, cents, n_assign=nprobe).select(
-        "centroid_id", F.col("vid").alias("query_id")
+    # explode duplicates the already-computed LUT across the probe's
+    # nprobe lists (array order = assignment rank, as the window ranked)
+    probe_side = probes.select(
+        F.col("vid").alias("query_id"),
+        F.explode(
+            sim.assign_ids_batch("vec", cvids, cmat_coarse, nprobe)
+        ).alias("centroid_id"),
+        pq_lut_batch("vec", pq_mat).alias("lut"),
     )
-    psubs = probes.select(
-        F.col("vid").alias("query_id"), F.explode(sub_slices(F.col("vec"))).alias("sc")
-    ).select("query_id", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
-    plut0 = psubs.join(F.broadcast(codebook), "s").select(
-        "query_id", "s", "code_id", l2sq_fold(F.col("vs"), F.col("cs")).alias("pd2")
-    )
-    per_s = plut0.groupBy("query_id", "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code_id", "pd2"))), lambda x: x["pd2"]
-        ).alias("rw")
-    )
-    lut = per_s.groupBy("query_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("s", "rw"))), lambda x: x["rw"]).alias(
-            "lut"
-        )
-    )
-    # both sides are probe-batch-sized (bounded by the broadcast contract)
-    probe_side = passign.join(F.broadcast(lut), "query_id")
     adc = (
         lists.join(F.broadcast(probe_side), "centroid_id")
         .filter(F.col("vid") != F.col("query_id"))

@@ -300,3 +300,38 @@ def test_ivf_pq_subset_of_exhaustive_adc(spark):
         best_ex[r["query_id"]] = min(d, r["adc_dist"]) if d is not None else r["adc_dist"]
     for r in iv:
         assert r["adc_dist"] >= best_ex[r["query_id"]] - 1e-12
+
+
+def test_pq_batch_kernels_match_relational_twins(spark):
+    """pq_codes_batch / pq_lut_batch (Arrow kernels over the driver-side
+    seed codebook) are bit-identical to the relational pq_encode /
+    _probe_lut plans — the parity that lets the search queries run the
+    kernel path while the DuckDB oracle mirrors the relational one."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"))
+    _, mat32 = pq.pq_seed_matrix(base)
+
+    rel_codes = {r["vid"]: list(r["codes"]) for r in
+                 pq.pq_encode(base, pq.pq_codebook(base)).collect()}
+    batch_codes = {r["vid"]: list(r["codes"]) for r in
+                   base.select("vid", pq.pq_codes_batch("vec", mat32).alias("codes")).collect()}
+    assert rel_codes == batch_codes
+
+    probes = base.filter(F.col("vid") % 50 == 0)
+    psubs = probes.select(
+        F.col("vid").alias("query_id"), F.explode(pq.sub_slices(F.col("vec"))).alias("sc")
+    ).select("query_id", F.col("sc.s").alias("s"), F.col("sc.vs").alias("vs"))
+    plut0 = psubs.join(F.broadcast(pq.pq_codebook(base)), "s").select(
+        "query_id", "s", "code_id", pq.l2sq_fold(F.col("vs"), F.col("cs")).alias("pd2")
+    )
+    rel_lut = {r["query_id"]: [list(row) for row in r["lut"]]
+               for r in pq._probe_lut(plut0).collect()}
+    batch_lut = {r["query_id"]: [list(row) for row in r["lut"]]
+                 for r in probes.select(
+                     F.col("vid").alias("query_id"),
+                     pq.pq_lut_batch("vec", mat32).alias("lut")).collect()}
+    # exact float equality on purpose: the kernels claim BIT parity
+    assert rel_lut == batch_lut

@@ -87,9 +87,12 @@ def main() -> None:
                     print(f"  spark cols: {sorted(cols)}")
                     print(f"  duck  cols: {sorted(ocols)}")
         if not check_only:
+            import gc
+
             q.spark(spark, sf01).write.format("noop").mode("overwrite").save()
             ts = []
             for _ in range(n_runs):
+                gc.collect()  # release dropped plans' checkpoint blocks (bench.py policy)
                 t0 = time.perf_counter()
                 q.spark(spark, sf01).write.format("noop").mode("overwrite").save()
                 ts.append(time.perf_counter() - t0)
