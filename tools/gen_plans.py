@@ -282,31 +282,33 @@ CHECKS = [
     ),
     (
         "pq_adc_topk",
-        ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
-        "Codebook (M x 16 subvectors) broadcasts into both the encode and "
-        "LUT joins; ADC search is the BroadcastNestedLoopJoin of per-probe "
-        "LUTs against the ENCODED corpus (8 ints/vector — the raw "
-        "vectors never re-read); per-(vid,subspace) argmin is a "
-        "min(struct) hash aggregate.",
+        ["ArrowEvalPython", "BroadcastNestedLoopJoin", "0x:SortMergeJoin",
+         "0x:CartesianProduct", "0x:HashAggregate"],
+        "Encode and per-probe LUTs are Arrow kernels (ArrowEvalPython) "
+        "against the driver-side seed codebook — zero shuffles and zero "
+        "joins before the search; ADC search is the "
+        "BroadcastNestedLoopJoin of per-probe LUTs against the ENCODED "
+        "corpus (8 ints/vector — the raw vectors never re-read).",
     ),
     (
         "sq_int8_topk",
         ["2x:Scan parquet", "BroadcastNestedLoopJoin", "WindowGroupLimit",
          "0x:SortMergeJoin", "0x:HashAggregate"],
         "SQ8 search: the per-dim stats row is checkpoint-materialized so "
-        "BOTH crossJoin consumers read it as ExistingRDD (the naive plan "
-        "ran the stats aggregate twice); the encoded corpus joins the "
-        "broadcast probe batch; top-k prunes per-partition via "
-        "WindowGroupLimit before the final rank.",
+        "both consumers read it as ExistingRDD (the naive plan ran the "
+        "stats aggregate twice); corpus points reconstruct ONCE per row "
+        "(not per pair) before the broadcast probe join; top-k prunes "
+        "per-partition via WindowGroupLimit before the final rank.",
     ),
     (
         "bloom_decontaminate",
         ["BroadcastNestedLoopJoin Cross", "Generate", "BroadcastHashJoin LeftSemi",
          "0x:SortMergeJoin"],
-        "The 1-row Bloom bitmap crossJoin-broadcasts onto the corpus scan "
-        "and membership is pure Column logic (F.exists over the shingle "
-        "array — no explode, no shuffle on the probe path); the exact "
-        "audit arm is the broadcast semi-join of hashed shingles.",
+        "The 1-row Bloom bitmap crossJoin-broadcasts onto the corpus scan; "
+        "the probe is a map-side shingle explode + codegen bloom_contains "
+        "filter on a once-projected digest (the only shuffle is the "
+        "output-sized distinct of flagged ids); the exact audit arm is "
+        "the broadcast semi-join of hashed shingles.",
     ),
     (
         "scd2_priority_history",
