@@ -147,3 +147,73 @@ def learn_bpe(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode_batch(text_col: str, merges: list[tuple[str, str]]) -> "Column":
+    """array<string> subword tokens per document for a LEARNED merge table
+    — the tokenizer-APPLICATION step that pairs with ``learn_bpe`` (train
+    once, encode the whole corpus). Arrow-batched pandas UDF: the merge
+    table rides the task closure (a few short strings), each word starts
+    as characters and applies every merge in rank order with exactly
+    ``_merge_pair``'s left-to-right non-overlapping semantics
+    (differential-tested against the JVM fold twin, tests/test_text.py).
+
+    Per-batch word memoization: natural text is Zipfian, so the cache
+    collapses the per-word cost to the distinct-word rate — the same
+    vocabulary-not-corpus scaling argument ``learn_bpe`` makes. Scale
+    shape: map-only (zero shuffles), embarrassingly parallel; whitespace
+    splitting matches ``dedup.tokenize`` (\\s+, empties dropped)."""
+    import pandas as pd
+
+    mlist = [(str(left), str(right)) for left, right in merges]
+
+    # NB: this module uses `from __future__ import annotations`, which
+    # stringifies type hints — pandas_udf's eval-type inference needs the
+    # real classes, so they're attached explicitly below.
+    def _enc(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for left, right in mlist:
+                    out: list[str] = []
+                    i, n = 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                cache[w] = got = syms
+            return got
+
+        return pd.Series(
+            [[s for w in (t or "").split() for s in enc_word(w)] for t in texts]
+        )
+
+    _enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _enc = F.pandas_udf("array<string>")(_enc)
+    return _enc(F.col(text_col))
+
+
+def bpe_encode_symbols(text_col: str, merges: list[tuple[str, str]]) -> "Column":
+    """JVM-expression twin of ``bpe_encode_batch`` for ONE or TWO merges
+    on small relations (differential tests). DO NOT chain many merges:
+    each ``_merge_pair`` references its input symbols several times per
+    fold step, so nesting k merges as one expression re-evaluates the
+    inner folds multiplicatively — exponential interpreted cost in k.
+    ``learn_bpe`` avoids this by materializing between rounds; the Arrow
+    kernel (``bpe_encode_batch``) is the corpus-encode path."""
+    from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+
+    def enc(word: Column) -> Column:
+        syms = _char_symbols(word)
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        return syms
+
+    return F.flatten(F.transform(tokenize(text_col), enc))

@@ -169,3 +169,50 @@ def test_bpe_merge_is_left_to_right_non_overlapping(spark):
         bpe._merge_pair(bpe._char_symbols(F.col("w")), "a", "a").alias("s")
     ).collect()
     assert [r["s"] for r in out] == [["aa", "a"], ["aa", "aa"], ["a", "b"]]
+
+
+def test_bpe_encode_batch_matches_reference_and_reconstructs(spark):
+    """Tokenizer application: the Arrow kernel (bpe_encode_batch) agrees
+    with an independent pure-Python apply of the learned table, matches
+    the JVM _merge_pair twin on a 2-merge slice, and concatenating a
+    word's subwords reproduces the word."""
+    from open_data_lakehouse_demo_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.learn_bpe(spark, docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert merges, "no merges learned"
+
+    def py_apply(word: str, table) -> list[str]:
+        syms = list(word)
+        for left, right in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    got = docs.select(
+        "doc_id", bpe.bpe_encode_batch("text", merges).alias("a"), "text"
+    ).collect()
+    vocab_merged = {left + right for left, right in merges}
+    for r in got:
+        expected = [s for w in (r["text"] or "").split() for s in py_apply(w, merges)]
+        assert list(r["a"]) == expected, f"kernel/reference divergence doc {r['doc_id']}"
+        assert "".join(r["a"]) == "".join((r["text"] or "").split())
+        for tok in r["a"]:
+            assert len(tok) == 1 or tok in vocab_merged
+
+    # JVM twin: safe at 1-2 chained merges (see bpe_encode_symbols doc)
+    two = merges[:2]
+    small = docs.limit(8)
+    jvm = {r["doc_id"]: list(r["s"]) for r in small.select(
+        "doc_id", bpe.bpe_encode_symbols("text", two).alias("s")).collect()}
+    ref = {r["doc_id"]: [s for w in (r["text"] or "").split() for s in py_apply(w, two)]
+           for r in small.select("doc_id", "text").collect()}
+    assert jvm == ref

@@ -34,6 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
+    "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "P1": ("df.select/alias — pervasive", "all queries"),
     "P2": ("withColumn/Renamed/drop — pervasive", "all queries"),
     "T1": ("streaming/job.py withWatermark", "tests/test_streaming.py"),
