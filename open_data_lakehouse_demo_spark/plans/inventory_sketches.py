@@ -363,9 +363,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     run keeps only the sketch + a candidate stream.
     """
     from open_data_lakehouse_demo_spark.operators.dedup import tokenize
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    # spread(): the tokenize+explode+3×md5 fan-out is narrow — on the
+    # one-split local fixture it would run single-threaded (both the
+    # sketch and the exact arm re-run this lineage)
+    toks = spread(docs).select(F.explode(tokenize(F.col("text"))).alias("token"))
     pairs = toks.select(F.explode(_cms_pairs(F.col("token"))).alias("rb")).select(
         F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
     )
