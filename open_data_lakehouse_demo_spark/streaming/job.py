@@ -153,15 +153,33 @@ def read_json_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
-def parse_envelope(raw: DataFrame) -> DataFrame:
-    """from_json parse (F19) + flatten; drops rows that fail to parse."""
-    return (
-        raw.select(
-            F.from_json(F.col("raw_value").cast("string"), ENVELOPE_SCHEMA).alias("msg")
-        )
-        .filter(F.col("msg").isNotNull() & F.col("msg.data.bus_ride_id").isNotNull())
-        .select("msg.id", "msg.timestamp", "msg.data.*")
+def parse_envelope(raw: DataFrame, observed: bool = False) -> DataFrame:
+    """from_json parse (F19) + flatten; drops rows that fail to parse.
+
+    ``observed=True`` attaches plan-inline data-quality counters
+    (``DataFrame.observe``): total input rows and malformed-envelope
+    count, measured BEFORE the drop filter. The counters are
+    accumulator-style aggregates evaluated during the existing pass —
+    zero extra scans — and surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics["envelope_quality"]`` (the
+    production dead-letter/poison-message dashboard signal; the
+    reference has no equivalent — its parse failures vanish silently)."""
+    parsed0 = raw.select(
+        F.from_json(F.col("raw_value").cast("string"), ENVELOPE_SCHEMA).alias("msg")
     )
+    if observed:
+        parsed0 = parsed0.observe(
+            "envelope_quality",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.when(
+                    F.col("msg").isNull() | F.col("msg.data.bus_ride_id").isNull(), 1
+                ).otherwise(0)
+            ).alias("malformed"),
+        )
+    return parsed0.filter(
+        F.col("msg").isNotNull() & F.col("msg.data.bus_ride_id").isNotNull()
+    ).select("msg.id", "msg.timestamp", "msg.data.*")
 
 
 def alerts_stream(parsed: DataFrame, min_remaining: int = 1) -> DataFrame:
@@ -623,7 +641,7 @@ def run_pipeline(
     contract as the continuous run; a later continuous start resumes
     from the same checkpoints.
     """
-    parsed = parse_envelope(read_json_stream(spark, source_dir))
+    parsed = parse_envelope(read_json_stream(spark, source_dir), observed=True)
 
     alerts_w = (
         alerts_stream(parsed)

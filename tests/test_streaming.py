@@ -746,3 +746,29 @@ def test_available_now_drains_and_stops_then_resumes(spark, dirs):
     assert ("r2", 1) in {(a["bus_ride_id"], a["remaining_at_stop"]) for a in alerts}
     state = {r["bus_line_id"] for r in spark.read.parquet(dirs["state"]).collect()}
     assert state == {1}  # line 2 retired by its last_stop event in batch 2
+
+
+def test_observed_envelope_quality_metrics(spark, dirs):
+    """DataFrame.observe counters ride the alert query's plan: per
+    micro-batch, observedMetrics reports total input rows and how many
+    envelopes failed the parse (malformed JSON or missing ride id) —
+    rows the pipeline silently drops otherwise."""
+    good = BATCH_1[0]
+    _drop(
+        dirs["src"], "b1.jsonl",
+        [good, "not json at all", json.dumps({"id": "x", "data": {}})],
+    )
+    alerts_q, state_q = st.run_pipeline(
+        spark, dirs["src"], dirs["ckpt"], dirs["alerts"], dirs["state"]
+    )
+    try:
+        alerts_q.processAllAvailable()
+        state_q.processAllAvailable()
+        om = (alerts_q.lastProgress or {}).get("observedMetrics", {})
+        q = om.get("envelope_quality")
+        assert q is not None, f"no envelope_quality in {om}"
+        assert q["rows"] == 3
+        assert q["malformed"] == 2
+    finally:
+        alerts_q.stop()
+        state_q.stop()

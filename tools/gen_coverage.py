@@ -35,6 +35,7 @@ STATIC = {
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
+    "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
     "P1": ("df.select/alias — pervasive", "all queries"),
     "P2": ("withColumn/Renamed/drop — pervasive", "all queries"),
     "T1": ("streaming/job.py withWatermark", "tests/test_streaming.py"),
