@@ -190,13 +190,14 @@ Notes on reading specific rows:
   top of that. The production contract (operator docstring) is
   n_clusters ∝ corpus size, which holds per-cluster width — and thus the
   Σ|cluster|² work per row — constant.
-- pq_adc_topk is EXHAUSTIVE ADC by design (per-probe O(N) table lookups,
-  like cosine_topk_bruteforce): probes AND corpus both grow 10×, so the
-  scored-pair product grows 100× and the measured ~24× is that product
-  minus floor amortization. Exhaustive ADC is the re-ranking/serving
-  primitive; the scale path for full-corpus search is the IVF+PQ
-  composition (ivf_pq_topk), which prunes the corpus side to nprobe
-  inverted lists before the LUT join.""")
+- pq_adc_topk and sq_int8_topk are EXHAUSTIVE asymmetric search by design
+  (per-probe O(N), like cosine_topk_bruteforce): probes AND corpus both
+  grow 10×, so the scored-pair product grows 100× and the measured ratio
+  is that product minus floor amortization (the Arrow encode/LUT kernels
+  are linear; scoring is the product term). Exhaustive ADC is the
+  re-ranking/serving primitive; the scale path for full-corpus search is
+  the IVF+PQ composition (ivf_pq_topk, ~1× here: nprobe/n_centroids
+  pruning holds the per-probe scored set flat).""")
 
 
 if __name__ == "__main__":
