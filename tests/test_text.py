@@ -216,3 +216,47 @@ def test_bpe_encode_batch_matches_reference_and_reconstructs(spark):
     ref = {r["doc_id"]: [s for w in (r["text"] or "").split() for s in py_apply(w, two)]
            for r in small.select("doc_id", "text").collect()}
     assert jvm == ref
+
+
+def test_chunk_documents_window_invariants(spark):
+    """PIPE9 chunking: full coverage, exact overlap between consecutive
+    chunks, reconstruction from the non-overlapped prefixes, and the
+    short-doc/empty edge cases."""
+    from open_data_lakehouse_demo_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    CH, OV = 32, 8
+    stride = CH - OV
+    out = chunk_documents(docs, chunk_tokens=CH, overlap=OV).collect()
+    texts = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        words = texts[doc_id].split()
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        toks = [r["chunk_text"].split() if r["chunk_text"] else [] for r in rows]
+        # each chunk matches its window slice of the source tokens
+        for i, tk in enumerate(toks):
+            assert tk == words[i * stride : i * stride + CH]
+            assert r != rows[-1] or len(tk) >= 1 or not words
+        # consecutive chunks share exactly OV tokens
+        for a, b in zip(toks, toks[1:]):
+            assert a[stride:] == b[: len(a) - stride]
+        # reconstruction: stride-prefixes + last chunk = the document
+        recon = [w for tk in toks[:-1] for w in tk[:stride]] + toks[-1]
+        assert recon == words
+        # short docs (< CH tokens) must be exactly one whole-doc chunk
+        if len(words) <= CH:
+            assert len(rows) == 1 and toks[0] == words
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from open_data_lakehouse_demo_spark.operators.chunking import chunk_documents
+
+    import pytest as _pytest
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)

@@ -36,6 +36,7 @@ STATIC = {
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
+    "PIPE9": ("operators/chunking.py chunk_documents — overlapping token-window RAG chunking (map-only, codegen windows + explode)", "tests/test_text.py"),
     "P1": ("df.select/alias — pervasive", "all queries"),
     "P2": ("withColumn/Renamed/drop — pervasive", "all queries"),
     "T1": ("streaming/job.py withWatermark", "tests/test_streaming.py"),
