@@ -301,26 +301,26 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, per probe — the eval harness every ANN deployment needs
     before trading recall for speed (nprobe/n_centroids tuning).
 
-    Both rankings share deterministic tiebreaks, so recall is exact and
-    engine-portable, and both arms derive from ONE scored pair EXPRESSION
-    (the IVF arm = the exact arm's pairs filtered by inverted-list
-    membership — identical cosines by construction, and one join tree
-    fewer than two independent top-k plans). The pair fan-out itself is
-    never stored — |probes|·n is quadratic-scale under the
-    corpus-proportional probe filter, so each arm streams its own pass.
-    The hit-join keys on (query_id, neighbor_id) — k rows per probe per
-    side, so the join input is tiny regardless of corpus size."""
+    Single-pass formulation (the nprobe-sweep machinery at one fixed
+    level): every scored probe×corpus pair is annotated with inverted-
+    list membership, then ONE (cosine DESC, neighbor) window computes
+    both the exact rank (row_number) and the IVF rank (a conditional
+    cumulative count over member pairs — the IVF top-k is exactly the
+    first K member pairs under the same total order). A hit is a pair
+    inside both top-Ks, so per-probe recall is one groupBy — no second
+    window sort and no top-k×top-k self-join. Both rankings share
+    deterministic tiebreaks, so recall is exact and engine-portable;
+    the pair fan-out is never stored (|probes|·n is quadratic-scale
+    under the corpus-proportional probe filter)."""
     from pyspark.sql import Window
 
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     emb = t(spark, sf_dir, "embeddings")
-    # ONE materialized (vid, vec, nrm) norm table feeds everything, and the
-    # probe×corpus cosine PAIR table is scored ONCE and shared: the exact
-    # arm is its top-k; the IVF arm is the same pairs FILTERED to
-    # (neighbor's list ∈ probe's nprobe lists) — identical values to an
-    # independent ivf_topk (same dots, same tiebreaks), at half the
-    # pair-scoring Arrow work and one fewer join tree.
+    # ONE materialized (vid, vec, nrm) norm table feeds everything; the
+    # probe×corpus cosine PAIR table is scored ONCE and shared — the IVF
+    # arm is the same pairs restricted to (neighbor's list ∈ probe's
+    # nprobe lists), identical cosines by construction.
     base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
     p = base.filter(F.col("vid") % _PROBE_MOD == 0)
     probes_b = p.select(
@@ -328,11 +328,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
-    # NOT materialized: pairs is |probes|·n rows and the probe set here is
-    # corpus-proportional (vid % 50), so checkpointing it would store an
-    # O(n²/50) intermediate — each arm recomputes the fan-out instead
-    # (CPU, not storage; the broadcast probe side makes each pass one
-    # corpus scan). A fixed-size probe batch could materialize it.
     pairs = base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
@@ -340,10 +335,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    bf = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _K)
     centroids = base.orderBy("vid").limit(16)
     corpus_cid = sim.assign_centroids(base, centroids, n_assign=1).select(
         F.col("vid").alias("neighbor_id"), F.col("centroid_id").alias("ncid")
@@ -351,23 +342,44 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cids = sim.assign_centroids(p, centroids, n_assign=2).select(
         F.col("vid").alias("query_id"), F.col("centroid_id").alias("qcid")
     )
-    # each pair survives at most once: a neighbor has ONE list and the
-    # probe's nprobe lists are distinct
-    cand = (
+    # membership flag instead of a filtering join: each pair matches at
+    # most one (ncid == qcid) row — a neighbor has ONE list and the
+    # probe's nprobe lists are distinct — so the left join never fans out
+    ann = (
         pairs.join(corpus_cid, "neighbor_id")
-        .join(probe_cids, "query_id")
-        .filter(F.col("ncid") == F.col("qcid"))
+        .join(
+            F.broadcast(probe_cids),
+            (pairs["query_id"] == probe_cids["query_id"])
+            & (F.col("qcid") == F.col("ncid")),
+            "left",
+        )
+        .select(
+            pairs["query_id"].alias("query_id"),
+            "neighbor_id",
+            "cosine",
+            F.col("qcid").isNotNull().alias("member"),
+        )
     )
-    ivf = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _K)
-    hits = (
-        bf.select("query_id", "neighbor_id")
-        .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
-    # probe list from the cheap filter, NOT bf.select(...).distinct() —
-    # that would re-run the whole top-k lineage just for ids. Equivalent:
-    # every probe has ≥1 neighbor on a >1-row corpus.
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = ann.select(
+        "query_id",
+        F.row_number().over(w).alias("bf_rn"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).over(wcum).alias("cum_m"),
+        "member",
+    )
+    hits = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                (F.col("bf_rn") <= _K) & F.col("member") & (F.col("cum_m") <= _K), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
+    # probe list from the cheap filter, NOT a distinct over the ranked
+    # lineage. Every probe has ≥1 pair on a >1-row corpus, but a probe
+    # can have 0 HITS — keep the left join + coalesce.
     probes = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
         F.col("vec_id").alias("query_id")
     )
