@@ -248,3 +248,36 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"k", "name", "score"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 3.5
+
+
+def test_profile_table_single_pass_stats(spark, duck):
+    """M-family profiling: per-column nulls/min/max exact vs DuckDB;
+    approx_distinct within the HLL rsd of the exact count; one row per
+    column from ONE aggregation pass."""
+    from open_data_lakehouse_demo_spark.operators.profiling import profile_table
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+    from tests.conftest import SF_DIR
+
+    df = read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == set(df.columns)
+    for col in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]:
+        exact = duck.execute(
+            f"SELECT COUNT(*), COUNT({col}), COUNT(DISTINCT {col}), "
+            f"CAST(MIN({col}) AS VARCHAR), CAST(MAX({col}) AS VARCHAR) FROM orders"
+        ).fetchone()
+        r = prof[col]
+        assert r["n_rows"] == exact[0]
+        assert r["n_rows"] - r["n_nulls"] == exact[1]
+        assert abs(r["approx_distinct"] - exact[2]) <= max(2, 0.15 * exact[2])
+        # numeric renderings can differ (1.5 vs 1.50); compare as floats
+        # when possible, else exact string
+        def same(a, b):
+            try:
+                return abs(float(a) - float(b)) < 1e-9
+            except (TypeError, ValueError):
+                return a == b
+        assert same(r["min_value"], exact[3]) and same(r["max_value"], exact[4])
+    # single aggregation pass: exactly one Aggregate pair in the plan
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2 or plan.count("ObjectHashAggregate") <= 2

@@ -59,6 +59,7 @@ STATIC = {
     "M2": ("plans/ddl.py describe_table", "tests/test_io_ddl.py"),
     "M3": ("plans/ddl.py create/use_namespace", "tests/test_io_ddl.py"),
     "M4": ("Iceberg metadata tables (runtime-gated; parquet fallback N/A)", "plans/ddl.py docstring"),
+    "M5": ("operators/profiling.py profile_table — single-pass per-column stats (nulls, HLL distinct, min/max) + stack unpivot", "tests/test_io_ddl.py"),
 }
 
 by_op: dict[str, list[str]] = defaultdict(list)
