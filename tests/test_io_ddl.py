@@ -280,4 +280,6 @@ def test_profile_table_single_pass_stats(spark, duck):
         assert same(r["min_value"], exact[3]) and same(r["max_value"], exact[4])
     # single aggregation pass: exactly one Aggregate pair in the plan
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("HashAggregate") <= 2 or plan.count("ObjectHashAggregate") <= 2
+    # sum, not either-or: `a <= 2 or b <= 2` is vacuously true when one
+    # operator kind is absent (count 0), hiding a multi-pass regression
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") <= 2

@@ -9,35 +9,13 @@ driver's gate) and warm-median timing at sf0.1.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import statistics
 import sys
 import time
 
-
-def _canon(v):
-    if v is None:
-        return "\\N"
-    if isinstance(v, float):
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    return str(v)
-
-
-def _hash_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _oracle_hash import hash_rows as _hash_rows  # noqa: E402
 
 
 def main() -> None:
