@@ -149,6 +149,64 @@ def assign_packed_examples(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global ROW_NUMBER() over a TOTAL order without the single-partition
+    window — the ranking twin of ``assign_token_shards``'s two-phase
+    prefix sum:
+
+      1. range-repartition by the order expressions (partition i holds
+         strictly smaller sort keys than partition i+1);
+      2. per-partition row counts → a partition-count-sized table whose
+         running sum is each partition's global rank offset (broadcast);
+      3. within-partition ``row_number`` (an ordinary distributed window,
+         partitioned BY the range partition) + the offset.
+
+    Bit-identical to ``ROW_NUMBER() OVER (ORDER BY …)`` when the order is
+    total (include a unique tiebreak column); every stage is
+    partition-parallel and the only driver-sized data is one row per
+    partition. ``order_cols`` accepts sort expressions (``.desc()`` etc.)
+    — they feed both the range partitioner and the in-partition window.
+    Adds ``rank_col`` (1-based bigint)."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols)
+    # materialize: the offsets aggregate and the final join must see the
+    # SAME sampled range boundaries (see assign_token_shards)
+    with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count("*").alias("_pcount"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_pcount").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    win = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_offset") + F.row_number().over(win)).cast("bigint"),
+        )
+        .drop("_pid", "_offset")
+    )
+
+
 def write_token_shards(
     docs: DataFrame,
     path: str,

@@ -15,6 +15,7 @@ from open_data_lakehouse_demo_spark.functions.compat import (
     ntz_epoch_micros,
     ntz_epoch_seconds,
 )
+from open_data_lakehouse_demo_spark.operators.sharding import global_row_number
 from open_data_lakehouse_demo_spark.plans.inventory import dec, query, t
 
 _MOMENTUM_ORACLE = """
@@ -137,29 +138,78 @@ WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
 """
 
 
-@query("customer_value_deciles", ("W4",), oracle=_DECILES_ORACLE, tags=("window",))
-def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-ranking windows: NTILE / PERCENT_RANK / CUME_DIST over
-    per-customer spend — the segmentation pass of a value analysis.
-    Total tiebreak (spend desc, custkey) makes every rank deterministic.
-
-    Scale note: an un-partitioned ranking window moves all rows to ONE
-    window partition — fine here because the input is the post-aggregate
-    customer table (|customers| ≪ |orders|); for fact-sized ranking use
-    approx quantile cuts instead."""
+def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    spend = orders.groupBy("o_custkey").agg(
+    return orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
+
+
+def customer_value_deciles_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window NTILE/PERCENT_RANK/CUME_DIST formulation — the
+    readable oracle twin of ``customer_value_deciles``, kept for the
+    differential test (tests/test_skew_and_windows.py). An un-partitioned
+    ranking window funnels every row through ONE task; never run this on
+    a fact-sized relation."""
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return spend.select(
+    return _customer_spend(spark, sf_dir).select(
         "o_custkey",
         "total_spend",
         "n_orders",
         F.ntile(10).over(w).alias("decile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query("customer_value_deciles", ("W4",), oracle=_DECILES_ORACLE, tags=("window",))
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking (NTILE / PERCENT_RANK / CUME_DIST semantics)
+    over per-customer spend — the segmentation pass of a value analysis —
+    WITHOUT a global ranking window: the global rank comes from the
+    two-phase distributed prefix sum (operators/sharding.py
+    global_row_number — range-repartition + per-partition counts +
+    in-partition row_number), and each ranking function is then closed-
+    form arithmetic over (rank, n):
+
+      NTILE(k):     first n%k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+                    the standard SQL bucket formula, applied to the rank;
+      PERCENT_RANK: (rank-1)/(n-1)   (rank == RANK: the order is total);
+      CUME_DIST:    rank/n           (no ties under the total tiebreak).
+
+    Bit-identical to the single-window oracle (total order: spend desc,
+    custkey) but every stage is partition-parallel — this survives a
+    10⁹-row customer relation where the NTILE window funnels one task.
+    The window formulation is kept as ``customer_value_deciles_window``
+    and differentially tested."""
+    spend = _customer_spend(spark, sf_dir)
+    ranked = global_row_number(
+        spend,
+        [F.col("total_spend").desc(), F.col("o_custkey")],
+        rank_col="_r",
+    )
+    # n is a 1-row aggregate over the (already materialized) ranked
+    # relation — broadcast back; never a driver collect
+    n1 = ranked.groupBy().agg(F.count("*").alias("_n"))
+    r, n, k = F.col("_r"), F.col("_n"), F.lit(10)
+    q = F.floor(n / k)          # base bucket size
+    rem = n % k                 # first `rem` buckets take one extra row
+    cut = rem * (q + 1)         # ranks <= cut land in the big buckets
+    decile = (
+        F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+    return ranked.crossJoin(F.broadcast(n1)).select(
+        "o_custkey",
+        "total_spend",
+        "n_orders",
+        decile.alias("decile"),
+        F.when(n > 1, (r - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (r.cast("double") / n.cast("double")).alias("cume"),
     )
 
 

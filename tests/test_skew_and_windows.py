@@ -195,3 +195,49 @@ def test_daily_ohlc_invariants(spark):
         assert r["low_value"] <= r["close_value"] <= r["high_value"]
     total = sum(r["n_events"] for r in rows)
     assert total == read_parquet(spark, f"{SF_DIR}/events.parquet").count()
+
+
+def test_deciles_prefix_sum_matches_window_twin(spark):
+    """W4 scale-safe path: the two-phase-prefix-sum deciles (primary) are
+    row-identical to the single-window NTILE/PERCENT_RANK/CUME_DIST twin
+    — exact rank arithmetic, no approximation."""
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+    from open_data_lakehouse_demo_spark.plans.inventory_windows import (
+        customer_value_deciles_window,
+    )
+    from tests.conftest import SF_DIR
+
+    fast = sorted(
+        tuple(r) for r in QUERIES["customer_value_deciles"].spark(spark, SF_DIR).collect()
+    )
+    twin = sorted(tuple(r) for r in customer_value_deciles_window(spark, SF_DIR).collect())
+    assert fast == twin
+
+
+def test_global_row_number_matches_single_window(spark):
+    """global_row_number == ROW_NUMBER() OVER (ORDER BY ...) on a total
+    order, across several partition counts (cut placement must not
+    matter), including desc keys and an empty frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from open_data_lakehouse_demo_spark.operators.sharding import global_row_number
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("k"),  # heavy ties -> id tiebreak
+    )
+    order = [F.col("k").desc(), F.col("id")]
+    expected = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        ).collect()
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_row_number(df, order, n_partitions=n_parts).collect()
+        }
+        assert got == expected, f"mismatch at n_partitions={n_parts}"
+    assert global_row_number(df.filter(F.lit(False)), order).count() == 0

@@ -327,6 +327,18 @@ CHECKS = [
         "planned the join subtree three times.",
     ),
     (
+        "customer_value_deciles",
+        ["row_number() windowspecdefinition(_pid", "2x:Window (",
+         "BroadcastHashJoin", "0x:SortMergeJoin"],
+        "Scale-safe ranking: the global rank is the two-phase distributed "
+        "prefix sum (global_row_number) — the fact-sized window partitions "
+        "BY the range partition id; the only un-partitioned window runs on "
+        "the partition-count-sized offsets table (same accepted pattern as "
+        "token_shard_assignment). NTILE/PERCENT_RANK/CUME_DIST are then "
+        "closed-form arithmetic over (rank, n) — no single-partition sort "
+        "of the customer relation anywhere.",
+    ),
+    (
         "bpe_merges",
         ["0x:Scan parquet", "0x:Exchange"],
         "The learned merge table is a driver-literal LocalTableScan: each "
