@@ -761,3 +761,55 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE9 — overlapping token-window RAG chunking (driver-visible query)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, tk,
+         1 + CAST(floor((greatest(len(tk) - {_CHUNK_TOKENS}, 0)
+                         + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM toks
+),
+ids AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS cid FROM meta)
+SELECT doc_id,
+       CAST(cid AS INT) AS chunk_id,
+       CAST(len(tk[(cid*{_CHUNK_STRIDE} + 1):(cid*{_CHUNK_STRIDE} + {_CHUNK_TOKENS})]) AS INT)
+         AS n_tokens,
+       array_to_string(tk[(cid*{_CHUNK_STRIDE} + 1):(cid*{_CHUNK_STRIDE} + {_CHUNK_TOKENS})], ' ')
+         AS chunk_text
+FROM ids
+"""
+
+
+@query("doc_chunks", ("PIPE9",), oracle=_CHUNKS_ORACLE, tags=("pipeline",))
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: every document split into overlapping
+    64-token windows with 16-token overlap (operators/chunking.py) —
+    one (doc_id, chunk_id) row per window, ready for the embed step.
+
+    Scale shape: map-only — tokenization, window arithmetic and slicing
+    are Column expressions in one codegen scan; the fan-out is a Generate
+    (explode), never a shuffle. The window math is pure integer
+    arithmetic, so the DuckDB oracle reproduces it exactly."""
+    from open_data_lakehouse_demo_spark.operators.chunking import chunk_documents
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )

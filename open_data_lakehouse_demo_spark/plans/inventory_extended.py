@@ -213,3 +213,52 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — single-pass table profiling (driver-visible queries)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("c_custkey", "bigint"),
+    ("c_name", "string"),
+    ("c_nationkey", "int"),
+    ("c_acctbal", "double"),
+    ("c_mktsegment", "string"),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{dt}' AS dtype, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_nulls,
+  CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) ELSE 0.0 END AS null_frac,
+  CAST(MIN({c}) AS VARCHAR) AS min_value, CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM customer"""
+    for c, dt in _PROFILE_COLS
+)
+
+
+@query("table_profile", ("M5",), oracle=_PROFILE_ORACLE, tags=("metadata",))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics of the customer table — null
+    counts, null fraction, min/max — computed in ONE aggregation pass
+    (operators/profiling.py: 4 plain agg expressions per column + a
+    stack() unpivot; one scan + a 1-row shuffle at any table width).
+    The deterministic arms are DuckDB-oracle-checked; the HLL distinct
+    estimate is the separate rows-only twin (table_profile_hll)."""
+    from open_data_lakehouse_demo_spark.operators.profiling import profile_table
+
+    cust = t(spark, sf_dir, "customer")
+    return profile_table(cust).drop("approx_distinct")
+
+
+@query("table_profile_hll", ("M5", "A10"), tags=("metadata", "sketch"))
+def table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch arm of the profile: per-column approx_count_distinct
+    (Spark's HyperLogLog++, rsd=0.05) from the SAME single aggregation
+    pass — mergeable registers make the profile shard-parallel for free.
+    Estimates aren't SQL-portable → rows-only driver check; accuracy is
+    pytest-asserted against exact distinct counts (tests/test_io_ddl.py)."""
+    from open_data_lakehouse_demo_spark.operators.profiling import profile_table
+
+    cust = t(spark, sf_dir, "customer")
+    return profile_table(cust).select("column", "dtype", "n_rows", "approx_distinct")
