@@ -339,6 +339,35 @@ def sq_encode(base: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def _sq_recon(codes: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(vid, *extra_cols, rv array<double>) — corpus points reconstructed
+    ONCE per row (x̂_i = mn_i + (code_i + 0.5)·step_i) before any probe
+    join; scoring inside the join would redo the arithmetic per PAIR,
+    i.e. |probes|× redundantly (measured 2× whole-query cost at 40
+    probes). Same doubles in the same order ⇒ bit-identical distances;
+    the stored index still carries only (vid, codes) — the reconstruction
+    is a transient projection on the scan, no shuffle."""
+    return codes.crossJoin(F.broadcast(stats)).select(
+        "vid",
+        *extra_cols,
+        F.zip_with(
+            F.col("codes"),
+            F.zip_with("mns", "scales", lambda mn, sc: F.struct(mn.alias("mn"), sc.alias("sc"))),
+            lambda c, ms: ms["mn"] + (c + F.lit(0.5)) * ms["sc"],
+        ).alias("rv"),
+    )
+
+
+def _sq_adc_dist() -> Column:
+    """Left-to-right fold over the per-dim squared (pv-rv) diffs from a
+    +0.0 seed — element order matches the oracle's list_reduce."""
+    return F.aggregate(
+        F.zip_with("pv", "rv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sq_int8_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -380,33 +409,81 @@ def sq_int8_topk(
         F.col("vid").alias("query_id"),
         F.transform("vec", lambda x: x.cast("double")).alias("pv"),
     )
-    # Reconstruct x̂ ONCE per corpus row before the probe join — scoring
-    # inside the join would redo the (mn + (code+0.5)·step) arithmetic
-    # per PAIR, i.e. |probes|× redundantly (measured 2× whole-query cost
-    # at 40 probes). Same doubles in the same order ⇒ bit-identical
-    # distances; the stored index still carries only (vid, codes) — the
-    # reconstruction is a transient projection on the scan, no shuffle.
-    recon = codes.crossJoin(F.broadcast(stats)).select(
-        "vid",
-        F.zip_with(
-            F.col("codes"),
-            F.zip_with("mns", "scales", lambda mn, sc: F.struct(mn.alias("mn"), sc.alias("sc"))),
-            lambda c, ms: ms["mn"] + (c + F.lit(0.5)) * ms["sc"],
-        ).alias("rv"),
-    )
+    recon = _sq_recon(codes, stats)
     adc = (
         recon.join(F.broadcast(pside))
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            # left-to-right fold over the per-dim squared diffs from a
-            # +0.0 seed — element order matches the oracle's list_reduce
-            F.aggregate(
-                F.zip_with("pv", "rv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            _sq_adc_dist().alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_sq8_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """IVF + SQ8 composition (V8) — the pruned counterpart of
+    ``sq_int8_topk``, exactly as ``ivf_pq_topk`` prunes ``pq_adc_topk``:
+    the IVF coarse quantizer restricts each probe to ``nprobe`` inverted
+    lists of (vid, 64 int8 codes) BEFORE the reconstruction-distance
+    scoring, so per-probe work drops from O(N) (the linear quantized scan
+    flagged in SCALING.md) to O(N·nprobe/n_centroids) — with
+    n_centroids ∝ √N the scored set stays flat as the corpus grows.
+    This is FAISS's IVF_SQ8 index layout: 4× compression per list entry
+    AND sublinear probes.
+
+    Coarse centroids = the n_centroids lowest-id seed vectors (same
+    deterministic, oracle-reproducible seeding as ivf_pq_topk; coarse
+    assignment is the shuffle-free Arrow kernel, bit-identical to the
+    assign_centroids join path). Stats row broadcasts; candidates join on
+    centroid_id; probes broadcast (same probe-batch bound as pq_adc_topk).
+
+    Output (query_id, neighbor_id, adc_dist) — top-k ascending per probe,
+    neighbor-id tiebreak, self excluded; distances bit-identical to the
+    exhaustive SQ8 scan on the surviving pairs (same fold, same doubles).
+    """
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+
+    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    cvids, cmat = pq_seed_matrix(base, n=n_centroids)
+    stats = materialize(sq_stats(base))
+    # inverted lists: (centroid_id, vid, codes); reconstruct once per row
+    assigned = sq_encode(base, stats).join(
+        base.select(
+            "vid",
+            F.element_at(
+                sim.assign_ids_batch("vec", cvids, cmat, 1), 1
+            ).alias("centroid_id"),
+        ),
+        "vid",
+    )
+    lists = _sq_recon(assigned, stats, extra_cols=("centroid_id",))
+    probes = base.filter(probe_filter) if probe_filter is not None else base
+    probe_side = probes.select(
+        F.col("vid").alias("query_id"),
+        F.explode(
+            sim.assign_ids_batch("vec", cvids, cmat, nprobe)
+        ).alias("centroid_id"),
+        F.transform("vec", lambda x: x.cast("double")).alias("pv"),
+    )
+    adc = (
+        lists.join(F.broadcast(probe_side), "centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            _sq_adc_dist().alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
