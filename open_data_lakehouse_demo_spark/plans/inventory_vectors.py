@@ -808,3 +808,95 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=_K, n_centroids=16, nprobe=_IVFPQ_NPROBE,
         probe_filter=F.col("vid") % _PROBE_MOD == 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# V8 — IVF + SQ8 composition (pruned reconstruction-distance search)
+# ---------------------------------------------------------------------------
+
+_IVF_SQ8_NPROBE = 2
+
+# IVFPQ's coarse quantizer (cents/assign1/passign — cosine assignment over
+# the 16 lowest-id seeds, centroid-id tiebreak) composed in front of the
+# SQ8 oracle's stats/codes/reconstruction-distance CTEs: each probe scores
+# ONLY the vids whose list is among its nprobe coarse lists, with the same
+# seedless left-to-right fold distance as _SQ_ORACLE — bit-identical to
+# the exhaustive scan on every surviving pair.
+_IVF_SQ8_ORACLE = f"""
+WITH {_BASE_SQL},
+cents AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+cscored AS (
+  SELECT b.vid, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT centroid_id, vid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+passign AS (
+  SELECT centroid_id, vid AS query_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM cscored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= {_IVF_SQ8_NPROBE}
+),
+dims AS (SELECT unnest(range(1, {pq.DIM + 1})) AS d),
+stats AS (
+  SELECT d, MIN(CAST(vec[d] AS DOUBLE)) AS mn,
+         (MAX(CAST(vec[d] AS DOUBLE)) - MIN(CAST(vec[d] AS DOUBLE))) / {float(pq.SQ_LEVELS)} AS sc
+  FROM base, dims GROUP BY d
+),
+sarr AS (
+  SELECT list(mn ORDER BY d) AS mns, list(sc ORDER BY d) AS scales FROM stats
+),
+codes AS (
+  SELECT b.vid,
+         list_transform(range(1, {pq.DIM + 1}), i ->
+           CASE WHEN s.scales[i] = 0 THEN 0
+                ELSE LEAST({pq.SQ_LEVELS},
+                           CAST(floor((CAST(b.vec[i] AS DOUBLE) - s.mns[i]) / s.scales[i]) AS INT))
+           END) AS codes
+  FROM base b, sarr s
+),
+probes AS (
+  SELECT vid AS query_id,
+         list_transform(range(1, {pq.DIM + 1}), i -> CAST(vec[i] AS DOUBLE)) AS pv
+  FROM base WHERE vid % {_PROBE_MOD} = 0
+),
+adc AS (
+  SELECT p.query_id, c.vid AS neighbor_id,
+         list_reduce(list_transform(range(1, {pq.DIM + 1}), i -> {_SQ_DIST}),
+                     (a, b) -> a + b) AS adc_dist
+  FROM probes p
+  JOIN passign pa ON pa.query_id = p.query_id
+  JOIN assign1 a ON a.centroid_id = pa.centroid_id
+  JOIN codes c ON c.vid = a.vid AND c.vid <> p.query_id
+  CROSS JOIN sarr s
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {_K}
+"""
+
+
+@query(
+    "ivf_sq8_topk",
+    ("V8", "V7", "V2"),
+    oracle=_IVF_SQ8_ORACLE,
+    tags=("similarity",),
+)
+def ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (FAISS IVF_SQ8 layout): the coarse 16-list quantizer prunes
+    the corpus to nprobe=2 inverted lists of (vid, 64 int8 codes) BEFORE
+    the SQ8 reconstruction-distance fold — per-probe work drops from the
+    linear scan flagged for sq_int8_topk to O(N·nprobe/n_centroids),
+    distances bit-identical to the exhaustive scan on surviving pairs
+    (operators/quantization.py ivf_sq8_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return pq.ivf_sq8_topk(
+        emb, k=_K, n_centroids=16, nprobe=_IVF_SQ8_NPROBE,
+        probe_filter=F.col("vid") % _PROBE_MOD == 0,
+    )

@@ -335,3 +335,49 @@ def test_pq_batch_kernels_match_relational_twins(spark):
                      pq.pq_lut_batch("vec", mat32).alias("lut")).collect()}
     # exact float equality on purpose: the kernels claim BIT parity
     assert rel_lut == batch_lut
+
+
+def test_ivf_sq8_oracle_parity(spark, duck):
+    q = QUERIES["ivf_sq8_topk"]
+    assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "ivf_sq8_topk")
+
+
+def test_ivf_sq8_equals_exhaustive_at_full_nprobe(spark):
+    """With nprobe = n_centroids every inverted list is probed, so the
+    pruned search degenerates to the exhaustive SQ8 scan — results must be
+    BIT-identical (same codes, same stats row, same fold distance, same
+    (adc_dist, neighbor_id) ranking)."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    flt = F.col("vid") % 50 == 0
+    ex = sorted(map(tuple, pq.sq_int8_topk(emb, k=5, probe_filter=flt).collect()))
+    iv = sorted(map(tuple, pq.ivf_sq8_topk(
+        emb, k=5, n_centroids=16, nprobe=16, probe_filter=flt).collect()))
+    assert ex == iv  # exact float equality on purpose: bit parity claimed
+
+
+def test_ivf_sq8_subset_of_exhaustive_at_small_nprobe(spark):
+    """At nprobe=2 the pruned search scores a SUBSET of the exhaustive
+    candidates: every returned (query, neighbor) pair must carry the
+    bit-identical distance the exhaustive scan assigns it, and can never
+    beat the exhaustive top-1."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    flt = F.col("vid") % 50 == 0
+    # exhaustive distances over ALL pairs (k large enough to cover the
+    # fixture corpus) so every pruned pair has a reference distance
+    n = emb.count()
+    ex = {(r["query_id"], r["neighbor_id"]): r["adc_dist"]
+          for r in pq.sq_int8_topk(emb, k=n, probe_filter=flt).collect()}
+    iv = QUERIES["ivf_sq8_topk"].spark(spark, SF_DIR).collect()
+    assert iv
+    best_ex = {}
+    for (q, _), d in ex.items():
+        best_ex[q] = min(best_ex.get(q, d), d)
+    for r in iv:
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
+        assert r["adc_dist"] >= best_ex[r["query_id"]]
