@@ -291,16 +291,36 @@ def cosine_topk_ivf_kmeans1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SWEEP_NPROBES = (1, 2, 4)
+# The fixed level ann_recall_eval reads off the shared arm; it MUST be a
+# swept level (the eval consumes that level's cum_{n} column), so editing
+# _SWEEP_NPROBES can never silently change — or break — the eval.
+_EVAL_NPROBE = 2
+assert _EVAL_NPROBE in _SWEEP_NPROBES
 
-# (id(spark), sf_dir) → materialized annotated pair table. ann_recall_eval
-# and ann_recall_sweep consume the SAME ground-truth arm (the brute-force
-# pair fan-out + one window sort is ~90% of either query's cost); caching
-# the materialized result lets a session that runs both — the bench suite,
-# the driver's correctness sweep, an actual tuning loop — pay for it once.
-_ANN_RANKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+# (applicationId, sf_dir) → materialized annotated pair table.
+# ann_recall_eval and ann_recall_sweep consume the SAME ground-truth arm
+# (the brute-force pair fan-out + one window sort is ~90% of either
+# query's cost); caching the materialized result lets a session that runs
+# both — the bench suite, the driver's correctness sweep, an actual
+# tuning loop — pay for it once.
+#
+# IMMUTABLE-INPUT ASSUMPTION: entries are valid only while the parquet
+# under sf_dir is unchanged — true for the driver's fixed testdata
+# fixtures. A pipeline that rewrites its eval tables in-session must call
+# clear_ann_ranked_cache() after the rewrite. Keyed by applicationId
+# (stable and unique per SparkContext), never id(spark) — CPython reuses
+# ids after GC, which could silently serve one session's blocks to
+# another. _CAP bounds the dict for long-lived multi-sf sessions.
+_ANN_RANKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ANN_RANKED_CACHE_CAP = 8
 
 
-def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clear_ann_ranked_cache() -> None:
+    """Invalidation hook for the shared recall arm (see cache note above)."""
+    _ANN_RANKED_CACHE.clear()
+
+
+def _ann_ranked_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared recall-eval substrate: every probe×corpus cosine pair,
     annotated under ONE (cosine DESC, neighbor) window sort with
       bf_rn      — exact brute-force rank,
@@ -309,7 +329,13 @@ def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       cum_{np}   — running count of pairs admitted at nprobe=np (the IVF
                    top-k at level np is exactly the first K such pairs).
     Covers every level in _SWEEP_NPROBES, so a fixed-level eval is a
-    predicate over the same table (member at nprobe=2 ≡ pair_rank <= 2).
+    predicate over the same table (member at nprobe=_EVAL_NPROBE ≡
+    pair_rank <= _EVAL_NPROBE).
+
+    This is the raw LINEAGE (one window pass over the pair fan-out) —
+    plan-asserted by tools/gen_plans.py as `ann_ranked_pairs_arm`;
+    consumers go through _ann_ranked_pairs, which materializes and caches
+    it per (application, sf_dir).
 
     HONEST LIMIT (eval harness only): probe_cids broadcasts, and the
     probe set is corpus-proportional under the vid % _PROBE_MOD filter —
@@ -321,11 +347,6 @@ def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from open_data_lakehouse_demo_spark.sources.io import materialize
-
-    key = (id(spark), sf_dir)
-    cached = _ANN_RANKED_CACHE.get(key)
-    if cached is not None:
-        return cached
 
     emb = t(spark, sf_dir, "embeddings")
     # ONE materialized (vid, vec, nrm) norm table feeds everything; the
@@ -389,7 +410,23 @@ def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"cum_{np_}")
         for np_ in _SWEEP_NPROBES
     ]
-    ranked = materialize(ann.select(*cols))
+    return ann.select(*cols)
+
+
+def _ann_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized + cached view of _ann_ranked_pairs_plan (cache
+    contract at _ANN_RANKED_CACHE). The one-time build is the dominant
+    cost (~4.6s at sf0.1); each consumer read is then ~0.3s — recorded in
+    BENCH_VS_DUCK.md so steady-state medians aren't read as cold cost."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ANN_RANKED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ranked = materialize(_ann_ranked_pairs_plan(spark, sf_dir))
+    if len(_ANN_RANKED_CACHE) >= _ANN_RANKED_CACHE_CAP:
+        _ANN_RANKED_CACHE.clear()
     _ANN_RANKED_CACHE[key] = ranked
     return ranked
 
@@ -408,19 +445,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-pass formulation over the SHARED annotated pair table
     (_ann_ranked_pairs — one (cosine DESC, neighbor) window computes the
     exact rank and every IVF-level rank simultaneously, reused by
-    ann_recall_sweep): at nprobe=2 a pair is list-admitted iff
-    pair_rank <= 2, the IVF top-k is the first K admitted pairs
-    (cum_2 <= K), and a hit is a pair inside both top-Ks — one groupBy,
-    no second window sort and no top-k×top-k self-join. Both rankings
-    share deterministic tiebreaks, so recall is exact and
-    engine-portable."""
+    ann_recall_sweep): at nprobe=_EVAL_NPROBE a pair is list-admitted iff
+    pair_rank <= _EVAL_NPROBE, the IVF top-k is the first K admitted
+    pairs (cum_{_EVAL_NPROBE} <= K), and a hit is a pair inside both
+    top-Ks — one groupBy, no second window sort and no top-k×top-k
+    self-join. Both rankings share deterministic tiebreaks, so recall is
+    exact and engine-portable."""
     ranked = _ann_ranked_pairs(spark, sf_dir)
     hits = ranked.groupBy("query_id").agg(
         F.sum(
             F.when(
                 (F.col("bf_rn") <= _K)
-                & (F.col("pair_rank") <= 2)
-                & (F.col("cum_2") <= _K),
+                & (F.col("pair_rank") <= _EVAL_NPROBE)
+                & (F.col(f"cum_{_EVAL_NPROBE}") <= _K),
                 1,
             ).otherwise(0)
         ).alias("n")

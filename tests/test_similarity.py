@@ -381,3 +381,50 @@ def test_ivf_sq8_subset_of_exhaustive_at_small_nprobe(spark):
     for r in iv:
         assert ex[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
         assert r["adc_dist"] >= best_ex[r["query_id"]]
+
+
+def test_ann_ranked_cache_contract(spark):
+    """The shared-arm cache is keyed by applicationId (stable per
+    SparkContext — id(spark) can be reused after GC and would
+    cross-contaminate sessions), exposes an invalidation hook, and stays
+    bounded."""
+    from open_data_lakehouse_demo_spark.plans import inventory_vectors as iv
+
+    iv.clear_ann_ranked_cache()
+    df = iv._ann_ranked_pairs(spark, SF_DIR)
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    assert key in iv._ANN_RANKED_CACHE
+    assert iv._ann_ranked_pairs(spark, SF_DIR) is df  # cache hit
+
+    # a different application's entry never collides with this one
+    other = ("some-other-app-id", SF_DIR)
+    assert other != key
+
+    # cap: once full, a cache MISS resets the dict instead of growing it
+    # unboundedly (the real key is evicted so the next call must rebuild)
+    iv.clear_ann_ranked_cache()
+    for i in range(iv._ANN_RANKED_CACHE_CAP + 1):
+        iv._ANN_RANKED_CACHE[(f"app-{i}", SF_DIR)] = df
+    iv._ann_ranked_pairs(spark, SF_DIR)  # miss → cap clear → insert
+    assert len(iv._ANN_RANKED_CACHE) == 1
+    assert key in iv._ANN_RANKED_CACHE
+
+    iv.clear_ann_ranked_cache()
+    assert not iv._ANN_RANKED_CACHE
+
+
+def test_ann_recall_eval_consistent_with_sweep_level(spark):
+    """ann_recall_eval is the fixed-level (_EVAL_NPROBE) read of the same
+    shared arm the sweep reads: the mean of its per-probe recalls must
+    equal the sweep's mean_recall at that level exactly (identical
+    integer hit counts over the identical materialized table)."""
+    from open_data_lakehouse_demo_spark.plans import inventory_vectors as iv
+
+    ev = QUERIES["ann_recall_eval"].spark(spark, SF_DIR).collect()
+    sw = {r["nprobe"]: r for r in QUERIES["ann_recall_sweep"].spark(spark, SF_DIR).collect()}
+    assert iv._EVAL_NPROBE in sw
+    row = sw[iv._EVAL_NPROBE]
+    assert row["n_probes"] == len(ev)
+    assert sum(r["n_hits"] for r in ev) == round(
+        row["mean_recall"] * row["n_probes"] * 5
+    )
