@@ -673,19 +673,23 @@ def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "pipeline"),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 8 BPE merges over the documents corpus
-    (operators/bpe.py): one corpus pass builds the word-frequency table,
-    then each greedy round is a vocab-sized explode→groupBy with the
-    winning pair folded back as a driver literal.
+    """Learn the first 8 BPE merges over the documents corpus via the
+    AT-SCALE mode (operators/bpe.py learn_bpe_local): ONE corpus pass
+    builds the word-frequency vocabulary, collected to the driver
+    (Heaps-law small), and the greedy loop runs locally with incremental
+    pair-statistics updates — 1 Spark job regardless of n_merges, vs the
+    distributed loop's job-per-round barrier (~32k jobs at a GPT-2-style
+    vocab).
 
     No SQL oracle: the greedy merge loop (argmax + in-place rewrite,
     8 rounds) is iterative, like dup_clusters' pointer jumping — DuckDB
     would need 8 chained rewrite CTEs with a non-overlapping
     left-to-right replace, which plain SQL can't express. The exact
     merge table (including tie-breaks and pair counts) is cross-checked
-    in tests/test_text.py against an independent pure-Python BPE over
-    the same corpus."""
-    from open_data_lakehouse_demo_spark.operators.bpe import learn_bpe
+    in tests/test_text.py against BOTH the distributed-loop
+    implementation (learn_bpe) and an independent pure-Python
+    recount-per-round reference over the same corpus."""
+    from open_data_lakehouse_demo_spark.operators.bpe import learn_bpe_local
 
     docs = t(spark, sf_dir, "documents")
-    return learn_bpe(spark, docs, "text")
+    return learn_bpe_local(spark, docs, "text")

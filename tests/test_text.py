@@ -261,3 +261,42 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_bpe_local_and_distributed_learn_identical_tables(spark):
+    """The at-scale driver-side loop (learn_bpe_local, 1 job) and the
+    distributed job-per-round loop (learn_bpe) must produce the EXACT
+    same merge table — ranks, pairs, and weighted pair counts — on the
+    fixture corpus (test_bpe_merges_match_python_reference closes the
+    triangle against the independent recount-per-round reference)."""
+    from open_data_lakehouse_demo_spark.operators import bpe
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    local = [tuple(r) for r in bpe.learn_bpe_local(spark, docs, n_merges=8).collect()]
+    dist = [tuple(r) for r in bpe.learn_bpe(spark, docs, n_merges=8).collect()]
+    assert local == dist
+    assert len(local) == 8
+
+
+def test_bpe_greedy_merges_incremental_vs_edge_cases():
+    """_greedy_merges' incremental pair-statistics bookkeeping on the
+    overlap-heavy cases: repeated symbols ('aaaa'), a merge that creates
+    a new winning pair, exhaustion before n_merges."""
+    from open_data_lakehouse_demo_spark.operators.bpe import _greedy_merges
+
+    # 'aaaa' ⇒ (a,a) weight 3·5; merge → ['aa','aa'] ⇒ (aa,aa) next
+    got = _greedy_merges({"aaaa": 5}, 3)
+    assert got[0] == (1, "a", "a", "aa", 15)
+    assert got[1] == (2, "aa", "aa", "aaaa", 5)
+    assert len(got) == 2  # single-symbol words have no pairs: stop early
+
+    # tie on count → lexicographically smallest pair wins
+    got = _greedy_merges({"ab": 3, "cd": 3}, 1)
+    assert got == [(1, "a", "b", "ab", 3)]
+
+    # merging (b,c) inside 'abcd' must decrement (a,b)/(c,d) and create
+    # (a,bc)/(bc,d) — the incremental update's before/after diff
+    got = _greedy_merges({"abcd": 2, "bc": 5}, 2)
+    assert got[0][1:3] == ("b", "c") and got[0][4] == 7
+    assert got[1][4] == 2
