@@ -29,122 +29,118 @@ def _inventory():
 # fresh row, (b) anything absent from the PREVIOUS artifact re-appears,
 # keeping every query green in the union of the two most recent artifacts.
 _PRIORITY = [
-    # the 16 queries rotated out in r03 (r03's _TAIL) — re-surface so the
-    # r03∪r04 union again covers the full inventory (VERDICT r3 item 2)
-    "buyer_cohort_setops",
-    "revenue_rollup_region_nation",
-    "asof_demand_join",
-    "events_in_service_windows",
-    "error_time_to_resolution",
-    "customer_spend_momentum",
-    "customer_value_deciles",
-    "monthly_type_pivot",
-    "corpus_quality_by_source",
-    "line_service_windows",
-    "nation_order_window",
-    "demand_avg_recent",
-    "customer_order_status",
-    "first_event_per_user",
-    "value_quantiles_sketch",
-    "distinct_users_hll",
-    # touched in round 4 — fresh rows required:
-    # new Gopher-repetition + unigram-LM-rarity text-pipeline queries
-    "repetition_profile",
-    "token_rarity_profile",
-    # new cluster-canonicalization + mixture-resampling pipeline queries
-    "dup_cluster_canonical",
-    "source_mixture_sample",
-    # new exact shared-substring-span dedup signal
-    "shared_substring_spans",
-    # new concat-and-chunk sequence-packing assignment
-    "packed_example_assignment",
-    # new single-pass recall-vs-nprobe tuning sweep
-    "ann_recall_sweep",
-    # new incremental batch-vs-index near-dup detection
-    "incremental_near_dups",
-    # new round-4 additions (PII scrub, funnel, split, CMS, SemDeDup, PQ,
-    # containment, OHLC) — fresh rows required
-    "pii_scrub_profile",
-    "funnel_conversion",
-    "hash_split_assignment",
-    "cms_heavy_hitters",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "containment_dups",
-    "daily_ohlc",
-    "skewed_join_salted",
-    "ivf_pq_topk",
-    # second-wave round-4 additions (SQ8 ANN, Bloom decontamination,
-    # SCD2 intervals, multi-touch attribution, BPE merge learning)
-    "sq_int8_topk",
-    "bloom_decontaminate",
-    "scd2_priority_history",
-    "touch_attribution",
+    # round 6 rotation (VERDICT r5 item 1). First the 4 queries that
+    # have NEVER had a driver row — ivf_sq8_topk is new this round
+    # (V8, registered from dead code), the other three were added in
+    # r5 behind the 50-row cap:
+    "ivf_sq8_topk",
+    "doc_chunks",
+    "table_profile",
+    "table_profile_hll",
+    # touched this round — bpe_merges switched to the at-scale local
+    # learner; the recall pair both read the refactored shared-arm
+    # cache (applicationId key) — fresh rows required:
     "bpe_merges",
-    # minhash path refactored this round (_minhash_bands) — fresh row
-    "minhash_lsh_dups",
-    # new oracle-checked 1-Lloyd-round trained-IVF variant
-    "cosine_topk_ivf_kmeans1",
-    # k-means training redesign (driver-side codebook, fused rounds)
-    "cosine_topk_ivf_kmeans",
-    # shared norm base + dot_batch signed-zero normalization
     "ann_recall_eval",
-    "cosine_topk_ivf",
-    "cosine_topk_bruteforce",
-    "embedding_near_dup_lsh",
-    # single-scan fused unigram+bigram generator (materialize dropped)
-    "bigram_stats",
-    # auto-AR common-sample AIC fix
-    "ar_forecast_daily",
-    "auto_ar_xreg_forecast_daily",
-    "token_shard_assignment",
-]
-_TAIL = [
-    # hash-green in CORRECTNESS_r03 (the freshest artifact) and untouched
-    # this round — safe to rotate out for one round
-    "simhash_dups",
-    "distinct_users_hll_portable",
-    "value_quantiles_histogram",
-    # rows-only in r03, operator modules untouched this round
-    "bus_ride_simulation",
-    "video_frame_sample",
+    "ann_recall_sweep",
+    # perf watchlist (VERDICT r5 item 3): the k-means pair (recorded
+    # ~2x slower in r5 — root-caused this round to warm-up noise, see
+    # PLANS.md noise notes) and sq_int8 (the linear scan ivf_sq8_topk
+    # now complements):
+    "cosine_topk_ivf_kmeans",
+    "cosine_topk_ivf_kmeans1",
+    "sq_int8_topk",
+    # the 40 queries with no row since CORRECTNESS_r03 (r4's _TAIL,
+    # due back in r5 and skipped — two stale rounds):
     "pricing_summary",
-    "order_features",
-    "minute_fanout",
-    # rows-only media stubs, recorded in r03 and untouched this round
-    # (video_frame_sample stays in-window — it was the r3 perf flag)
-    "image_feature_extract",
-    "audio_feature_extract",
-    "ngram_jaccard_dups",
-    "dup_clusters",
-    "doc_fingerprints",
-    "generated_rides",
-    "user_sessions",
     "user_time_bounds",
+    "value_quantiles",
     "collected_values",
     "top_orders",
-    "demand_by_month",
-    "demand_by_dayofweek",
-    "english_docs_sample",
-    "value_quantiles",
     "last_lineitem_per_order",
+    "order_features",
     "forecast_vs_actual",
     "actual_vs_two_forecasts",
+    "minute_fanout",
     "hourly_conservation_check",
     "summarized_demand_gapfill",
     "linear_trend_forecast_daily",
-    "scalar_gauntlet",
-    "exact_dedup_docs",
-    "text_quality_profile",
-    "vocab_stats",
     "forecast_eval_metrics",
     "seasonal_forecast_daily",
+    "scalar_gauntlet",
+    "exact_dedup_docs",
+    "ngram_jaccard_dups",
+    "simhash_dups",
+    "text_quality_profile",
     "language_id",
+    "doc_fingerprints",
+    "vocab_stats",
+    "capacity_alerts_batch",
+    "latest_bus_state_batch",
+    "generated_rides",
+    "bus_ride_simulation",
+    "image_feature_extract",
+    "audio_feature_extract",
+    "video_frame_sample",
     "curated_corpus",
     "stratified_sample_docs",
     "benchmark_decontaminate",
-    "latest_bus_state_batch",
-    "capacity_alerts_batch",
+    "dup_clusters",
+    "demand_by_month",
+    "demand_by_dayofweek",
+    "english_docs_sample",
+    "distinct_users_hll_portable",
+    "value_quantiles_histogram",
+    "user_sessions",
+]
+_TAIL = [
+    # all 44 recorded green in CORRECTNESS_r05 and untouched since
+    # (minus the six pulled back above) — safe to rotate out for one
+    # round; they MUST return to _PRIORITY in round 7
+    "nation_order_window",
+    "demand_avg_recent",
+    "first_event_per_user",
+    "ar_forecast_daily",
+    "auto_ar_xreg_forecast_daily",
+    "minhash_lsh_dups",
+    "containment_dups",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "embedding_near_dup_lsh",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "corpus_quality_by_source",
+    "repetition_profile",
+    "token_rarity_profile",
+    "bigram_stats",
+    "pii_scrub_profile",
+    "bloom_decontaminate",
+    "token_shard_assignment",
+    "dup_cluster_canonical",
+    "source_mixture_sample",
+    "shared_substring_spans",
+    "packed_example_assignment",
+    "incremental_near_dups",
+    "hash_split_assignment",
+    "line_service_windows",
+    "customer_order_status",
+    "buyer_cohort_setops",
+    "revenue_rollup_region_nation",
+    "skewed_join_salted",
+    "value_quantiles_sketch",
+    "distinct_users_hll",
+    "cms_heavy_hitters",
+    "asof_demand_join",
+    "events_in_service_windows",
+    "error_time_to_resolution",
+    "touch_attribution",
+    "customer_spend_momentum",
+    "customer_value_deciles",
+    "monthly_type_pivot",
+    "funnel_conversion",
+    "daily_ohlc",
+    "scd2_priority_history",
 ]
 
 

@@ -7,18 +7,85 @@ timezone-sensitive paths before the driver does:
     TZ=America/New_York PYTHONPATH=. python tools/driver_sim.py
 
 Prints one line per query (PASS/FAIL/rows-only) + a failure summary.
+
+Pre-snapshot checklist gate (the two regressions that shipped in round 5
+were exactly these, unchecked):
+
+    PYTHONPATH=. python tools/driver_sim.py --gate
+
+runs WITHOUT the oracle sweep and exits non-zero when
+  (a) rotation coverage is broken — some inventory query would have no
+      row in the union of the PREVIOUS correctness artifact and the one
+      the driver is about to record (the first _ARTIFACT_CAP names of
+      queries()), i.e. __spark_entry__._PRIORITY/_TAIL weren't rotated; or
+  (b) `pytest tests/` is not green (collected failures/errors).
+The rotation check (a) also runs — and fails loudly — in the default
+full-sweep mode; it's pure file logic and costs nothing.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _oracle_hash import hash_rows as _hash_rows  # noqa: E402
 
+# The driver records at most this many queries per round, in queries()
+# registration order (observed: every CORRECTNESS_r*.json has exactly 50
+# rows against a larger inventory).
+_ARTIFACT_CAP = 50
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check_rotation() -> list[str]:
+    """Names that would be missing from (previous artifact) ∪ (the next
+    artifact the driver will record) — must be empty before a snapshot."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    next_rows = set(names[:_ARTIFACT_CAP])
+    arts = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")),
+                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    prev_rows: set[str] = set()
+    if arts:
+        prev_rows = set(json.load(open(arts[-1])))
+    return [n for n in names if n not in next_rows and n not in prev_rows]
+
+
+def run_gate() -> int:
+    """Checklist gate: rotation coverage + green pytest. Exit code 0/1."""
+    missing = check_rotation()
+    if missing:
+        print(f"GATE FAIL: {len(missing)} queries with no row in "
+              f"(previous ∪ next) correctness artifacts: {missing}")
+    else:
+        print("GATE OK: rotation covers the full inventory in 2 rounds")
+    print("running pytest tests/ -q ...", flush=True)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+        cwd=_REPO, capture_output=True, text=True,
+    )
+    tail = (proc.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"pytest: {tail}")
+    if proc.returncode != 0:
+        print("GATE FAIL: pytest not green")
+    return 1 if (missing or proc.returncode != 0) else 0
+
 
 def main() -> None:
+    if "--gate" in sys.argv:
+        sys.exit(run_gate())
+
+    missing_rotation = check_rotation()
+    if missing_rotation:
+        print(f"ROTATION FAIL ({len(missing_rotation)} queries would lack "
+              f"2-round-union coverage): {missing_rotation}")
+
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
     import duckdb
@@ -66,8 +133,10 @@ def main() -> None:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             failures.append(name)
     print(f"\n{len(qs) - len(failures)}/{len(qs)} green; failures: {failures or 'none'}")
+    if missing_rotation:
+        print(f"ROTATION FAIL: {missing_rotation}")
     spark.stop()
-    sys.exit(1 if failures else 0)
+    sys.exit(1 if (failures or missing_rotation) else 0)
 
 
 if __name__ == "__main__":
