@@ -213,6 +213,41 @@ CHECKS = [
         "O(N·nprobe/n_centroids), not the exhaustive scan.",
     ),
     (
+        "cosine_topk_ivf_kmeans",
+        ["2x:Scan ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit",
+         "1x:ArrowEvalPython", "0x:CartesianProduct"],
+        "Trained-IVF search (perf watchlist — regressed ~2x in r5, fixed "
+        "r6): ONE materialized Arrow assignment pass feeds BOTH search "
+        "sides, so the final plan reads the checkpointed (assigns, vid, "
+        "vec, nrm) table twice (2x Scan ExistingRDD) and the only "
+        "remaining Python eval is the candidate cosine scoring — the "
+        "1x:ArrowEvalPython count is the guard against reintroducing "
+        "per-side assignment scans. Probe lists broadcast onto the "
+        "corpus-side equi-join; per-probe top-k is WindowGroupLimit-"
+        "pruned.",
+    ),
+    (
+        "doc_chunks",
+        ["Generate", "0x:Window", "0x:SortMergeJoin", "0x:HashAggregate",
+         "1x:Scan parquet"],
+        "RAG chunking is map-only: tokenization, window arithmetic and "
+        "slicing are codegen Column expressions in a single documents "
+        "scan; the chunk fan-out is a Generate (explode). The one "
+        "Exchange is spread()'s round-robin rebalance so the fan-out "
+        "parallelizes past the source file count — no key shuffle, no "
+        "join, no aggregation anywhere.",
+    ),
+    (
+        "table_profile",
+        ["Generate", "0x:Window", "0x:BroadcastHashJoin",
+         "0x:SortMergeJoin", "1x:Scan parquet"],
+        "Whole-table profiling is ONE aggregation pass over one scan "
+        "(every per-column stat is an agg expression in the same "
+        "SortAggregate), reduced to a single 1-row exchange; the "
+        "per-column unpivot is a stack() Generate over that 1-row "
+        "result — column count never multiplies the data pass.",
+    ),
+    (
         "ann_ranked_pairs_arm",
         ["2x:Window (", "BroadcastNestedLoopJoin|BroadcastHashJoin",
          "0x:CartesianProduct"],
