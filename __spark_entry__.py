@@ -44,9 +44,10 @@ _PRIORITY = [
     "ann_recall_eval",
     "ann_recall_sweep",
     # perf watchlist (VERDICT r5 item 3): the k-means pair (recorded
-    # ~2x slower in r5 — root-caused this round to warm-up noise, see
-    # PLANS.md noise notes) and sq_int8 (the linear scan ivf_sq8_topk
-    # now complements):
+    # ~2x slower in r5 — root-caused to the trained-IVF search running
+    # two separate Arrow assignment scans; fixed this round with one
+    # shared materialized pass, plan-asserted in PLANS.md) and sq_int8
+    # (the linear scan ivf_sq8_topk now complements):
     "cosine_topk_ivf_kmeans",
     "cosine_topk_ivf_kmeans1",
     "sq_int8_topk",

@@ -67,6 +67,10 @@ SLICE = [
     ("bloom_decontaminate", "map-side Bloom membership + exact audit arm"),
     ("scd2_priority_history", "single-shuffle gaps-and-islands SCD2 build"),
     ("touch_attribution", "24h range join + checkpointed channel rollup"),
+    ("customer_value_deciles", "two-phase prefix-sum decile ranking"),
+    ("doc_chunks", "map-only overlapping-window chunk fan-out"),
+    ("table_profile", "single-pass whole-table profiling agg"),
+    ("ivf_sq8_topk", "IVF-pruned int8 asymmetric search"),
 ]
 
 # id columns to offset per copy so cardinalities scale with rows
