@@ -46,11 +46,14 @@ _PRIORITY = [
     # perf watchlist (VERDICT r5 item 3): the k-means pair (recorded
     # ~2x slower in r5 — root-caused to the trained-IVF search running
     # two separate Arrow assignment scans; fixed this round with one
-    # shared materialized pass, plan-asserted in PLANS.md) and sq_int8
-    # (the linear scan ivf_sq8_topk now complements):
+    # shared materialized pass, plan-asserted in PLANS.md) and
+    # bloom_decontaminate (rewritten this round: both arms now share
+    # ONE corpus scan — touched ⇒ fresh row; it displaces the
+    # sq_int8_topk watchlist slot, which is green in r05, untouched,
+    # and complemented by ivf_sq8_topk's first row above):
     "cosine_topk_ivf_kmeans",
     "cosine_topk_ivf_kmeans1",
-    "sq_int8_topk",
+    "bloom_decontaminate",
     # the 40 queries with no row since CORRECTNESS_r03 (r4's _TAIL,
     # due back in r5 and skipped — two stale rounds):
     "pricing_summary",
@@ -116,7 +119,7 @@ _TAIL = [
     "token_rarity_profile",
     "bigram_stats",
     "pii_scrub_profile",
-    "bloom_decontaminate",
+    "sq_int8_topk",
     "token_shard_assignment",
     "dup_cluster_canonical",
     "source_mixture_sample",

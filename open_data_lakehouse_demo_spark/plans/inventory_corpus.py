@@ -280,15 +280,16 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_sketch): benchmark 8-gram shingles OR-fold into a ≤64-row
     bitmap that pivots to ONE broadcast map row; the corpus probe is a
     map-side explode + whole-stage-codegen bloom_contains filter against
-    the broadcast sketch — the ONLY shuffle is the final distinct over
-    flagged doc ids, which is output-sized (contaminated docs + the FP
+    the broadcast sketch — the ONLY shuffle is the final flagged-rows
+    groupBy, which is output-sized (contaminated docs + the FP
     trickle), the way a 100 TB scan consults an eval-set filter.  (An
     F.exists HOF over each doc's shingle array has the same semantics
     with zero shuffle but evaluates interpreted — measured 6× slower;
-    an output-sized distinct is the better trade.)  The exact
-    hashed-shingle arm (benchmark_decontaminate's semantics) is joined
-    on as the audit column: Bloom error is one-sided, so every exact
-    hit must be flagged and `false_positive` rows quantify the
+    an output-sized reduce is the better trade.)  The exact
+    hashed-shingle arm (benchmark_decontaminate's semantics) rides the
+    SAME corpus pass as a broadcast membership flag — one scan feeds
+    both arms — as the audit column: Bloom error is one-sided, so every
+    exact hit must be flagged and `false_positive` rows quantify the
     m/k-driven false-positive rate, driver-visible like the CMS
     overestimate audit."""
     docs = t(spark, sf_dir, "documents")
@@ -301,10 +302,24 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dedup.word_shingles(dedup.tokenize("text"), _DECON_N)).alias("s")
     ).distinct()
     sketch = dedup.bloom_sketch(members)
+    b_sh = benchmark.select(
+        F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
+    ).distinct()
+
+    # ONE corpus scan feeds BOTH arms: the expensive work (tokenize +
+    # shingle construction + explode) runs once, and each exploded
+    # shingle carries its Bloom digest AND its exact portable hash —
+    # the digests are salted differently (bloom_digest prefixes
+    # "bloom:") so they are separate md5 calls, but the text pass they
+    # slice is shared.  The benchmark hash set broadcasts back as a
+    # membership flag, both per-row flags reduce in one output-sized
+    # groupBy (rows where neither flag fires are dropped first, so the
+    # shuffle stays flagged-rows-sized; exact-only rows survive the
+    # prefilter, keeping the audit max intact for every emitted doc).
     # spread(): the local fixture arrives as ONE parquet split, which
     # would serialize the HOF shingle construction (measured 4-5s serial
     # vs sub-second wide — the same reason _doc_shingle_sets spreads)
-    flagged = (
+    probe = (
         spread(corpus).crossJoin(F.broadcast(sketch))
         .select(
             "doc_id",
@@ -313,27 +328,26 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # digest projected ONCE per shingle — FilterExec would recompute
         # an inlined md5 in each of the K bit conjuncts (bloom_digest doc)
-        .select("doc_id", "words", dedup.bloom_digest(F.col("s")).alias("dig"))
-        .filter(dedup.bloom_contains(F.col("words"), F.col("dig")))
-        .select("doc_id")
-        .distinct()
+        .select(
+            "doc_id",
+            "words",
+            dedup.bloom_digest(F.col("s")).alias("dig"),
+            dedup.token_hash(F.col("s")).alias("h"),
+        )
+        .join(F.broadcast(b_sh.withColumn("in_bench", F.lit(True))), "h", "left")
+        .select(
+            "doc_id",
+            dedup.bloom_contains(F.col("words"), F.col("dig")).alias("bloom_hit"),
+            F.coalesce("in_bench", F.lit(False)).alias("exact_hit"),
+        )
+        .filter(F.col("bloom_hit") | F.col("exact_hit"))
     )
-
-    c_sh = spread(corpus).select(
-        "doc_id", F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
-    )
-    b_sh = benchmark.select(
-        F.explode(dedup.shingle_hash_set("text", _DECON_N)).alias("h")
-    ).distinct()
-    exact = (
-        c_sh.join(F.broadcast(b_sh), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("ex", F.lit(True))
+    flags = probe.groupBy("doc_id").agg(
+        F.max("bloom_hit").alias("bloom_hit"), F.max("exact_hit").alias("exact_hit")
     )
     return (
-        flagged.join(exact, "doc_id", "left")
-        .select("doc_id", F.coalesce(~F.col("ex"), F.lit(True)).alias("false_positive"))
+        flags.filter("bloom_hit")
+        .select("doc_id", (~F.col("exact_hit")).alias("false_positive"))
         .orderBy("doc_id")
     )
 
