@@ -1,0 +1,112 @@
+"""Streaming ingestion: curation-at-ingest for an LLM data pipeline.
+
+The batch inventory curates a RESTING corpus (text_quality_profile,
+language_id, doc_fingerprints, exact_dedup_docs, cosine_topk_ivf*);
+this module is the same curation applied WHILE the corpus arrives —
+the shape a production pipeline actually runs, where scoring, language
+routing, in-flight dedup and index maintenance happen once per
+document at ingest instead of as full-corpus rescans later.
+
+Design rule: every transformation here is either a stateless Column
+program or a watermark-bounded stateful operator, so it runs
+UNCHANGED over a batch DataFrame and a streaming DataFrame — the
+batch run IS the oracle. tests/test_streaming_ingest.py drives each
+one through a real file-source StreamingQuery and asserts
+row-identical output vs the batch execution on the same input
+(SURVEY §5.4's twin contract, same as streaming/rollups.py).
+
+Scale shape at 100 TB/day ingest:
+  - curation_features / chunking: map-only, whole-stage codegen, no
+    state, no shuffle — scales with source parallelism.
+  - dedup_exact_stream: state is one key per DISTINCT fingerprint
+    inside the watermark horizon (bounded, RocksDB-spillable), not
+    corpus-lifetime — in-flight dedup bounds state; corpus-lifetime
+    exact dedup remains the batch job (exact_dedup_docs) or the
+    Bloom-gated incremental path (incremental_near_dups' pattern).
+  - ivf_ingest_stream: the codebook is a driver-side literal (C×DIM
+    floats — same HONEST LIMIT as operators/similarity.assign_ids_batch);
+    assignment is one Arrow-batched projection per micro-batch and the
+    sink partitions by centroid_id, so the inverted lists ARE the
+    directory layout and a later search job prunes lists by path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.functions import text as tx
+
+
+def curation_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document ingest-time curation record: quality features,
+    language route, exact-content fingerprint, token budget.
+
+    Stateless Column program — the streaming twin of the batch
+    text_quality_profile + language_id + md5 arm of doc_fingerprints
+    (plans/inventory_text.py), sharing the same functions/text.py
+    builders so the two executions are expression-identical. Ratio
+    columns are NULL for token-free docs, exactly as in the batch
+    twin."""
+    text_c: Column = F.coalesce(F.col(text_col), F.lit(""))
+    ws = tx.ws_token_count(text_c)
+    nchars = F.length(text_c).cast("bigint")
+    stop_ratio = tx.stopword_count(text_c).cast("double") / ws
+    alpha_ratio = tx.alpha_count(text_c).cast("double") / nchars
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        tx.est_token_count(text_c).alias("est_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        tx.quality_band(stop_ratio, alpha_ratio, ws).alias("quality_band"),
+        tx.predicted_lang(text_c).alias("predicted_lang"),
+        F.md5(text_c).alias("content_md5"),
+    )
+
+
+def dedup_exact_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    fp_col: str = "content_md5",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins exact dedup over the ingest stream.
+
+    dropDuplicatesWithinWatermark keys state by ``fp_col`` and expires
+    each key one watermark horizon after its event time — bounded
+    state, the only sound contract for an unbounded corpus (a plain
+    dropDuplicates would grow state forever). Duplicates farther apart
+    than the horizon are the batch job's problem (exact_dedup_docs),
+    the standard two-tier dedup split."""
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [fp_col]
+    )
+
+
+def ivf_ingest_stream(
+    vecs: DataFrame,
+    vids: list[int],
+    mat,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign arriving vectors to their IVF inverted list at ingest.
+
+    (centroid_id, vid, vec, nrm) per input vector — the SAME
+    bit-exact literal-codebook ranking as the batch search corpus side
+    (operators/similarity.assign_ids_batch top-1, see the parity
+    argument there), so a search job over the partitioned sink and the
+    batch ivf_topk over the same rows consult identical lists. Write
+    with ``.partitionBy("centroid_id")`` to make the inverted lists
+    the directory layout."""
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+
+    return vecs.select(
+        sim.assign_ids_batch(vec_col, vids, mat)[0].alias("centroid_id"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sim.norm(F.col(vec_col)).alias("nrm"),
+    )

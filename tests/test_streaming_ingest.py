@@ -1,0 +1,158 @@
+"""Streaming ingestion twins (streaming/ingest.py) vs their batch oracle.
+
+Per the module's design rule, every transformation must produce
+row-identical output run over the same input as a batch DataFrame and
+as a real file-source StreamingQuery — these tests drive both
+executions. Dedup additionally exercises cross-micro-batch state
+(duplicate arriving in a LATER file drop is suppressed).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.sources.io import read_parquet
+from open_data_lakehouse_demo_spark.streaming import ingest
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _run_stream(spark, src_dir, schema, transform, out_name, tmp_path):
+    """Drive transform over a file-source stream; return the sink rows."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out_dir = str(tmp_path / f"{out_name}_sink")
+    cp = str(tmp_path / f"{out_name}_cp")
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+@pytest.fixture()
+def docs_src(spark, tmp_path):
+    """A 200-doc slice of the documents fixture, staged as a stream source."""
+    src = str(tmp_path / "docs_src")
+    read_parquet(spark, f"{SF_DIR}/documents.parquet").limit(200).coalesce(
+        1
+    ).write.parquet(src)
+    return src
+
+
+def test_curation_features_stream_matches_batch(spark, tmp_path, docs_src):
+    batch = spark.read.parquet(docs_src)
+    expected = _rows(ingest.curation_features(batch))
+    got = _rows(
+        _run_stream(
+            spark, docs_src, batch.schema, ingest.curation_features,
+            "curation", tmp_path,
+        )
+    )
+    assert got == expected
+    assert len(got) == 200
+
+
+def test_dedup_exact_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    cols = ["doc_id", "text", "ingest_ts"]
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "2025-01-01 10:00:00"),
+            (2, "delta epsilon", "2025-01-01 10:00:10"),
+            (3, "alpha beta gamma", "2025-01-01 10:00:20"),  # in-batch dup of 1
+        ],
+        cols,
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .parquet(src)
+        .withColumn("content_md5", F.md5(F.col("text")))
+    )
+    out_dir = str(tmp_path / "dedup_sink")
+    cp = str(tmp_path / "dedup_cp")
+    q = (
+        ingest.dedup_exact_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = spark.createDataFrame(
+            [
+                (4, "delta epsilon", "2025-01-01 10:01:00"),  # cross-batch dup of 2
+                (5, "zeta eta theta", "2025-01-01 10:01:10"),  # new
+            ],
+            cols,
+        ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    # one row per distinct content; in-batch AND cross-batch dups dropped
+    kept_texts = sorted(r["text"] for r in out.collect())
+    assert kept_texts == ["alpha beta gamma", "delta epsilon", "zeta eta theta"]
+    # first arrival wins: doc 4 (dup of 2) never reaches the sink
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 5]
+
+
+def test_ivf_ingest_stream_matches_batch_assignment(spark, tmp_path):
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    src = str(tmp_path / "vec_src")
+    emb.limit(300).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    base = sim._ensure_base(batch, "vec_id", "embedding")
+    vids, mat, _ = sim._kmeans_train(base, 8, 1)
+
+    expected = _rows(ingest.ivf_ingest_stream(batch, vids, mat))
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out_dir = str(tmp_path / "ivf_sink")
+    cp = str(tmp_path / "ivf_cp")
+    q = (
+        ingest.ivf_ingest_stream(stream, vids, mat)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .partitionBy("centroid_id")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    assert _rows(out) == expected
+    # the inverted lists ARE the directory layout
+    parts = [d for d in os.listdir(out_dir) if d.startswith("centroid_id=")]
+    assert len(parts) == out.select("centroid_id").distinct().count()
+    # every list id is one of the trained codebook's centroids
+    assigned = {r["centroid_id"] for r in out.select("centroid_id").distinct().collect()}
+    assert assigned <= set(vids)
