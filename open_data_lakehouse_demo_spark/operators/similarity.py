@@ -604,7 +604,6 @@ def ivf_topk(
     # base feeds codebook extraction, corpus assignment and probe
     # assignment — materialize so the norm folds run once
     base = _ensure_base(df, id_col, vec_col)
-    probes_src = base.filter(probe_filter) if probe_filter is not None else base
     if train_iterations > 0 and codebook is None:
         # Trained codebook is DRIVER-SIDE (C×DIM floats), so the search
         # assignment uses the literal path with the identical bit-exact
@@ -648,6 +647,7 @@ def ivf_topk(
             F.col("nrm").alias("qnrm"),
         )
     else:
+        probes_src = base.filter(probe_filter) if probe_filter is not None else base
         if codebook is not None:
             centroids = codebook
         else:

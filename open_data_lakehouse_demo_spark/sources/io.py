@@ -115,7 +115,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     partitioned already, so this is a no-op there (guarded, not blind).
     The repartition shuffles only the narrow input rows — cheap relative
     to the per-row compute it parallelizes.
+
+    Streaming inputs pass through untouched: the partition-count probe
+    needs the batch RDD, and a micro-batch's parallelism is the source's
+    concern (maxFilesPerTrigger / Kafka partitions) — operators built on
+    spread() stay usable at ingest (streaming/ingest.py).
     """
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):

@@ -67,6 +67,32 @@ def test_curation_features_stream_matches_batch(spark, tmp_path, docs_src):
     assert len(got) == 200
 
 
+def test_chunking_at_ingest_matches_batch(spark, tmp_path, docs_src):
+    """chunk_documents is a stateless Column+Generate program, so RAG
+    chunking runs at ingest unchanged — same rows as the batch pass."""
+    from open_data_lakehouse_demo_spark.operators.chunking import chunk_documents
+
+    batch = spark.read.parquet(docs_src).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    expected = _rows(chunk_documents(batch, chunk_tokens=64, overlap=16))
+    got = _rows(
+        _run_stream(
+            spark,
+            docs_src,
+            spark.read.parquet(docs_src).schema,
+            lambda s: chunk_documents(
+                s.withColumn("text", F.coalesce(F.col("text"), F.lit(""))),
+                chunk_tokens=64,
+                overlap=16,
+            ),
+            "chunks",
+            tmp_path,
+        )
+    )
+    assert got == expected
+
+
 def test_dedup_exact_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     os.makedirs(src)
