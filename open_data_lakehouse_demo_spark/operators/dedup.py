@@ -201,7 +201,7 @@ def connected_components(
             F.col("a").alias("node"), F.col("a").alias("component")
         )
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
@@ -234,10 +234,12 @@ def connected_components(
                 ),
             )
         )
-        # fixpoint check reads the just-checkpointed blocks — no extra join
-        changed = jumped.filter("chg").limit(1).count()
+        # fixpoint check reads the just-checkpointed blocks — no extra
+        # join. Round 1 always changes labels when any edge exists (every
+        # non-minimum node adopts a smaller neighbor label), so its check
+        # job is skipped outright.
         labels = jumped.drop("chg")
-        if changed == 0:
+        if it > 0 and jumped.filter("chg").limit(1).count() == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
