@@ -168,3 +168,46 @@ def test_exact_dedup_partitions_docs_completely(spark, texts):
     assert sum(r["n_copies"] for r in groups) == len(texts)
     assert len({r["canonical_id"] for r in groups}) == len(groups)
     assert len(groups) == len(set(texts))
+
+
+@given(
+    edges=st_.lists(
+        st_.tuples(st_.integers(0, 24), st_.integers(0, 24)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping components == a reference union-find on random
+    graphs (self-loops and parallel/reversed edges included) — guards the
+    iterative loop's early-exit and convergence logic, not just the
+    hand-picked chain/island/cycle shapes."""
+    from open_data_lakehouse_demo_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    if not edges:
+        df = df.filter("doc_a <> doc_a")  # empty frame, schema kept
+    got = {
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    }
+
+    # reference: path-compressed union-find, min-id canonical labels
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
