@@ -322,12 +322,18 @@ def _sq_code(x: Column, mn: Column, sc: Column) -> Column:
     )
 
 
-def sq_encode(base: DataFrame, stats: DataFrame) -> DataFrame:
-    """(vid, codes array<int>) — per-dim uniform quantization against the
-    broadcast stats row. 64 B of codes per vector instead of 256 B of
-    float32 — the 4× memory cut that lets the working set stay in RAM."""
+def sq_encode(
+    base: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vid, *extra_cols, codes array<int>) — per-dim uniform quantization
+    against the broadcast stats row. 64 B of codes per vector instead of
+    256 B of float32 — the 4× memory cut that lets the working set stay
+    in RAM. ``extra_cols`` ride the same projection (e.g. a coarse
+    centroid_id computed upstream) so index-build callers never need a
+    corpus-wide join to reattach them."""
     return base.crossJoin(F.broadcast(stats)).select(
         "vid",
+        *extra_cols,
         F.transform(
             F.sequence(F.lit(1), F.lit(DIM)),
             lambda i: _sq_code(
@@ -458,16 +464,20 @@ def ivf_sq8_topk(
     base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
     cvids, cmat = pq_seed_matrix(base, n=n_centroids)
     stats = materialize(sq_stats(base))
-    # inverted lists: (centroid_id, vid, codes); reconstruct once per row
-    assigned = sq_encode(base, stats).join(
-        base.select(
-            "vid",
-            F.element_at(
-                sim.assign_ids_batch("vec", cvids, cmat, 1), 1
-            ).alias("centroid_id"),
-        ),
+    # inverted lists: (centroid_id, vid, codes) built in ONE pass — the
+    # coarse assignment is a projection alongside the codes (Arrow kernel
+    # + Column transform in the same scan), never a corpus-wide vid join
+    # between two derived frames (the original shape: one shuffle of the
+    # whole corpus + a second scan, ~1s slower at sf0.1 and a full
+    # repartition at 10^9 vectors)
+    with_cid = base.select(
         "vid",
+        "vec",
+        F.element_at(sim.assign_ids_batch("vec", cvids, cmat, 1), 1).alias(
+            "centroid_id"
+        ),
     )
+    assigned = sq_encode(with_cid, stats, extra_cols=("centroid_id",))
     lists = _sq_recon(assigned, stats, extra_cols=("centroid_id",))
     probes = base.filter(probe_filter) if probe_filter is not None else base
     probe_side = probes.select(

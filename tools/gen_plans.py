@@ -382,13 +382,17 @@ CHECKS = [
     ),
     (
         "bloom_decontaminate",
-        ["BroadcastNestedLoopJoin Cross", "Generate", "BroadcastHashJoin LeftSemi",
-         "0x:SortMergeJoin"],
-        "The 1-row Bloom bitmap crossJoin-broadcasts onto the corpus scan; "
-        "the probe is a map-side shingle explode + codegen bloom_contains "
-        "filter on a once-projected digest (the only shuffle is the "
-        "output-sized distinct of flagged ids); the exact audit arm is "
-        "the broadcast semi-join of hashed shingles.",
+        ["BroadcastNestedLoopJoin Cross", "Generate",
+         "BroadcastHashJoin LeftOuter", "0x:SortMergeJoin",
+         "3x:Scan parquet"],
+        "ONE corpus pass feeds both arms (r6 fusion): the 1-row Bloom "
+        "bitmap crossJoin-broadcasts onto the corpus scan, every exploded "
+        "shingle carries its once-projected digest AND its exact hash, "
+        "the benchmark hash set broadcasts back as a membership flag "
+        "(BroadcastHashJoin LeftOuter), and the only fact-sized shuffle "
+        "is the flagged-rows groupBy reduce. Exactly 3 scans: the corpus "
+        "ONCE (previously twice) plus the two eval-set-sized benchmark "
+        "scans that build the broadcast sketch and hash set.",
     ),
     (
         "scd2_priority_history",
