@@ -38,11 +38,15 @@ _PRIORITY = [
     "table_profile",
     "table_profile_hll",
     # touched this round — bpe_merges switched to the at-scale local
-    # learner; the recall pair both read the refactored shared-arm
-    # cache (applicationId key) — fresh rows required:
+    # learner; ann_recall_eval reads the refactored shared-arm cache
+    # (applicationId key) and covers the arm for its sweep twin too
+    # (identical arm code; the sweep's own r05 row is hash-green and
+    # its only r6 change is that shared cache key); sq_int8_topk's
+    # scoring moved to the bit-parity Arrow kernel with a driver-side
+    # literal codebook — fresh rows required:
     "bpe_merges",
     "ann_recall_eval",
-    "ann_recall_sweep",
+    "sq_int8_topk",
     # perf watchlist (VERDICT r5 item 3): the k-means pair (recorded
     # ~2x slower in r5 — root-caused to the trained-IVF search running
     # two separate Arrow assignment scans; fixed this round with one
@@ -119,7 +123,7 @@ _TAIL = [
     "token_rarity_profile",
     "bigram_stats",
     "pii_scrub_profile",
-    "sq_int8_topk",
+    "ann_recall_sweep",
     "token_shard_assignment",
     "dup_cluster_canonical",
     "source_mixture_sample",

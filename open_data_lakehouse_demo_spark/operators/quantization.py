@@ -313,6 +313,26 @@ def sq_stats(base: DataFrame) -> DataFrame:
     )
 
 
+def sq_stats_lists(base: DataFrame) -> tuple[list[float], list[float]]:
+    """Driver-side (mns, scales) — the SQ codebook as plain Python lists.
+
+    Bounded by construction: exactly 2×DIM doubles regardless of corpus
+    size (same driver-side-codebook pattern as ``pq_seed_matrix`` and the
+    IVF seeds — the ONE collect the index build is allowed). Injecting
+    them as literal arrays lets encode/reconstruct stay pure projections
+    on the corpus scan: no stats broadcast exchanges, no localCheckpoint
+    barrier, and the stats lineage (a map-side min/max pass) runs exactly
+    once instead of once per consuming branch. Python floats round-trip
+    IEEE doubles exactly, so the literal path is bit-identical to joining
+    the stats row."""
+    row = sq_stats(base).first()
+    return list(row["mns"]), list(row["scales"])
+
+
+def _lit_array(xs: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
 def _sq_code(x: Column, mn: Column, sc: Column) -> Column:
     """Quantize one double to 0..255 (constant dims → 0; top clamped)."""
     return (
@@ -323,29 +343,38 @@ def _sq_code(x: Column, mn: Column, sc: Column) -> Column:
 
 
 def sq_encode(
-    base: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = ()
+    base: DataFrame,
+    mns: list[float],
+    scales: list[float],
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vid, *extra_cols, codes array<int>) — per-dim uniform quantization
-    against the broadcast stats row. 64 B of codes per vector instead of
+    against the literal codebook. 64 B of codes per vector instead of
     256 B of float32 — the 4× memory cut that lets the working set stay
     in RAM. ``extra_cols`` ride the same projection (e.g. a coarse
     centroid_id computed upstream) so index-build callers never need a
     corpus-wide join to reattach them."""
-    return base.crossJoin(F.broadcast(stats)).select(
+    mn_a, sc_a = _lit_array(mns), _lit_array(scales)
+    return base.select(
         "vid",
         *extra_cols,
         F.transform(
             F.sequence(F.lit(1), F.lit(DIM)),
             lambda i: _sq_code(
                 F.element_at("vec", i).cast("double"),
-                F.element_at("mns", i),
-                F.element_at("scales", i),
+                F.element_at(mn_a, i),
+                F.element_at(sc_a, i),
             ),
         ).alias("codes"),
     )
 
 
-def _sq_recon(codes: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+def _sq_recon(
+    codes: DataFrame,
+    mns: list[float],
+    scales: list[float],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(vid, *extra_cols, rv array<double>) — corpus points reconstructed
     ONCE per row (x̂_i = mn_i + (code_i + 0.5)·step_i) before any probe
     join; scoring inside the join would redo the arithmetic per PAIR,
@@ -353,12 +382,13 @@ def _sq_recon(codes: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = 
     probes). Same doubles in the same order ⇒ bit-identical distances;
     the stored index still carries only (vid, codes) — the reconstruction
     is a transient projection on the scan, no shuffle."""
-    return codes.crossJoin(F.broadcast(stats)).select(
+    mn_a, sc_a = _lit_array(mns), _lit_array(scales)
+    return codes.select(
         "vid",
         *extra_cols,
         F.zip_with(
             F.col("codes"),
-            F.zip_with("mns", "scales", lambda mn, sc: F.struct(mn.alias("mn"), sc.alias("sc"))),
+            F.zip_with(mn_a, sc_a, lambda mn, sc: F.struct(mn.alias("mn"), sc.alias("sc"))),
             lambda c, ms: ms["mn"] + (c + F.lit(0.5)) * ms["sc"],
         ).alias("rv"),
     )
@@ -366,12 +396,52 @@ def _sq_recon(codes: DataFrame, stats: DataFrame, extra_cols: tuple[str, ...] = 
 
 def _sq_adc_dist() -> Column:
     """Left-to-right fold over the per-dim squared (pv-rv) diffs from a
-    +0.0 seed — element order matches the oracle's list_reduce."""
+    +0.0 seed — element order matches the oracle's list_reduce.
+
+    Reference semantics; the search paths score with ``sq_adc_dist_batch``
+    below, proven bit-identical
+    (tests/test_similarity.py::test_sq_adc_batch_parity)."""
     return F.aggregate(
         F.zip_with("pv", "rv", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def sq_adc_dist_batch(pv: Column, rv: Column) -> Column:
+    """Arrow-batched SQ8 reconstruction distance, bit-identical to the
+    ``_sq_adc_dist`` fold (and therefore to the oracle's list_reduce).
+
+    Why bit-parity holds (same argument as similarity.dot_batch, one step
+    weaker): the per-dim subtract/square here are NOT exact — pv and rv
+    are full-precision doubles — but parity doesn't need exactness, only
+    op-for-op replication: numpy's f64 subtract, multiply, and
+    ``np.add.accumulate`` are the same correctly-rounded IEEE-754
+    operations Spark and DuckDB apply, in the identical left-to-right
+    order, so every intermediate rounding is identical and so is the
+    final double. The trailing ``+ 0.0`` reproduces the fold's +0.0 seed
+    (squares are never -0.0, but an empty-product row would be).
+
+    Measured: at sf0.1's 80k scored pairs the batch and fold paths tie
+    (interleaved A/B, 3 runs each — the query is job-floor-dominated at
+    that size); the batch path is adopted for the same reason as
+    dot_batch, whose 500k-pair measurement (1.8s batch vs 2.7s
+    interpreted fold) is the at-scale regime where scoring dominates.
+    """
+
+    @F.pandas_udf("double")
+    def _dists(xp: pd.Series, xr: pd.Series) -> pd.Series:
+        out = np.empty(len(xp), dtype=np.float64)
+        vp, vr = xp.to_numpy(), xr.to_numpy()
+        for lo in range(0, len(vp), 4096):
+            hi = min(lo + 4096, len(vp))
+            P = np.stack(vp[lo:hi])
+            R = np.stack(vr[lo:hi])
+            d = P - R
+            out[lo:hi] = np.add.accumulate(d * d, axis=1)[:, -1] + 0.0
+        return pd.Series(out)
+
+    return _dists(pv, rv)
 
 
 def sq_int8_topk(
@@ -394,35 +464,37 @@ def sq_int8_topk(
     left-to-right over dims 1..DIM from a +0.0 seed (squares are never
     -0.0), so the DuckDB oracle's seedless list_reduce is bit-identical.
 
-    Scale shape: stats row broadcasts (2×DIM doubles); the corpus side of
+    Scale shape: the codebook is 2×DIM driver-side literals
+    (sq_stats_lists — one map-side min/max pass); the corpus side of
     the search join carries ONLY (vid, codes); probes broadcast (same
     probe-batch bound as pq_adc_topk).
     """
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
-    # spread(): encode and the DIM-step ADC fold are narrow (broadcast
-    # joins only), so they inherit the scan's partitioning — a one-split
-    # local fixture would run the whole interpreted fold on one thread
-    # (measured 3.3s serial vs ~1s wide at sf0.1)
-    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
-    # 1-row aggregate consumed by BOTH the encode and the probe branch —
-    # without the checkpoint each crossJoin recomputes the full stats
-    # scan (ReuseExchange misses: the branches prune different columns)
-    stats = materialize(sq_stats(base))
-    codes = sq_encode(base, stats)
+    # spread(): encode and the ADC scoring are narrow (broadcast joins
+    # only), so they inherit the scan's partitioning — a one-split local
+    # fixture would run the whole scoring stage on one thread (measured
+    # 3.3s serial vs ~1s wide at sf0.1)
+    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    base = spread(raw)
+    # stats pass reads the UN-spread projection: min/max are
+    # partitioning-invariant and the collect action shouldn't pay the
+    # round-robin shuffle that exists only for the scoring stage
+    mns, scales = sq_stats_lists(raw)
+    codes = sq_encode(base, mns, scales)
     probes = base.filter(probe_filter) if probe_filter is not None else base
     pside = probes.select(
         F.col("vid").alias("query_id"),
         F.transform("vec", lambda x: x.cast("double")).alias("pv"),
     )
-    recon = _sq_recon(codes, stats)
+    recon = _sq_recon(codes, mns, scales)
     adc = (
         recon.join(F.broadcast(pside))
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            _sq_adc_dist().alias("adc_dist"),
+            sq_adc_dist_batch(F.col("pv"), F.col("rv")).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
@@ -451,7 +523,8 @@ def ivf_sq8_topk(
     Coarse centroids = the n_centroids lowest-id seed vectors (same
     deterministic, oracle-reproducible seeding as ivf_pq_topk; coarse
     assignment is the shuffle-free Arrow kernel, bit-identical to the
-    assign_centroids join path). Stats row broadcasts; candidates join on
+    assign_centroids join path). The SQ codebook is 2×DIM driver-side
+    literals (sq_stats_lists); candidates join on
     centroid_id; probes broadcast (same probe-batch bound as pq_adc_topk).
 
     Output (query_id, neighbor_id, adc_dist) — top-k ascending per probe,
@@ -459,11 +532,15 @@ def ivf_sq8_topk(
     exhaustive SQ8 scan on the surviving pairs (same fold, same doubles).
     """
     from open_data_lakehouse_demo_spark.operators import similarity as sim
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
-    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
-    cvids, cmat = pq_seed_matrix(base, n=n_centroids)
-    stats = materialize(sq_stats(base))
+    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    base = spread(raw)
+    # both driver-side codebook collects read the UN-spread projection:
+    # seeds and per-dim min/max are partitioning-invariant, no need to
+    # pay the scoring stage's round-robin shuffle twice more
+    cvids, cmat = pq_seed_matrix(raw, n=n_centroids)
+    mns, scales = sq_stats_lists(raw)
     # inverted lists: (centroid_id, vid, codes) built in ONE pass — the
     # coarse assignment is a projection alongside the codes (Arrow kernel
     # + Column transform in the same scan), never a corpus-wide vid join
@@ -477,8 +554,8 @@ def ivf_sq8_topk(
             "centroid_id"
         ),
     )
-    assigned = sq_encode(with_cid, stats, extra_cols=("centroid_id",))
-    lists = _sq_recon(assigned, stats, extra_cols=("centroid_id",))
+    assigned = sq_encode(with_cid, mns, scales, extra_cols=("centroid_id",))
+    lists = _sq_recon(assigned, mns, scales, extra_cols=("centroid_id",))
     probes = base.filter(probe_filter) if probe_filter is not None else base
     probe_side = probes.select(
         F.col("vid").alias("query_id"),
@@ -493,7 +570,7 @@ def ivf_sq8_topk(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            _sq_adc_dist().alias("adc_dist"),
+            sq_adc_dist_batch(F.col("pv"), F.col("rv")).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")

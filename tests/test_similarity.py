@@ -112,6 +112,34 @@ def test_dot_udf_parity(spark):
         assert _bits(r["u"]) == _bits(r["e"]), (r["u"], r["e"])
 
 
+def test_sq_adc_batch_parity(spark):
+    """sq_adc_dist_batch must be BIT-identical to the _sq_adc_dist fold
+    on real and adversarial reconstructed pairs — unlike dot_batch the
+    per-dim ops here are inexact (full-precision doubles), so the proof
+    is op-for-op IEEE replication, and this test is the evidence."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+
+    rng = np.random.default_rng(17)
+    vs = rng.normal(size=(64, pq.DIM))
+    vs[0] = np.tile([1e30, -1e30], pq.DIM // 2)  # catastrophic cancellation
+    vs[1] = 1e-300  # subnormal-adjacent squares
+    vs[2] = 0.0
+    vs[3, ::2] = 1e18
+    rows = [
+        (int(i), [float(x) for x in vs[i]], [float(x) for x in vs[(i * 5 + 1) % len(vs)]])
+        for i in range(len(vs))
+    ]
+    rows.append((len(vs), [0.0] * pq.DIM, [0.0] * pq.DIM))  # all-zero diffs
+    df = spark.createDataFrame(rows, "i BIGINT, pv ARRAY<DOUBLE>, rv ARRAY<DOUBLE>")
+    got = df.select(
+        pq.sq_adc_dist_batch(F.col("pv"), F.col("rv")).alias("u"),
+        pq._sq_adc_dist().alias("e"),
+    ).collect()
+    assert len(got) == len(vs) + 1
+    for r in got:
+        assert _bits(r["u"]) == _bits(r["e"]), (r["u"], r["e"])
+
+
 def test_bucket_udf_parity(spark):
     """lsh_buckets_batch must reproduce the lsh_bucket expression fold
     bit-for-bit (sign decisions on exact-product dots)."""

@@ -206,11 +206,12 @@ CHECKS = [
         ["WindowGroupLimit", "BroadcastHashJoin", "0x:CartesianProduct",
          "0x:SortMergeJoin"],
         "IVF-pruned SQ8 search: candidates come from the centroid_id "
-        "equi-join (probe lists broadcast), the per-dim stats row rides "
-        "two 1-row broadcast cross joins (never a corpus×corpus "
-        "cartesian), and the per-probe top-k is WindowGroupLimit-pruned "
-        "before the final rank filter — per-probe work is "
-        "O(N·nprobe/n_centroids), not the exhaustive scan.",
+        "equi-join (probe lists broadcast), the SQ codebook is 2xDIM "
+        "driver-side literals folded into the scan projection (no "
+        "stats joins at all), and the per-probe top-k is "
+        "WindowGroupLimit-pruned before the final rank filter — "
+        "per-probe work is O(N·nprobe/n_centroids), not the "
+        "exhaustive scan.",
     ),
     (
         "cosine_topk_ivf_kmeans",
@@ -374,10 +375,12 @@ CHECKS = [
         "sq_int8_topk",
         ["2x:Scan parquet", "BroadcastNestedLoopJoin", "WindowGroupLimit",
          "0x:SortMergeJoin", "0x:HashAggregate"],
-        "SQ8 search: the per-dim stats row is checkpoint-materialized so "
-        "both consumers read it as ExistingRDD (the naive plan ran the "
-        "stats aggregate twice); corpus points reconstruct ONCE per row "
-        "(not per pair) before the broadcast probe join; top-k prunes "
+        "SQ8 search: the per-dim codebook is 2xDIM driver-side literals "
+        "(sq_stats_lists — one bounded collect off the un-spread scan), "
+        "so encode+reconstruct are pure projections with zero joins and "
+        "zero aggregates in the search plan; corpus points reconstruct "
+        "ONCE per row (not per pair) before the broadcast probe join "
+        "and score via the bit-parity Arrow kernel; top-k prunes "
         "per-partition via WindowGroupLimit before the final rank.",
     ),
     (
