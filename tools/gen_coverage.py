@@ -33,6 +33,7 @@ STATIC = {
     "S16": ("no-op by design (Iceberg commits always current)", "plans/ddl.py docstring"),
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
+    "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
