@@ -3,13 +3,21 @@ typed metadata, processed via Arrow-batched mapInPandas.
 
 Beyond-reference training-data-pipeline operators (SURVEY.md §7.6). The
 Spark-side plumbing is REAL and tested — schemas, partitioning, batch
-shapes, generator-based mapInPandas that never materializes a partition —
-while the codec layer is stubbed: this container has no image/audio
-libraries, so ``decode_image``/``decode_audio`` try the real libraries
-first (PIL / soundfile) and fall back to a clearly-marked deterministic
-fake decoder (md5-keystream pixels/samples). Swapping in real codecs
-changes ONE function each; every schema, signature and batch contract
-stays identical.
+shapes, generator-based mapInPandas that never materializes a partition.
+The codec layer is tiered:
+  1. REAL pure-numpy codecs for the uncompressed container formats —
+     24/32-bit BI_RGB BMP (``decode_bmp``/``encode_bmp``) and PCM 8/16-bit
+     RIFF WAV (``decode_wav``/``encode_wav``) — no external library
+     needed, magic-byte sniffed with strict header validation and
+     byte-exact round-trip tests;
+  2. PIL / soundfile for compressed formats when those libraries exist
+     (absent in this container — pragma: no cover);
+  3. a clearly-marked deterministic fake decoder (md5-seeded keystream
+     pixels/samples) for anything else, so fixture payloads that aren't
+     media still flow through every operator deterministically.
+Compressed-codec support (JPEG/MP3/video containers) remains honestly
+stubbed at tier 2/3; every schema, signature and batch contract is
+identical across tiers.
 
 Data model: media rows are
     media_id BIGINT, kind STRING, payload BINARY,
@@ -65,9 +73,88 @@ def _keystream(seed_bytes: bytes, n: int) -> np.ndarray:
     )
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → 24-bit uncompressed BI_RGB BMP bytes (bottom-up
+    rows, BGR channel order, 4-byte row padding) — the standard layout
+    every BMP reader accepts. Pure numpy; the exact inverse of
+    ``decode_bmp``."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = np.zeros((h, row + pad), dtype=np.uint8)
+    body[:, :row] = arr[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    data = body.tobytes()
+    size = 14 + 40 + len(data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16  # ppm resolutions + palette counts
+    )
+    return header + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Strictly-validated 24/32-bit uncompressed BI_RGB BMP → HxWx3 uint8.
+    Handles bottom-up (positive height) and top-down (negative height)
+    rows. Raises ValueError on anything that isn't a well-formed
+    uncompressed BMP — the dispatch layer falls back to the fake codec,
+    so a text payload that merely starts with \"BM\" can't misroute."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    top_down = h < 0
+    h = abs(h)
+    if (
+        hdr_size < 40
+        or planes != 1
+        or bpp not in (24, 32)
+        or compression != 0
+        or w <= 0
+        or h == 0
+        or off < 54
+    ):
+        raise ValueError("unsupported BMP variant")
+    ch = bpp // 8
+    stride = (w * ch + 3) // 4 * 4 if bpp == 24 else w * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+
+
+def _nn_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    ys = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
+    return arr[ys][:, xs]
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """payload → HxWx3 uint8 array. Real codec if available, else the
-    deterministic fake (STUB — see module docstring)."""
+    """payload → HxWx3 uint8 array at the requested meta dims. Tiered:
+    real numpy BMP decode on magic match (nearest-neighbor resampled to
+    (width, height), matching the PIL path's resize contract), PIL for
+    compressed formats when available, else the deterministic fake."""
+    if payload[:2] == b"BM":
+        try:
+            return _nn_resize(decode_bmp(payload), width, height)
+        except ValueError:
+            pass  # not actually a BMP — fall through
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -79,9 +166,72 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return _keystream(payload, width * height * 3).reshape(height, width, 3)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float mono samples in [-1, 1] → PCM 16-bit mono RIFF WAV bytes.
+    Pure numpy; quantization is the only loss (≤ 1/32767 per sample)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    data = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Strictly-validated PCM 8/16-bit RIFF WAV → (float32 mono in
+    [-1, 1], sample_rate). Walks the chunk list (fmt may not be first),
+    averages channels to mono. Raises ValueError on non-PCM or malformed
+    containers — the dispatch layer falls back to the fake codec."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        raise ValueError("unsupported WAV variant")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float32)
+        x = x / 32767.0
+    else:  # 8-bit PCM is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+    if channels > 1:
+        x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
 def decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
-    """payload → float32 mono samples in [-1, 1]. Real codec if available,
-    else the deterministic fake (STUB)."""
+    """payload → float32 mono samples in [-1, 1]. Tiered: real numpy WAV
+    decode on RIFF magic, soundfile for compressed formats when
+    available, else the deterministic fake."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return decode_wav(payload)[0]
+        except ValueError:
+            pass  # malformed — fall through
     try:  # pragma: no cover - soundfile absent in this container
         import io
 
@@ -119,6 +269,56 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+def synth_real_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA rows whose payloads are GENUINE media bytes — BMP
+    images (deterministic per-id gradient) and WAV audio (per-id sine) —
+    so the decode→feature pipeline runs end-to-end through the real
+    numpy codecs with analytically predictable features. Encoding runs
+    as a mapInPandas stage (constant memory per batch); content is a
+    pure function of media_id, so the table is partition-invariant."""
+    src = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                if r.kind == "image":
+                    w, h = 32 + mid % 16 * 8, 24 + mid % 9 * 8
+                    xx = np.arange(w, dtype=np.uint16)
+                    yy = np.arange(h, dtype=np.uint16)[:, None]
+                    arr = np.stack(
+                        [
+                            ((xx + yy + mid) % 256).astype(np.uint8),
+                            ((2 * xx + mid) % 256 + 0 * yy).astype(np.uint8),
+                            ((3 * yy + mid) % 256 + 0 * xx).astype(np.uint8),
+                        ],
+                        axis=2,
+                    )
+                    payload, meta = encode_bmp(arr), {
+                        "width": w, "height": h,
+                        "sample_rate": 0, "duration_ms": 0, "codec": "bmp",
+                    }
+                else:
+                    rate, dur_ms = 8000, 200 + mid % 20 * 50
+                    n = rate * dur_ms // 1000
+                    t = np.arange(n, dtype=np.float64) / rate
+                    x = 0.5 * np.sin(2 * np.pi * (220 + mid % 40 * 20) * t)
+                    payload, meta = encode_wav(x, rate), {
+                        "width": 0, "height": 0,
+                        "sample_rate": rate, "duration_ms": dur_ms, "codec": "wav16",
+                    }
+                rows.append(
+                    {"media_id": mid, "kind": r.kind, "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(fn, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
