@@ -456,3 +456,74 @@ def test_ann_recall_eval_consistent_with_sweep_level(spark):
     assert sum(r["n_hits"] for r in ev) == round(
         row["mean_recall"] * row["n_probes"] * 5
     )
+
+
+def test_persisted_sq8_ivf_index_matches_inmemory(spark, tmp_path):
+    """build_sq8_ivf_index + search_sq8_ivf_index must be BIT-identical to
+    ivf_sq8_topk over the same corpus/params (same codes, codebook, coarse
+    assignment, scoring kernel — only the list source differs), and the
+    lists scan must be PARTITION-pruned to the probed centroids."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "sq8ivf")
+    pq.build_sq8_ivf_index(emb, idx, n_centroids=16)
+
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    got = pq.search_sq8_ivf_index(spark, idx, probes, k=5, nprobe=2)
+    want = pq.ivf_sq8_topk(
+        emb, k=5, n_centroids=16, nprobe=2,
+        probe_filter=F.col("vid") % 50 == 0,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning: the probed-id IN filter sits on the partition
+    # column, so the scan reads only those centroid directories
+    import glob
+    probe_cids = {
+        r["cid"] for r in probes.select(
+            F.explode(__import__(
+                "open_data_lakehouse_demo_spark.operators.similarity",
+                fromlist=["similarity"],
+            ).assign_ids_batch("embedding", *pq.pq_seed_matrix(
+                emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+                n=16), 2)).alias("cid")
+        ).distinct().collect()
+    }
+    all_parts = len(glob.glob(f"{idx}/lists/centroid_id=*"))
+    lists = spark.read.parquet(f"{idx}/lists").filter(
+        F.col("centroid_id").isin(sorted(probe_cids))
+    )
+    files_read = {
+        r["f"] for r in lists.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    dirs_read = {f.rsplit("/", 2)[-2] for f in files_read}
+    assert len(dirs_read) == len(probe_cids) < all_parts
+
+
+def test_persisted_index_search_external_probes(spark, tmp_path):
+    """Probes need not come from the corpus: search with synthetic query
+    vectors and exclude_self=False returns k neighbors per probe."""
+    import numpy as np
+
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "sq8ivf2")
+    pq.build_sq8_ivf_index(emb, idx, n_centroids=8)
+    rng = np.random.default_rng(5)
+    qs = spark.createDataFrame(
+        [(int(1_000_000 + i), [float(x) for x in rng.normal(size=pq.DIM)])
+         for i in range(7)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = pq.search_sq8_ivf_index(spark, idx, qs, k=3, nprobe=2, exclude_self=False)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+    assert set(by_q) == {1_000_000 + i for i in range(7)}
+    for dists in by_q.values():
+        assert len(dists) == 3 and dists == sorted(dists)
