@@ -501,6 +501,39 @@ def sq_int8_topk(
     return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _sq8_ivf_lists(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+):
+    """Shared IVF-SQ8 list construction for the in-memory search and the
+    persisted index build: (base, assigned, cvids, cmat, mns, scales).
+
+    Both driver-side codebook collects read the UN-spread projection —
+    seeds and per-dim min/max are partitioning-invariant, no need to pay
+    the scoring stage's round-robin shuffle twice more. The inverted
+    lists (centroid_id, vid, codes) are built in ONE pass: the coarse
+    assignment is a projection alongside the codes (Arrow kernel +
+    Column transform in the same scan), never a corpus-wide vid join
+    between two derived frames (the original shape: one shuffle of the
+    whole corpus + a second scan, ~1s slower at sf0.1 and a full
+    repartition at 10^9 vectors)."""
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources.io import spread
+
+    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    base = spread(raw)
+    cvids, cmat = pq_seed_matrix(raw, n=n_centroids)
+    mns, scales = sq_stats_lists(raw)
+    with_cid = base.select(
+        "vid",
+        "vec",
+        F.element_at(sim.assign_ids_batch("vec", cvids, cmat, 1), 1).alias(
+            "centroid_id"
+        ),
+    )
+    assigned = sq_encode(with_cid, mns, scales, extra_cols=("centroid_id",))
+    return base, assigned, cvids, cmat, mns, scales
+
+
 def ivf_sq8_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -532,29 +565,10 @@ def ivf_sq8_topk(
     exhaustive SQ8 scan on the surviving pairs (same fold, same doubles).
     """
     from open_data_lakehouse_demo_spark.operators import similarity as sim
-    from open_data_lakehouse_demo_spark.sources.io import spread
 
-    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    base = spread(raw)
-    # both driver-side codebook collects read the UN-spread projection:
-    # seeds and per-dim min/max are partitioning-invariant, no need to
-    # pay the scoring stage's round-robin shuffle twice more
-    cvids, cmat = pq_seed_matrix(raw, n=n_centroids)
-    mns, scales = sq_stats_lists(raw)
-    # inverted lists: (centroid_id, vid, codes) built in ONE pass — the
-    # coarse assignment is a projection alongside the codes (Arrow kernel
-    # + Column transform in the same scan), never a corpus-wide vid join
-    # between two derived frames (the original shape: one shuffle of the
-    # whole corpus + a second scan, ~1s slower at sf0.1 and a full
-    # repartition at 10^9 vectors)
-    with_cid = base.select(
-        "vid",
-        "vec",
-        F.element_at(sim.assign_ids_batch("vec", cvids, cmat, 1), 1).alias(
-            "centroid_id"
-        ),
+    base, assigned, cvids, cmat, mns, scales = _sq8_ivf_lists(
+        df, id_col, vec_col, n_centroids
     )
-    assigned = sq_encode(with_cid, mns, scales, extra_cols=("centroid_id",))
     lists = _sq_recon(assigned, mns, scales, extra_cols=("centroid_id",))
     probes = base.filter(probe_filter) if probe_filter is not None else base
     probe_side = probes.select(
@@ -598,19 +612,9 @@ def build_sq8_ivf_index(
                     and coarse centroids (float32 values stored as exact
                     doubles), a few KB regardless of corpus size.
     """
-    from open_data_lakehouse_demo_spark.operators import similarity as sim
-    from open_data_lakehouse_demo_spark.sources.io import spread
-
-    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    base = spread(raw)
-    cvids, cmat = pq_seed_matrix(raw, n=n_centroids)
-    mns, scales = sq_stats_lists(raw)
-    with_cid = base.select(
-        "vid",
-        "vec",
-        F.element_at(sim.assign_ids_batch("vec", cvids, cmat, 1), 1).alias("centroid_id"),
+    _, assigned, cvids, cmat, mns, scales = _sq8_ivf_lists(
+        df, id_col, vec_col, n_centroids
     )
-    assigned = sq_encode(with_cid, mns, scales, extra_cols=("centroid_id",))
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
     spark = df.sparkSession
     meta = spark.createDataFrame(
