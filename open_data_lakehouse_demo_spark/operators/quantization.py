@@ -501,16 +501,50 @@ def sq_int8_topk(
     return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _sq8_codebooks(raw: DataFrame, n_centroids: int):
+    """Both tiny driver-side codebooks — the n lowest-id seed vectors and
+    the per-dim (mns, scales) stats — in ONE Spark job: the two subplans
+    union into a single (tag, vid, payload array<double>) frame and one
+    collect fetches n_centroids+1 rows. Values are bit-identical to
+    pq_seed_matrix + sq_stats_lists run separately (float32→double→
+    float32 round-trips exactly; min/max are partitioning-invariant);
+    the fusion exists because each extra action costs a full job
+    dispatch (~0.2-0.4s on the local floor, one scheduler round-trip per
+    probe batch at scale)."""
+    seeds = (
+        raw.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.lit("seed").alias("tag"),
+            "vid",
+            F.transform("vec", lambda x: x.cast("double")).alias("payload"),
+        )
+    )
+    stats = sq_stats(raw).select(
+        F.lit("stats").alias("tag"),
+        F.lit(-1).cast("long").alias("vid"),
+        F.concat("mns", "scales").alias("payload"),
+    )
+    rows = seeds.unionByName(stats).collect()
+    seed_rows = sorted((r for r in rows if r["tag"] == "seed"), key=lambda r: r["vid"])
+    stat_row = next(r for r in rows if r["tag"] == "stats")
+    cvids = [int(r["vid"]) for r in seed_rows]
+    cmat = np.array([r["payload"] for r in seed_rows], dtype=np.float32)
+    mns = list(stat_row["payload"][:DIM])
+    scales = list(stat_row["payload"][DIM:])
+    return cvids, cmat, mns, scales
+
+
 def _sq8_ivf_lists(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ):
     """Shared IVF-SQ8 list construction for the in-memory search and the
     persisted index build: (base, assigned, cvids, cmat, mns, scales).
 
-    Both driver-side codebook collects read the UN-spread projection —
-    seeds and per-dim min/max are partitioning-invariant, no need to pay
-    the scoring stage's round-robin shuffle twice more. The inverted
-    lists (centroid_id, vid, codes) are built in ONE pass: the coarse
+    The fused codebook collect reads the UN-spread projection — seeds
+    and per-dim min/max are partitioning-invariant, no need to pay the
+    scoring stage's round-robin shuffle again. The inverted lists
+    (centroid_id, vid, codes) are built in ONE pass: the coarse
     assignment is a projection alongside the codes (Arrow kernel +
     Column transform in the same scan), never a corpus-wide vid join
     between two derived frames (the original shape: one shuffle of the
@@ -521,8 +555,7 @@ def _sq8_ivf_lists(
 
     raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     base = spread(raw)
-    cvids, cmat = pq_seed_matrix(raw, n=n_centroids)
-    mns, scales = sq_stats_lists(raw)
+    cvids, cmat, mns, scales = _sq8_codebooks(raw, n_centroids)
     with_cid = base.select(
         "vid",
         "vec",
