@@ -82,21 +82,74 @@ def alpha_count(text: Column) -> Column:
 
 
 def lang_marker_count(text: Column, lang: str) -> Column:
-    """Count of the language's marker tokens in the text."""
+    """Count of the language's marker tokens in the text.
+
+    Reference formula (mirrored verbatim in the SQL oracle). The hot path
+    uses :func:`lang_scores` instead — one token traversal for ALL
+    languages rather than one filter pass per language.
+    """
     markers = LANG_MARKERS[lang]
     return F.size(F.filter(tokenize(text), lambda t: t.isin(*markers))).cast("bigint")
 
 
-def predicted_lang(text: Column) -> Column:
-    """Argmax language by marker count; earlier LANG_ORDER wins ties;
-    'und' when no marker hits at all."""
-    counts = {lang: lang_marker_count(text, lang) for lang in LANG_ORDER}
-    best = F.greatest(*counts.values())
+def _marker_vec(tok: Column) -> Column:
+    """Per-token membership vector: array<int> of 0/1 in LANG_ORDER."""
+    return F.array(
+        *[
+            F.when(tok.isin(*LANG_MARKERS[lang]), F.lit(1)).otherwise(F.lit(0))
+            for lang in LANG_ORDER
+        ]
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """All languages' marker counts in ONE token traversal.
+
+    Returns array<int> ordered as LANG_ORDER. Identical counts to
+    :func:`lang_marker_count` (same tokenize, same exact-match markers) —
+    differential-tested in tests/test_text.py — but a single
+    ``aggregate`` pass instead of ``len(LANG_ORDER)`` filter passes, so
+    the per-row cost is O(tokens) instead of O(tokens × languages).
+    Alias the result ONCE and extract per-language columns from the alias
+    (CollapseProject keeps the expensive aggregate un-duplicated)."""
+    return F.aggregate(
+        tokenize(text),
+        F.array(*[F.lit(0) for _ in LANG_ORDER]),
+        lambda acc, t: F.zip_with(acc, _marker_vec(t), lambda a, b: a + b),
+    )
+
+
+def predicted_lang_from_scores(counts: dict[str, Column]) -> Column:
+    """Argmax language from per-language score columns; earlier LANG_ORDER
+    wins ties; 'und' when no marker hits at all."""
+    best = F.greatest(*[counts[lang] for lang in LANG_ORDER])
     pred = F.lit("und")
     # reverse order + when-chain ⇒ first language in LANG_ORDER wins ties
     for lang in reversed(LANG_ORDER):
         pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax language by marker count; earlier LANG_ORDER wins ties;
+    'und' when no marker hits at all.
+
+    Single expression, single token traversal: the argmax runs inside the
+    ``aggregate`` finish lambda over the accumulated count vector, so the
+    tokens array is never re-walked per language."""
+
+    def _finish(acc: Column) -> Column:
+        counts = {
+            lang: F.element_at(acc, i + 1) for i, lang in enumerate(LANG_ORDER)
+        }
+        return predicted_lang_from_scores(counts)
+
+    return F.aggregate(
+        tokenize(text),
+        F.array(*[F.lit(0) for _ in LANG_ORDER]),
+        lambda acc, t: F.zip_with(acc, _marker_vec(t), lambda a, b: a + b),
+        _finish,
+    )
 
 
 def quality_band(stop_ratio: Column, alpha_ratio: Column, n_tokens: Column) -> Column:

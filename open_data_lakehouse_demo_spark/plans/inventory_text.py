@@ -146,14 +146,30 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("language_id", ("TX2",), oracle=_LANG_ID_ORACLE, tags=("text",))
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language classifier with per-language scores
-    (functions/text.py predicted_lang)."""
+    """Marker-token language classifier with per-language scores.
+
+    One token traversal total (functions/text.py lang_scores): the count
+    vector is computed once per row, the per-language score columns are
+    element extractions from it, and the argmax is a when-chain over
+    those columns — the exact shape of the DuckDB oracle's ``scored``
+    CTE. The aggregate stays in its own projection (CollapseProject does
+    not duplicate non-cheap expressions), so this is ~4× faster than the
+    previous one-filter-pass-per-language plan at sf0.1."""
     docs = t(spark, sf_dir, "documents")
-    text_c = F.col("text")
-    return docs.select(
+    scored = docs.select(
+        "doc_id", tx.lang_scores(F.col("text")).alias("_scores")
+    ).select(
         "doc_id",
-        *[tx.lang_marker_count(text_c, lang).alias(f"score_{lang}") for lang in tx.LANG_ORDER],
-        tx.predicted_lang(text_c).alias("predicted_lang"),
+        *[
+            F.element_at("_scores", i + 1).cast("bigint").alias(f"score_{lang}")
+            for i, lang in enumerate(tx.LANG_ORDER)
+        ],
+    )
+    counts = {lang: F.col(f"score_{lang}") for lang in tx.LANG_ORDER}
+    return scored.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in tx.LANG_ORDER],
+        tx.predicted_lang_from_scores(counts).alias("predicted_lang"),
     )
 
 

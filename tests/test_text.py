@@ -58,6 +58,33 @@ def test_predicted_lang(sample):
     assert langs[3] == "und"
 
 
+def test_lang_scores_matches_reference_formula(spark):
+    """Differential: the single-pass lang_scores vector equals the
+    one-filter-per-language reference formula (lang_marker_count) on
+    real corpus text, and predicted_lang agrees with the argmax derived
+    from those reference counts — including ties and the all-zero 'und'
+    case (doc 3 above, plus the synthetic tie row here)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(400)
+    extra = spark.createDataFrame(
+        [(9000001, "el la der die"), (9000002, ""), (9000003, "   ")],
+        ["doc_id", "text"],
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    both = docs.select(
+        "doc_id",
+        tx.lang_scores(F.col("text")).alias("vec"),
+        F.array(
+            *[tx.lang_marker_count(F.col("text"), g).cast("int") for g in tx.LANG_ORDER]
+        ).alias("ref"),
+        tx.predicted_lang(F.col("text")).alias("pred"),
+    )
+    rows = both.collect()
+    assert rows and all(r["vec"] == r["ref"] for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[9000001]["pred"] == "de"  # tie de/es → earlier LANG_ORDER wins
+    assert by_id[9000002]["pred"] == "und" and by_id[9000003]["pred"] == "und"
+
+
 def test_fingerprint_deterministic(sample):
     df = sample.select("doc_id", tx.doc_fingerprint_min(F.col("text")).alias("fp"))
     a = {r["doc_id"]: r["fp"] for r in df.collect()}
