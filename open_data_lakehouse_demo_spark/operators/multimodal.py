@@ -50,6 +50,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from open_data_lakehouse_demo_spark.sources.io import spread
+
 MEDIA_SCHEMA = (
     "media_id BIGINT, kind STRING, payload BINARY, "
     "meta STRUCT<width: INT, height: INT, sample_rate: INT, "
@@ -334,8 +336,10 @@ IMAGE_FEATURE_SCHEMA = (
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode each image batch and emit per-image color stats + a 64-bit
     average-hash (aHash) fingerprint."""
-    img = media.filter(F.col("kind") == "image").select(
-        "media_id", "payload", "meta.width", "meta.height"
+    img = spread(
+        media.filter(F.col("kind") == "image").select(
+            "media_id", "payload", "meta.width", "meta.height"
+        )
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,7 +374,7 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
     """Decode → resize (nearest-neighbor on the decoded array) → re-emit
     payload bytes + updated meta. Keeps the MEDIA_SCHEMA contract so
     resized tables compose with every other operator here."""
-    img = media.filter(F.col("kind") == "image")
+    img = spread(media.filter(F.col("kind") == "image"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,8 +411,10 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Sample one frame every ``every_ms`` from each video payload. The
     fan-out happens inside the Python stage; output rows carry the frame
     bytes (fake codec: per-frame md5 keystream keyed by (payload, idx))."""
-    vid = media.filter(F.col("kind") == "video").select(
-        "media_id", "payload", "meta.duration_ms", "meta.width", "meta.height"
+    vid = spread(
+        media.filter(F.col("kind") == "video").select(
+            "media_id", "payload", "meta.duration_ms", "meta.width", "meta.height"
+        )
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,8 +445,10 @@ AUDIO_FEATURE_SCHEMA = (
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Decode audio batches → RMS / peak / zero-crossing-count features."""
-    aud = media.filter(F.col("kind") == "audio").select(
-        "media_id", "payload", "meta.sample_rate", "meta.duration_ms"
+    aud = spread(
+        media.filter(F.col("kind") == "audio").select(
+            "media_id", "payload", "meta.sample_rate", "meta.duration_ms"
+        )
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
