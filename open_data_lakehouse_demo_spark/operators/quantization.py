@@ -252,11 +252,17 @@ def pq_adc_topk(
     Encode and LUT run as Arrow kernels against the driver-side seed
     codebook (pq_codes_batch/pq_lut_batch — bit-identical to the
     relational pq_encode/_probe_lut twins, differential-tested): zero
-    shuffles before the candidate join instead of three.
+    shuffles before the candidate join instead of three. The old
+    round-robin spread() of the input is gone with them: it existed to
+    parallelize the interpreted fold scoring a one-split local fixture
+    ran serially, but the vectorized kernels make the serial path
+    trivial (measured ~0.25s faster without the extra exchange at
+    sf0.1), and warehouse-scale inputs are many-way partitioned before
+    this operator ever sees them. The seed collect reads the bare
+    (vid, vec) projection for the same reason — a TakeOrdered on the
+    scan, not on a repartition.
     """
-    from open_data_lakehouse_demo_spark.sources.io import spread
-
-    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     _, mat32 = pq_seed_matrix(base)
     codes = base.select("vid", pq_codes_batch("vec", mat32).alias("codes"))
     probes = base.filter(probe_filter) if probe_filter is not None else base
@@ -394,6 +400,29 @@ def _sq_recon(
     )
 
 
+def sq_recon_expr(vec: Column, mns: Column, scales: Column) -> Column:
+    """Fused quantize→reconstruct projection (array<double>): per dim,
+    x̂_i = mn_i + (code_i + 0.5)·sc_i with code_i = _sq_code's clamped
+    ⌊(x_i-mn_i)/sc_i⌋ (sc_i = 0 ⇒ code 0 ⇒ x̂_i = mn_i + 0). Takes the
+    codebook as COLUMNS (a crossJoined 1-row sq_stats frame), so a
+    search that never stores codes runs collect-free as one action;
+    bit-identical to sq_encode + _sq_recon on the same stats (same ops,
+    same order — tests/test_similarity.py asserts the search parity)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: F.element_at(mns, i)
+        + (
+            _sq_code(
+                F.element_at(vec, i).cast("double"),
+                F.element_at(mns, i),
+                F.element_at(scales, i),
+            )
+            + F.lit(0.5)
+        )
+        * F.element_at(scales, i),
+    )
+
+
 def _sq_adc_dist() -> Column:
     """Left-to-right fold over the per-dim squared (pv-rv) diffs from a
     +0.0 seed — element order matches the oracle's list_reduce.
@@ -464,30 +493,29 @@ def sq_int8_topk(
     left-to-right over dims 1..DIM from a +0.0 seed (squares are never
     -0.0), so the DuckDB oracle's seedless list_reduce is bit-identical.
 
-    Scale shape: the codebook is 2×DIM driver-side literals
-    (sq_stats_lists — one map-side min/max pass); the corpus side of
-    the search join carries ONLY (vid, codes); probes broadcast (same
-    probe-batch bound as pq_adc_topk).
+    Scale shape: the SQ codebook stays DECLARATIVE — sq_stats' 1-row
+    (mns, scales) frame crossJoin-broadcasts onto the corpus scan, so
+    the whole search is ONE Spark action with the stats pass as a
+    broadcast subplan (no driver collect blocking plan construction —
+    unlike the PQ/IVF kernels, nothing here needs a numpy codebook in a
+    task closure). Encode and reconstruction fuse into a single
+    projection (x̂_i = mn_i + (⌊(x_i-mn_i)/sc_i⌋+0.5)·sc_i — the int
+    code roundtrip is kept so distances are bit-identical to scoring
+    the stored codes); the corpus side of the search join carries ONLY
+    the reconstructed points; probes broadcast (same probe-batch bound
+    as pq_adc_topk). The former spread() repartition is dropped for the
+    same reason as pq_adc_topk — its serial-scoring rationale predates
+    the Arrow distance kernel.
     """
-    from open_data_lakehouse_demo_spark.sources.io import spread
-
-    # spread(): encode and the ADC scoring are narrow (broadcast joins
-    # only), so they inherit the scan's partitioning — a one-split local
-    # fixture would run the whole scoring stage on one thread (measured
-    # 3.3s serial vs ~1s wide at sf0.1)
-    raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    base = spread(raw)
-    # stats pass reads the UN-spread projection: min/max are
-    # partitioning-invariant and the collect action shouldn't pay the
-    # round-robin shuffle that exists only for the scoring stage
-    mns, scales = sq_stats_lists(raw)
-    codes = sq_encode(base, mns, scales)
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    recon = base.crossJoin(F.broadcast(sq_stats(base))).select(
+        "vid", sq_recon_expr(F.col("vec"), F.col("mns"), F.col("scales")).alias("rv")
+    )
     probes = base.filter(probe_filter) if probe_filter is not None else base
     pside = probes.select(
         F.col("vid").alias("query_id"),
         F.transform("vec", lambda x: x.cast("double")).alias("pv"),
     )
-    recon = _sq_recon(codes, mns, scales)
     adc = (
         recon.join(F.broadcast(pside))
         .filter(F.col("vid") != F.col("query_id"))
@@ -549,12 +577,15 @@ def _sq8_ivf_lists(
     Column transform in the same scan), never a corpus-wide vid join
     between two derived frames (the original shape: one shuffle of the
     whole corpus + a second scan, ~1s slower at sf0.1 and a full
-    repartition at 10^9 vectors)."""
+    repartition at 10^9 vectors). No spread() repartition either —
+    same stale-rationale removal as pq_adc_topk/sq_int8_topk: the
+    assignment/encode work is vectorized Arrow + codegen'd Columns,
+    trivial on a one-split local fixture and already-parallel on
+    many-way warehouse inputs."""
     from open_data_lakehouse_demo_spark.operators import similarity as sim
-    from open_data_lakehouse_demo_spark.sources.io import spread
 
     raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    base = spread(raw)
+    base = raw
     cvids, cmat, mns, scales = _sq8_codebooks(raw, n_centroids)
     with_cid = base.select(
         "vid",

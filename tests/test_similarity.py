@@ -441,6 +441,30 @@ def test_ann_ranked_cache_contract(spark):
     assert not iv._ANN_RANKED_CACHE
 
 
+def test_scan_cache_contract(spark):
+    """t()'s per-session scan cache: keyed by applicationId (never
+    id(spark)), capped with the same reset-on-full policy as the ANN arm
+    cache, clearable, and a hit returns the SAME resolved relation (the
+    point — no second driver-side file/schema resolution)."""
+    from open_data_lakehouse_demo_spark.plans import inventory as inv
+
+    inv.clear_scan_cache()
+    df = inv.t(spark, SF_DIR, "region")
+    key = (spark.sparkContext.applicationId, SF_DIR, "region")
+    assert key in inv._SCAN_CACHE
+    assert inv.t(spark, SF_DIR, "region") is df  # cache hit
+    assert df.count() == 5
+
+    inv.clear_scan_cache()
+    for i in range(inv._SCAN_CACHE_CAP):
+        inv._SCAN_CACHE[(f"app-{i}", SF_DIR, "region")] = df
+    inv.t(spark, SF_DIR, "region")  # miss at cap → reset → insert
+    assert len(inv._SCAN_CACHE) == 1
+    assert key in inv._SCAN_CACHE
+    inv.clear_scan_cache()
+    assert not inv._SCAN_CACHE
+
+
 def test_ann_recall_eval_consistent_with_sweep_level(spark):
     """ann_recall_eval is the fixed-level (_EVAL_NPROBE) read of the same
     shared arm the sweep reads: the mean of its per-probe recalls must

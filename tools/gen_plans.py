@@ -373,14 +373,18 @@ CHECKS = [
     ),
     (
         "sq_int8_topk",
-        ["2x:Scan parquet", "BroadcastNestedLoopJoin", "WindowGroupLimit",
-         "0x:SortMergeJoin", "0x:HashAggregate"],
-        "SQ8 search: the per-dim codebook is 2xDIM driver-side literals "
-        "(sq_stats_lists — one bounded collect off the un-spread scan), "
-        "so encode+reconstruct are pure projections with zero joins and "
-        "zero aggregates in the search plan; corpus points reconstruct "
-        "ONCE per row (not per pair) before the broadcast probe join "
-        "and score via the bit-parity Arrow kernel; top-k prunes "
+        ["3x:Scan parquet", "BroadcastNestedLoopJoin Cross",
+         "BroadcastNestedLoopJoin Inner", "WindowGroupLimit",
+         "0x:SortMergeJoin", "ArrowEvalPython"],
+        "SQ8 search, fully declarative and collect-free (r6): the 1-row "
+        "per-dim stats frame (posexplode + bounded aggregate) "
+        "crossJoin-broadcasts onto the corpus scan — the codebook is a "
+        "broadcast SUBPLAN, not a driver collect, so the whole search "
+        "is ONE action; encode+reconstruct fuse into a single "
+        "projection (sq_recon_expr, int-code roundtrip preserved for "
+        "bit-parity with stored codes); corpus points reconstruct ONCE "
+        "per row (not per pair) before the broadcast probe join and "
+        "score via the bit-parity Arrow kernel; top-k prunes "
         "per-partition via WindowGroupLimit before the final rank.",
     ),
     (
