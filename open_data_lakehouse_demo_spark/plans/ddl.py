@@ -15,6 +15,13 @@ Format strategy: Iceberg when its runtime is on the classpath (ACID
 DELETE/MERGE, snapshots, schema evolution), else managed Parquet tables
 with a documented read-filter-overwrite DELETE fallback (correct but not
 concurrent-writer-safe — the Iceberg path is the production one).
+
+For path-addressed tables that need the ICEBERG CONTRACTS without the
+jar — atomic commits, snapshot-isolated reads, time travel, rollback,
+additive schema evolution, optimistic concurrency —
+``sources/table_log.py`` provides a native manifest-log table format
+(the Iceberg/Delta metadata pattern over immutable parquet + one atomic
+link(2) commit per snapshot).
 """
 
 from __future__ import annotations

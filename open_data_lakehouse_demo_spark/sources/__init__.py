@@ -7,3 +7,4 @@ from open_data_lakehouse_demo_spark.sources.io import (  # noqa: F401
     register_views,
     write_parquet,
 )
+from open_data_lakehouse_demo_spark.sources import table_log  # noqa: F401
