@@ -177,35 +177,70 @@ def create(
     return 0
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Append rows as a new snapshot: previous files + new files.
 
     Schema evolution is additive: the committed schema is the UNION of
     the previous schema and df's (new columns scan as NULL in old files
     via mergeSchema — the same additive contract plans/ddl.py documents
-    for Iceberg)."""
+    for Iceberg).
+
+    ``txn=(writer_id, version)`` makes the append IDEMPOTENT (the
+    Delta txnAppId/txnVersion contract): if any committed manifest
+    already records this writer at >= this version, the append is a
+    no-op returning the current latest snapshot. This is what makes a
+    restarted Structured Streaming query exactly-once into the log —
+    a replayed micro-batch re-offers the same (query_id, batch_id) and
+    is skipped instead of double-appended (see foreach_batch_appender).
+    """
     snaps = _list_snapshots(path)
     if not snaps:
         raise ValueError(f"no table at {path}")
     latest = snaps[-1]
+    if txn is not None:
+        for s in reversed(snaps):
+            m = _read_manifest(path, s)
+            if m.get("txn_app") == txn[0] and m.get("txn_version", -1) >= txn[1]:
+                return latest  # already committed — replay, skip
     prev = _read_manifest(path, latest)
     partition_by = prev["partition_by"] or None
     files = _write_data_files(df, path, partition_by)
     prev_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
     evolved = any(f.name not in prev_cols for f in df.schema.fields)
     schema_json = df.schema.json() if evolved else prev["schema"]
+    extra: dict = {"schema_evolved": evolved}
+    if txn is not None:
+        extra.update({"txn_app": txn[0], "txn_version": txn[1]})
     _commit(
         path,
         latest + 1,
-        _manifest(
-            "append",
-            prev["files"] + files,
-            schema_json,
-            partition_by,
-            {"schema_evolved": evolved},
-        ),
+        _manifest("append", prev["files"] + files, schema_json, partition_by, extra),
     )
     return latest + 1
+
+
+def foreach_batch_appender(path: str, writer_id: str):
+    """Structured-Streaming sink into a logged table:
+
+        stream.writeStream.foreachBatch(
+            foreach_batch_appender(table_path, query_name)
+        )
+
+    Each micro-batch appends as one atomic snapshot tagged
+    ``txn=(writer_id, batch_id)`` — a restarted query that replays a
+    batch (the at-least-once half of foreachBatch's contract) hits the
+    idempotent-append check and skips, upgrading the sink to
+    exactly-once, exactly how Delta/Iceberg streaming sinks do it."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append(batch_df.sparkSession, path, batch_df, txn=(writer_id, int(batch_id)))
+
+    return _sink
 
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -244,6 +279,40 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
             partition_by,
             {"predicate": predicate_sql},
         ),
+    )
+    return latest + 1
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE (upsert) ``source`` into the table on the key columns
+    ``on``: matched rows are replaced by the source row, unmatched
+    source rows are inserted — the WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT core of SQL MERGE (the log-format twin of the
+    foreachBatch MERGE in streaming/job.py).
+
+    Copy-on-write at table granularity like delete_where (HONEST LIMIT
+    — real formats rewrite only files containing matches): survivors =
+    target anti-join source on the keys, then union the full source;
+    one shuffle join on the keys, committed as one atomic snapshot."""
+    target = read(spark, path)
+    survivors = target.join(source.select(*on).distinct(), on, "left_anti")
+    merged = survivors.select(*target.columns).unionByName(
+        source.select(*target.columns)
+    )
+    snaps = _list_snapshots(path)
+    latest = snaps[-1]
+    prev = _read_manifest(path, latest)
+    partition_by = prev["partition_by"] or None
+    files = _write_data_files(merged, path, partition_by)
+    _commit(
+        path,
+        latest + 1,
+        _manifest("merge", files, prev["schema"], partition_by, {"merge_on": on}),
     )
     return latest + 1
 
@@ -317,7 +386,7 @@ def history(path: str) -> list[dict]:
             "ts_ms": m["ts_ms"],
             "n_files": len(m["files"]),
         }
-        for k in ("predicate", "restored_snapshot", "schema_evolved"):
+        for k in ("predicate", "restored_snapshot", "schema_evolved", "merge_on", "txn_app", "txn_version"):
             if k in m:
                 entry[k] = m[k]
         out.append(entry)

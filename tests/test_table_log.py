@@ -148,6 +148,69 @@ def test_reader_pinned_across_concurrent_append(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 20
 
 
+def test_merge_upsert(spark, base, tmp_path):
+    """MERGE on the key column: matched rows take the source version,
+    unmatched source rows insert, untouched target rows survive; the
+    result is one atomic snapshot and the pre-merge snapshot still
+    time-travels."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    src = spark.createDataFrame(
+        [(0, 0, "patched"), (99, 0, "new")], ["id", "bucket", "tag"]
+    )
+    s = tl.merge(spark, path, src, on=["id"])
+    cur = tl.read(spark, path)
+    assert cur.count() == 11
+    got = {r["id"]: r["tag"] for r in cur.collect()}
+    assert got[0] == "patched" and got[99] == "new" and got[5] == "v1"
+    assert tl.read(spark, path, snapshot=s - 1).count() == 10
+    assert tl.history(path)[-1]["operation"] == "merge"
+
+
+def test_idempotent_txn_append(spark, base, tmp_path):
+    """The Delta txnAppId/txnVersion contract: a replayed (writer,
+    version) append is a no-op; a newer version commits."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    s1 = tl.append(spark, path, base, txn=("job-a", 0))
+    assert s1 == 1 and tl.read(spark, path).count() == 20
+    # replay of the same batch: skipped, rows unchanged
+    assert tl.append(spark, path, base, txn=("job-a", 0)) == 1
+    assert tl.read(spark, path).count() == 20
+    # an OLDER version is also a replay (restart from an earlier epoch)
+    assert tl.append(spark, path, base, txn=("job-a", -1)) == 1
+    # a different writer is independent; a newer version commits
+    assert tl.append(spark, path, base, txn=("job-b", 0)) == 2
+    assert tl.append(spark, path, base, txn=("job-a", 1)) == 3
+    assert tl.read(spark, path).count() == 40
+
+
+def test_streaming_foreach_batch_sink_exactly_once(spark, base, tmp_path):
+    """Drive a real file-source stream into the log via
+    foreach_batch_appender; every micro-batch is one snapshot, and
+    re-delivering a batch id (the foreachBatch at-least-once case)
+    does not duplicate rows."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    base.write.parquet(src)
+    tl.create(spark, path, base.limit(0))  # empty table, schema fixed
+
+    sink = tl.foreach_batch_appender(path, "ingest-q")
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(tl.read(spark, path)) == _rows(base)
+
+    # simulate the replay a crashed-and-restarted query performs
+    sink(base, 0)
+    assert tl.read(spark, path).count() == 10  # still exactly once
+    ops = [h["operation"] for h in tl.history(path)]
+    assert ops[0] == "create" and all(o == "append" for o in ops[1:])
+
+
 def test_vacuum_expires_old_snapshots(spark, base, tmp_path):
     path = str(tmp_path / "t")
     tl.create(spark, path, base)
