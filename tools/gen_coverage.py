@@ -34,6 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
+    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends + exactly-once foreachBatch streaming sink — the Iceberg contracts (reference part1:346-409, part2:163-188) without the runtime jar", "tests/test_table_log.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
