@@ -317,6 +317,34 @@ def merge(
     return latest + 1
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the current snapshot's (typically many small,
+    e.g. one-per-streaming-micro-batch) files into ``target_files``
+    coalesced files, committed as one new snapshot with identical rows.
+    Old files stay until vacuum — readers of prior snapshots are
+    untouched. The small-files problem is the tax every log-structured
+    streaming sink pays; periodic compaction is its standard repayment
+    (Delta OPTIMIZE / Iceberg rewrite_data_files)."""
+    current = read(spark, path)
+    snaps = _list_snapshots(path)
+    latest = snaps[-1]
+    prev = _read_manifest(path, latest)
+    partition_by = prev["partition_by"] or None
+    files = _write_data_files(current.coalesce(target_files), path, partition_by)
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "compact",
+            files,
+            prev["schema"],
+            partition_by,
+            {"compacted_from": len(prev["files"])},
+        ),
+    )
+    return latest + 1
+
+
 def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
     """Restore an earlier snapshot's file list as a NEW snapshot (the
     roll-forward RESTORE of Delta/Iceberg — history is never rewritten,

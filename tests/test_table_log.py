@@ -211,6 +211,25 @@ def test_streaming_foreach_batch_sink_exactly_once(spark, base, tmp_path):
     assert ops[0] == "create" and all(o == "append" for o in ops[1:])
 
 
+def test_compact_rewrites_small_files(spark, base, tmp_path):
+    """OPTIMIZE: many per-append files coalesce into one; rows identical,
+    prior snapshots untouched, manifest records the input file count."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    for i in range(3):
+        tl.append(spark, path, base.withColumn("tag", F.lit(f"a{i}")))
+    before = tl._read_manifest(path, 3)
+    s = tl.compact(spark, path, target_files=1)
+    after = tl._read_manifest(path, s)
+    assert len(after["files"]) < len(before["files"])
+    assert after["compacted_from"] == len(before["files"])
+    assert tl.read(spark, path).count() == 40
+    assert _rows(tl.read(spark, path)) == _rows(tl.read(spark, path, snapshot=3))
+    # compaction + vacuum = the full maintenance cycle
+    tl.vacuum(spark, path, keep_last=1)
+    assert tl.read(spark, path).count() == 40
+
+
 def test_vacuum_expires_old_snapshots(spark, base, tmp_path):
     path = str(tmp_path / "t")
     tl.create(spark, path, base)
