@@ -41,9 +41,10 @@ _PRIORITY = [
     # learner; ann_recall_eval reads the refactored shared-arm cache
     # (applicationId key) and covers the arm for its sweep twin too
     # (identical arm code; the sweep's own r05 row is hash-green and
-    # its only r6 change is that shared cache key); sq_int8_topk's
-    # scoring moved to the bit-parity Arrow kernel with a driver-side
-    # literal codebook — fresh rows required:
+    # its only r6 change is that shared cache key); sq_int8_topk was
+    # reshaped twice (bit-parity Arrow scoring kernel, then the
+    # collect-free declarative stats subplan + fused sq_recon_expr
+    # projection) — fresh rows required:
     "bpe_merges",
     "ann_recall_eval",
     "sq_int8_topk",
