@@ -230,6 +230,64 @@ def test_compact_rewrites_small_files(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 40
 
 
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Model check: a seeded random sequence of append/overwrite/delete/
+    merge/compact/rollback ops, mirrored against a plain in-memory dict
+    model. After every op the latest read matches the model AND every
+    historical snapshot still matches the state the model had when that
+    snapshot was committed — the strongest form of the snapshot-isolation
+    contract (nothing ever mutates history)."""
+    import random
+
+    rnd = random.Random(20260815)
+    path = str(tmp_path / "t")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())] or [], "id BIGINT, val STRING"
+        )
+
+    def rows_of(df):
+        return {(r["id"], r["val"]) for r in df.collect()}
+
+    model = {i: f"v{i}" for i in range(8)}
+    tl.create(spark, path, df_of(model))
+    states = {0: dict(model)}  # snapshot id -> model state
+
+    for step in range(10):
+        op = rnd.choice(["append", "overwrite", "delete", "merge", "compact", "rollback"])
+        if op == "append":
+            # ids from a per-step disjoint range so the dict model stays
+            # exact (append is row-level; duplicate ids would need a
+            # multiset model)
+            new = {1000 + step * 10 + i: f"a{step}" for i in range(3)}
+            s = tl.append(spark, path, df_of(new))
+            model.update(new)
+        elif op == "overwrite":
+            model = {rnd.randrange(50): f"o{step}" for _ in range(5)}
+            s = tl.overwrite(spark, path, df_of(model))
+        elif op == "delete":
+            cut = rnd.randrange(40)
+            s = tl.delete_where(spark, path, f"id >= {cut}")
+            model = {k: v for k, v in model.items() if k < cut}
+        elif op == "merge":
+            src = {rnd.randrange(60): f"m{step}" for _ in range(4)}
+            s = tl.merge(spark, path, df_of(src), on=["id"])
+            model.update(src)
+        elif op == "compact":
+            s = tl.compact(spark, path)
+        else:  # rollback to a random recorded snapshot
+            target = rnd.choice(sorted(states))
+            s = tl.rollback(spark, path, target)
+            model = dict(states[target])
+        states[s] = dict(model)
+        # latest state matches the model
+        assert rows_of(tl.read(spark, path)) == set(model.items()), f"step {step} op {op}"
+    # EVERY recorded snapshot still reads as the state at its commit
+    for snap, st in states.items():
+        assert rows_of(tl.read(spark, path, snapshot=snap)) == set(st.items()), snap
+
+
 def test_vacuum_expires_old_snapshots(spark, base, tmp_path):
     path = str(tmp_path / "t")
     tl.create(spark, path, base)
