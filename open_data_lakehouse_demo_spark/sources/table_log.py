@@ -35,6 +35,12 @@ optimistic-concurrency check (a crashed writer leaves only a temp file
 and unreferenced data files; both are invisible to readers).
 
 Scale notes (the honest 100 TB picture):
+  * HONEST LIMIT — POSIX only: commits use link(2)/rename(2) semantics,
+    which hold on local disks, NFS and HDFS-style filesystems but NOT
+    on S3-class object stores (no atomic rename, no link); there the
+    production answer is the real Iceberg/Delta commit protocols
+    (catalog swap / DynamoDB-style lock), which is exactly why this
+    module is the no-jar FALLBACK, not a replacement;
   * a manifest lists file paths — O(#files) metadata, fine to ~10^5
     files; real formats add manifest LISTS + metadata compaction beyond
     that, out of scope here;
