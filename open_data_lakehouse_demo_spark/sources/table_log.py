@@ -427,6 +427,73 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata table of commits — the native twin of Iceberg's
+    ``tbl.snapshots`` (the introspection the reference walks by hand
+    through metadata.json → manifest list → manifests,
+    lakehouse_part1_batch_ingestion.py:346-409; SURVEY M4).
+
+    One row per snapshot: (snapshot_id, committed_at TIMESTAMP,
+    operation, n_files, total_bytes). Driver-side metadata only —
+    manifests are O(#files) JSON, no data files are opened."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for s in _list_snapshots(path):
+        m = _read_manifest(path, s)
+        total = 0
+        for f in m["files"]:
+            fp = os.path.join(path, f)
+            if os.path.exists(fp):
+                total += os.stat(fp).st_size
+        rows.append((s, m["ts_ms"], m["operation"], len(m["files"]), total))
+    schema = T.StructType([
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("committed_at_ms", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("n_files", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> DataFrame:
+    """Metadata table of one snapshot's data files — the native twin of
+    Iceberg's ``tbl.files``: (file_path, size_bytes, row_count,
+    partition map). row_count comes from each parquet FOOTER (pyarrow
+    metadata — O(1) per file, no column data read); partition values
+    parse from the hive-style path segments."""
+    from pyspark.sql import types as T
+
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
+    import pyarrow.parquet as pq_meta
+
+    rows = []
+    for f in m["files"]:
+        fp = os.path.join(path, f)
+        size = os.stat(fp).st_size if os.path.exists(fp) else None
+        try:
+            nrows = pq_meta.ParquetFile(fp).metadata.num_rows
+        except Exception:
+            nrows = None
+        part = {
+            seg.split("=", 1)[0]: seg.split("=", 1)[1]
+            for seg in f.split(os.sep)[:-1]
+            if "=" in seg
+        }
+        rows.append((f, size, nrows, part))
+    schema = T.StructType([
+        T.StructField("file_path", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced ONLY by snapshots older
     than the last ``keep_last`` (which stop being time-travelable —

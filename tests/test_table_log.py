@@ -230,6 +230,31 @@ def test_compact_rewrites_small_files(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 40
 
 
+def test_metadata_tables(spark, base, tmp_path):
+    """snapshots_table / files_table — the native twins of Iceberg's
+    tbl.snapshots / tbl.files metadata introspection (SURVEY M4)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base, partition_by=["bucket"])
+    tl.append(spark, path, base.withColumn("tag", F.lit("v2")))
+
+    snaps = tl.snapshots_table(spark, path).orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in snaps] == [0, 1]
+    assert [r["operation"] for r in snaps] == ["create", "append"]
+    assert snaps[1]["n_files"] > snaps[0]["n_files"]
+    assert all(r["total_bytes"] > 0 for r in snaps)
+    assert snaps[0]["committed_at_ms"] <= snaps[1]["committed_at_ms"]
+
+    files = tl.files_table(spark, path).collect()
+    assert len(files) == snaps[1]["n_files"]
+    # footer row counts sum to the table row count; partition values parse
+    assert sum(r["row_count"] for r in files) == 20
+    assert {r["partition"]["bucket"] for r in files} == {"0", "1", "2"}
+    # snapshot-pinned files view
+    files0 = tl.files_table(spark, path, snapshot=0).collect()
+    assert len(files0) == snaps[0]["n_files"]
+    assert sum(r["row_count"] for r in files0) == 10
+
+
 def test_model_based_random_op_sequence(spark, tmp_path):
     """Model check: a seeded random sequence of append/overwrite/delete/
     merge/compact/rollback ops, mirrored against a plain in-memory dict

@@ -60,7 +60,7 @@ STATIC = {
     "M1": ("plans/ddl.py show_tables", "tests/test_io_ddl.py"),
     "M2": ("plans/ddl.py describe_table", "tests/test_io_ddl.py"),
     "M3": ("plans/ddl.py create/use_namespace", "tests/test_io_ddl.py"),
-    "M4": ("Iceberg metadata tables (runtime-gated; parquet fallback N/A)", "plans/ddl.py docstring"),
+    "M4": ("sources/table_log.py snapshots_table/files_table — native metadata introspection (snapshot history, per-file size/row-count/partition from parquet footers), the tbl.snapshots/tbl.files twins; Iceberg's own metadata tables remain runtime-gated on the jar", "tests/test_table_log.py"),
     "M5": ("operators/profiling.py profile_table — single-pass per-column stats (nulls, HLL distinct, min/max) + stack unpivot", "tests/test_io_ddl.py"),
 }
 
