@@ -207,27 +207,41 @@ def append(
     snaps = _list_snapshots(path)
     if not snaps:
         raise ValueError(f"no table at {path}")
-    latest = snaps[-1]
-    if txn is not None:
-        for s in reversed(snaps):
-            m = _read_manifest(path, s)
-            if m.get("txn_app") == txn[0] and m.get("txn_version", -1) >= txn[1]:
-                return latest  # already committed — replay, skip
-    prev = _read_manifest(path, latest)
-    partition_by = prev["partition_by"] or None
-    files = _write_data_files(df, path, partition_by)
-    prev_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
-    evolved = any(f.name not in prev_cols for f in df.schema.fields)
-    schema_json = df.schema.json() if evolved else prev["schema"]
-    extra: dict = {"schema_evolved": evolved}
-    if txn is not None:
-        extra.update({"txn_app": txn[0], "txn_version": txn[1]})
-    _commit(
-        path,
-        latest + 1,
-        _manifest("append", prev["files"] + files, schema_json, partition_by, extra),
-    )
-    return latest + 1
+    files: list[str] | None = None
+    # Optimistic-concurrency retry loop (what Delta/Iceberg writers do):
+    # the DATA files are written exactly once — only the manifest claim
+    # retries, re-based on whoever won the race. An append composes with
+    # any concurrent append (no row conflict is possible), so rebasing
+    # is always safe; delete/merge/overwrite deliberately do NOT retry
+    # (their file list derives from a snapshot that just changed).
+    for _ in range(16):
+        snaps = _list_snapshots(path)
+        latest = snaps[-1]
+        if txn is not None:
+            for s in reversed(snaps):
+                m = _read_manifest(path, s)
+                if m.get("txn_app") == txn[0] and m.get("txn_version", -1) >= txn[1]:
+                    return latest  # already committed — replay, skip
+        prev = _read_manifest(path, latest)
+        partition_by = prev["partition_by"] or None
+        if files is None:
+            files = _write_data_files(df, path, partition_by)
+        prev_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+        evolved = any(f.name not in prev_cols for f in df.schema.fields)
+        schema_json = df.schema.json() if evolved else prev["schema"]
+        extra: dict = {"schema_evolved": evolved}
+        if txn is not None:
+            extra.update({"txn_app": txn[0], "txn_version": txn[1]})
+        try:
+            _commit(
+                path,
+                latest + 1,
+                _manifest("append", prev["files"] + files, schema_json, partition_by, extra),
+            )
+            return latest + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost {16} consecutive commit races at {path}")
 
 
 def foreach_batch_appender(path: str, writer_id: str):

@@ -230,6 +230,43 @@ def test_compact_rewrites_small_files(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 40
 
 
+def test_concurrent_appends_all_land(spark, base, tmp_path):
+    """Four writers appending the same table concurrently: the manifest
+    claim races, losers rebase and retry (data files written once), and
+    every append lands exactly once — no lost updates, no duplicates."""
+    import threading
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base.limit(0))
+    frames = [
+        base.withColumn("tag", F.lit(f"w{i}")).withColumn(
+            "id", F.col("id") + i * 1000
+        )
+        for i in range(4)
+    ]
+    errs = []
+
+    def work(df):
+        try:
+            tl.append(spark, path, df)
+        except Exception as e:  # surface failures to the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(f,)) for f in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    cur = tl.read(spark, path)
+    assert cur.count() == 40
+    assert {r["tag"] for r in cur.select("tag").distinct().collect()} == {
+        "w0", "w1", "w2", "w3"
+    }
+    ops = [h["operation"] for h in tl.history(path)]
+    assert ops == ["create"] + ["append"] * 4
+
+
 def test_metadata_tables(spark, base, tmp_path):
     """snapshots_table / files_table — the native twins of Iceberg's
     tbl.snapshots / tbl.files metadata introspection (SURVEY M4)."""
