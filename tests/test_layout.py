@@ -73,16 +73,28 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     n_files = 16
     zdest = str(tmp_path / "zord")
     ldest = str(tmp_path / "linear")
-    layout.write_zordered(
-        orders, zdest, ["o_custkey", "o_totalprice"], n_files=n_files
-    )
-    # control: classic single-axis clustering (S15) on custkey only
-    (
-        orders.repartitionByRange(n_files, "o_custkey")
-        .sortWithinPartitions("o_custkey")
-        .write.mode("overwrite")
-        .parquet(ldest)
-    )
+    # RangePartitioner SAMPLES split boundaries with an RDD-id-derived
+    # seed: at the default 100 samples/partition a marginal boundary
+    # occasionally widens one file enough to drop a skip ratio below
+    # threshold (observed once in a full-suite run, never solo). Dense
+    # sampling makes the boundaries effectively exact and the ratios
+    # reproducible; production writes keep the cheap default — balance,
+    # not exact boundaries, is what matters at scale.
+    prev = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition", "100")
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
+    try:
+        layout.write_zordered(
+            orders, zdest, ["o_custkey", "o_totalprice"], n_files=n_files
+        )
+        # control: classic single-axis clustering (S15) on custkey only
+        (
+            orders.repartitionByRange(n_files, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(ldest)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", prev)
 
     row = orders.agg(
         F.min("o_custkey"), F.max("o_custkey"),
