@@ -78,10 +78,22 @@ def main() -> None:
         "sf": sf,
     }
 
-    # Full detail always lands on disk next to this script.
+    # Full detail always lands on disk next to this script. loadavg is
+    # recorded because this box is a shared-CPU VM: a neighbor burst can
+    # inflate individual rows 2-4x (BENCH_VS_DUCK.md caveat), and the
+    # 1/5/15-minute load triple is the cheapest honest context for
+    # whoever compares artifacts across rounds.
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = None
     queries_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
     with open(queries_path, "w") as f:
-        json.dump({**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus}, f, indent=1)
+        json.dump(
+            {**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus,
+             "loadavg_after": [load1, load5, load15]},
+            f, indent=1,
+        )
 
     # stdout: embed per-query times only if the line fits the driver's
     # capture window; 2dp is plenty of precision for a headline artifact.
