@@ -11,6 +11,10 @@ a thin adapter over the named query inventory (plans/inventory.py).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,142 +27,68 @@ def _inventory():
 
 
 # The driver's correctness artifact records at most ~50 queries in
-# registration order.  With more queries than slots, len(inventory) - 50
-# rotate out each round (keep _TAIL at exactly that size, disjoint from
-# _PRIORITY); order so that (a) anything just fixed or newly added gets a
-# fresh row, (b) anything absent from the PREVIOUS artifact re-appears,
-# keeping every query green in the union of the two most recent artifacts.
-_PRIORITY = [
-    # round 6 rotation (VERDICT r5 item 1). First the 4 queries that
-    # have NEVER had a driver row — ivf_sq8_topk is new this round
-    # (V8, registered from dead code), the other three were added in
-    # r5 behind the 50-row cap:
-    "ivf_sq8_topk",
-    "doc_chunks",
-    "table_profile",
-    "table_profile_hll",
-    # touched this round — bpe_merges switched to the at-scale local
-    # learner; ann_recall_eval reads the refactored shared-arm cache
-    # (applicationId key) and covers the arm for its sweep twin too
-    # (identical arm code; the sweep's own r05 row is hash-green and
-    # its only r6 change is that shared cache key); sq_int8_topk was
-    # reshaped twice (bit-parity Arrow scoring kernel, then the
-    # collect-free declarative stats subplan + fused sq_recon_expr
-    # projection) — fresh rows required:
+# registration order, so with more queries than slots the coverage must
+# ROTATE: every query needs a row in the union of the two most recent
+# artifacts. Round 5 shipped with the rotation not executed (the #1
+# verdict finding); since r6 the rotation is SELF-MAINTAINING — queries
+# are ordered stalest-first from the CORRECTNESS_r*.json artifacts
+# themselves, so whichever 50 the driver records is always the set that
+# most needs fresh evidence, with no per-round list editing to forget:
+#
+#   1. _FORCE_FRESH (small, hand-curated per round): queries whose
+#      implementation changed this round — they need re-verification
+#      even if their last row is recent. r6: bpe_merges (at-scale local
+#      learner), ann_recall_eval (shared-arm cache, applicationId key),
+#      sq_int8_topk (bit-parity Arrow kernel, then the collect-free
+#      declarative stats subplan), the k-means pair (one shared
+#      assignment pass — the r5 perf regression's root cause) and
+#      bloom_decontaminate (both arms fused into one corpus scan).
+#   2. never-recorded queries (no row in ANY artifact) — newest
+#      registrations surface automatically;
+#   3. everything else by ascending last-recorded round (stalest
+#      first), registration order as the deterministic tiebreak.
+#
+# tools/driver_sim.py --gate independently asserts the resulting
+# 2-round-union coverage before every snapshot.
+_FORCE_FRESH = [
     "bpe_merges",
     "ann_recall_eval",
     "sq_int8_topk",
-    # perf watchlist (VERDICT r5 item 3): the k-means pair (recorded
-    # ~2x slower in r5 — root-caused to the trained-IVF search running
-    # two separate Arrow assignment scans; fixed this round with one
-    # shared materialized pass, plan-asserted in PLANS.md) and
-    # bloom_decontaminate (rewritten this round: both arms now share
-    # ONE corpus scan — touched ⇒ fresh row; it displaces the
-    # sq_int8_topk watchlist slot, which is green in r05, untouched,
-    # and complemented by ivf_sq8_topk's first row above):
     "cosine_topk_ivf_kmeans",
     "cosine_topk_ivf_kmeans1",
     "bloom_decontaminate",
-    # the 40 queries with no row since CORRECTNESS_r03 (r4's _TAIL,
-    # due back in r5 and skipped — two stale rounds):
-    "pricing_summary",
-    "user_time_bounds",
-    "value_quantiles",
-    "collected_values",
-    "top_orders",
-    "last_lineitem_per_order",
-    "order_features",
-    "forecast_vs_actual",
-    "actual_vs_two_forecasts",
-    "minute_fanout",
-    "hourly_conservation_check",
-    "summarized_demand_gapfill",
-    "linear_trend_forecast_daily",
-    "forecast_eval_metrics",
-    "seasonal_forecast_daily",
-    "scalar_gauntlet",
-    "exact_dedup_docs",
-    "ngram_jaccard_dups",
-    "simhash_dups",
-    "text_quality_profile",
-    "language_id",
-    "doc_fingerprints",
-    "vocab_stats",
-    "capacity_alerts_batch",
-    "latest_bus_state_batch",
-    "generated_rides",
-    "bus_ride_simulation",
-    "image_feature_extract",
-    "audio_feature_extract",
-    "video_frame_sample",
-    "curated_corpus",
-    "stratified_sample_docs",
-    "benchmark_decontaminate",
-    "dup_clusters",
-    "demand_by_month",
-    "demand_by_dayofweek",
-    "english_docs_sample",
-    "distinct_users_hll_portable",
-    "value_quantiles_histogram",
-    "user_sessions",
 ]
-_TAIL = [
-    # all 44 recorded green in CORRECTNESS_r05 and untouched since
-    # (minus the six pulled back above) — safe to rotate out for one
-    # round; they MUST return to _PRIORITY in round 7
-    "nation_order_window",
-    "demand_avg_recent",
-    "first_event_per_user",
-    "ar_forecast_daily",
-    "auto_ar_xreg_forecast_daily",
-    "minhash_lsh_dups",
-    "containment_dups",
-    "cosine_topk_bruteforce",
-    "cosine_topk_ivf",
-    "embedding_near_dup_lsh",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "corpus_quality_by_source",
-    "repetition_profile",
-    "token_rarity_profile",
-    "bigram_stats",
-    "pii_scrub_profile",
-    "ann_recall_sweep",
-    "token_shard_assignment",
-    "dup_cluster_canonical",
-    "source_mixture_sample",
-    "shared_substring_spans",
-    "packed_example_assignment",
-    "incremental_near_dups",
-    "hash_split_assignment",
-    "line_service_windows",
-    "customer_order_status",
-    "buyer_cohort_setops",
-    "revenue_rollup_region_nation",
-    "skewed_join_salted",
-    "value_quantiles_sketch",
-    "distinct_users_hll",
-    "cms_heavy_hitters",
-    "asof_demand_join",
-    "events_in_service_windows",
-    "error_time_to_resolution",
-    "touch_attribution",
-    "customer_spend_momentum",
-    "customer_value_deciles",
-    "monthly_type_pivot",
-    "funnel_conversion",
-    "daily_ohlc",
-    "scd2_priority_history",
-]
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _staleness_order(names: list[str]) -> list[str]:
+    """names sorted stalest-first by the correctness artifacts on disk
+    (registration order when none exist — e.g. a fresh checkout)."""
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name in rows:
+            last_seen[name] = max(last_seen.get(name, -1), rnd)
+    pos = {n: i for i, n in enumerate(names)}
+    forced = [n for n in _FORCE_FRESH if n in pos]
+    rest = sorted(
+        (n for n in names if n not in set(forced)),
+        key=lambda n: (last_seen.get(n, -1), pos[n]),
+    )
+    return forced + rest
 
 
 def _ordered():
     inv = _inventory()
-    names = [n for n in _PRIORITY if n in inv]
-    names += [n for n in inv if n not in _PRIORITY and n not in _TAIL]
-    names += [n for n in _TAIL if n in inv]
-    return {n: inv[n] for n in names}
+    return {n: inv[n] for n in _staleness_order(list(inv))}
 
 
 def entry(spark: SparkSession) -> DataFrame:
