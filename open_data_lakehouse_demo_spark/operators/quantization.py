@@ -319,22 +319,6 @@ def sq_stats(base: DataFrame) -> DataFrame:
     )
 
 
-def sq_stats_lists(base: DataFrame) -> tuple[list[float], list[float]]:
-    """Driver-side (mns, scales) — the SQ codebook as plain Python lists.
-
-    Bounded by construction: exactly 2×DIM doubles regardless of corpus
-    size (same driver-side-codebook pattern as ``pq_seed_matrix`` and the
-    IVF seeds — the ONE collect the index build is allowed). Injecting
-    them as literal arrays lets encode/reconstruct stay pure projections
-    on the corpus scan: no stats broadcast exchanges, no localCheckpoint
-    barrier, and the stats lineage (a map-side min/max pass) runs exactly
-    once instead of once per consuming branch. Python floats round-trip
-    IEEE doubles exactly, so the literal path is bit-identical to joining
-    the stats row."""
-    row = sq_stats(base).first()
-    return list(row["mns"]), list(row["scales"])
-
-
 def _lit_array(xs: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in xs])
 
@@ -534,8 +518,9 @@ def _sq8_codebooks(raw: DataFrame, n_centroids: int):
     the per-dim (mns, scales) stats — in ONE Spark job: the two subplans
     union into a single (tag, vid, payload array<double>) frame and one
     collect fetches n_centroids+1 rows. Values are bit-identical to
-    pq_seed_matrix + sq_stats_lists run separately (float32→double→
-    float32 round-trips exactly; min/max are partitioning-invariant);
+    collecting pq_seed_matrix and the sq_stats row separately
+    (float32→double→float32 round-trips exactly; min/max are
+    partitioning-invariant);
     the fusion exists because each extra action costs a full job
     dispatch (~0.2-0.4s on the local floor, one scheduler round-trip per
     probe batch at scale)."""
@@ -621,8 +606,9 @@ def ivf_sq8_topk(
     deterministic, oracle-reproducible seeding as ivf_pq_topk; coarse
     assignment is the shuffle-free Arrow kernel, bit-identical to the
     assign_centroids join path). The SQ codebook is 2×DIM driver-side
-    literals (sq_stats_lists); candidates join on
-    centroid_id; probes broadcast (same probe-batch bound as pq_adc_topk).
+    literals (collected in the fused _sq8_codebooks job); candidates join
+    on centroid_id; probes broadcast (same probe-batch bound as
+    pq_adc_topk).
 
     Output (query_id, neighbor_id, adc_dist) — top-k ascending per probe,
     neighbor-id tiebreak, self excluded; distances bit-identical to the
