@@ -512,7 +512,10 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced ONLY by snapshots older
     than the last ``keep_last`` (which stop being time-travelable —
     the explicit retention trade every log-structured format has).
-    Returns the deleted file paths (relative)."""
+    Also sweeps crashed-writer garbage: leftover ``_staging/`` write
+    dirs and orphaned ``_log/.tmp-*.json`` manifests (both invisible to
+    readers, but they accumulate disk). Returns the deleted data-file
+    paths (relative)."""
     snaps = _list_snapshots(path)
     keep = snaps[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
@@ -529,4 +532,9 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> list[str]:
     for s in snaps:
         if s not in keep:
             os.unlink(_manifest_path(path, s))
+    shutil.rmtree(os.path.join(path, "_staging"), ignore_errors=True)
+    log_d = _log_dir(path)
+    for f in os.listdir(log_d):
+        if f.startswith(".tmp-"):
+            os.unlink(os.path.join(log_d, f))
     return sorted(dead)
