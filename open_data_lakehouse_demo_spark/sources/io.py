@@ -222,7 +222,20 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
 
     Temp-view-over-parquet keeps the scan a plain V1/V2 FileScan: predicate
     pushdown and column pruning reach the parquet reader directly.
+
+    Re-registering is the "fixtures changed" entry point, so it flushes
+    the session-scoped caches that pin state derived from the parquet
+    files (the t() scan cache and the ANN ground-truth arm) — both are
+    valid only under the immutable-fixture assumption their docstrings
+    state, and this is the documented invalidation hook.
     """
+    from open_data_lakehouse_demo_spark.plans.inventory import clear_scan_cache
+    from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
+        clear_ann_ranked_cache,
+    )
+
+    clear_scan_cache()
+    clear_ann_ranked_cache()
     for name in tables:
         read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
