@@ -2,9 +2,10 @@
 format (the Iceberg/Delta metadata pattern) over plain parquet files.
 
 The reference demo stores its lakehouse tables as Iceberg
-(lakehouse_part1_batch_ingestion.py:346-409 creates them;
-lakehouse_part2_streaming.py:163-188 streams into them) and leans on two
-Iceberg behaviors: snapshot-isolated reads and time travel. The Iceberg
+(lakehouse_part1_load_data.py:235-240 creates a managed Iceberg table,
+:505-508 writes one from Spark via ``.write.format("iceberg")``;
+code/pyspark-job.py:205-216 streams into tables via foreachBatch) and
+leans on two Iceberg behaviors: snapshot-isolated reads and time travel. The Iceberg
 runtime jar is absent in this environment (plans/ddl.py gates on it), so
 this module reproduces those CONTRACTS natively, from the published
 design every log-structured table format shares:
@@ -35,12 +36,16 @@ optimistic-concurrency check (a crashed writer leaves only a temp file
 and unreferenced data files; both are invisible to readers).
 
 Scale notes (the honest 100 TB picture):
-  * HONEST LIMIT — POSIX only: commits use link(2)/rename(2) semantics,
-    which hold on local disks, NFS and HDFS-style filesystems but NOT
-    on S3-class object stores (no atomic rename, no link); there the
-    production answer is the real Iceberg/Delta commit protocols
-    (catalog swap / DynamoDB-style lock), which is exactly why this
-    module is the no-jar FALLBACK, not a replacement;
+  * the commit primitive is PLUGGABLE (``CommitProtocol``): the default
+    ``PosixLinkCommit`` uses link(2) semantics, which hold on local
+    disks, NFS and HDFS-style filesystems but NOT on S3-class object
+    stores (no atomic rename, no link). For those, the seam is
+    ``ConditionalPutCommit`` — publish via a conditional PUT
+    (HTTP ``If-None-Match: *`` on S3/GCS), the same primitive modern
+    Delta/Iceberg object-store commits use; wire any store client in by
+    passing its put-if-absent callable. A full production deployment
+    would use the real Iceberg/Delta commit protocols (catalog swap),
+    which is exactly why this module is the no-jar FALLBACK;
   * a manifest lists file paths — O(#files) metadata, fine to ~10^5
     files; real formats add manifest LISTS + metadata compaction beyond
     that, out of scope here;
@@ -128,26 +133,74 @@ def _write_data_files(df: DataFrame, path: str, partition_by: list[str] | None) 
     return sorted(rel_files)
 
 
-def _commit(path: str, snapshot: int, manifest: dict) -> None:
-    """Atomically publish ``manifest`` as snapshot id ``snapshot``.
+class CommitProtocol:
+    """The ONE primitive a table-log commit needs: atomically publish
+    ``payload`` at ``final_path``, failing with CommitConflict if the
+    path already exists (put-if-absent). Everything else in this module
+    is storage-agnostic; swapping this seam is what ports the log from
+    POSIX to an object store."""
 
-    write-temp + link(2): link is atomic and raises FileExistsError when
-    the target exists — the loser of a concurrent-commit race gets
-    CommitConflict instead of silently clobbering the winner."""
+    def publish(self, final_path: str, payload: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkCommit(CommitProtocol):
+    """write-temp + fsync + link(2): link is atomic and raises
+    FileExistsError when the target exists — the loser of a
+    concurrent-commit race gets CommitConflict instead of silently
+    clobbering the winner. Valid on local disks / NFS / HDFS-style
+    filesystems; NOT on S3-class stores (module docstring)."""
+
+    def publish(self, final_path: str, payload: str) -> None:
+        d = os.path.dirname(final_path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final_path)
+        except FileExistsError as exc:
+            raise CommitConflict(f"{final_path} already committed") from exc
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # a concurrent vacuum swept the tmp file; the publish outcome stands
+
+
+class ConditionalPutCommit(CommitProtocol):
+    """Object-store commit: publish via a conditional PUT — the
+    ``If-None-Match: *`` / x-goog-if-generation-match:0 primitive S3
+    and GCS expose, which modern Delta/Iceberg object-store commits are
+    built on. ``put_if_absent(path, payload) -> bool`` is the injected
+    store client call: True = stored, False = the object already
+    existed (someone else won the race)."""
+
+    def __init__(self, put_if_absent):
+        self._put_if_absent = put_if_absent
+
+    def publish(self, final_path: str, payload: str) -> None:
+        if not self._put_if_absent(final_path, payload):
+            raise CommitConflict(f"{final_path} already committed")
+
+
+#: Module default; tests / deployments swap this (or pass ``protocol=``
+#: per call) to run the identical log on a different store.
+DEFAULT_COMMIT_PROTOCOL: CommitProtocol = PosixLinkCommit()
+
+
+def _commit(
+    path: str, snapshot: int, manifest: dict, protocol: CommitProtocol | None = None
+) -> None:
+    """Atomically publish ``manifest`` as snapshot id ``snapshot`` via
+    the commit protocol (put-if-absent is the optimistic-concurrency
+    check; see CommitProtocol)."""
     os.makedirs(_log_dir(path), exist_ok=True)
-    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(path, snapshot))
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"snapshot {snapshot} already committed at {path}"
-        ) from exc
-    finally:
-        os.unlink(tmp)
+    (protocol or DEFAULT_COMMIT_PROTOCOL).publish(
+        _manifest_path(path, snapshot), json.dumps(manifest)
+    )
 
 
 def _manifest(
@@ -217,20 +270,40 @@ def append(
     for _ in range(16):
         snaps = _list_snapshots(path)
         latest = snaps[-1]
-        if txn is not None:
-            for s in reversed(snaps):
-                m = _read_manifest(path, s)
-                if m.get("txn_app") == txn[0] and m.get("txn_version", -1) >= txn[1]:
-                    return latest  # already committed — replay, skip
         prev = _read_manifest(path, latest)
+        # O(1) idempotency: each manifest carries the high-water txn
+        # version per writer forward (Delta's setTransaction pattern) —
+        # the check reads only the LATEST manifest, so a long-running
+        # streaming sink pays constant driver I/O per batch, not
+        # O(snapshots). _txns_of falls back to a one-time history scan
+        # for tables written before the map existed.
+        txns = _txns_of(path, snaps, prev)
+        if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+            return latest  # already committed — replay, skip
         partition_by = prev["partition_by"] or None
         if files is None:
             files = _write_data_files(df, path, partition_by)
-        prev_cols = {f["name"] for f in json.loads(prev["schema"])["fields"]}
-        evolved = any(f.name not in prev_cols for f in df.schema.fields)
-        schema_json = df.schema.json() if evolved else prev["schema"]
-        extra: dict = {"schema_evolved": evolved}
+        # Additive schema evolution: the committed schema is the true
+        # UNION — previous fields (order preserved) + df-only fields —
+        # so a later append that itself drops a column can't erase
+        # earlier columns from the recorded schema.
+        prev_schema = json.loads(prev["schema"])
+        prev_cols = {f["name"] for f in prev_schema["fields"]}
+        new_fields = [
+            json.loads(df.schema[f.name].json())
+            for f in df.schema.fields
+            if f.name not in prev_cols
+        ]
+        evolved = bool(new_fields)
+        if evolved:
+            union_schema = dict(prev_schema)
+            union_schema["fields"] = prev_schema["fields"] + new_fields
+            schema_json = json.dumps(union_schema)
+        else:
+            schema_json = prev["schema"]
+        extra: dict = {"schema_evolved": evolved, "txns": txns}
         if txn is not None:
+            extra["txns"] = {**txns, txn[0]: txn[1]}
             extra.update({"txn_app": txn[0], "txn_version": txn[1]})
         try:
             _commit(
@@ -242,6 +315,20 @@ def append(
         except CommitConflict:
             continue
     raise CommitConflict(f"append lost {16} consecutive commit races at {path}")
+
+
+def _txns_of(path: str, snaps: list[int], latest_manifest: dict) -> dict[str, int]:
+    """High-water txn version per writer app, read from the latest
+    manifest's carried-forward ``txns`` map; legacy tables (manifests
+    predating the map) get a one-time full-history reconstruction."""
+    if "txns" in latest_manifest:
+        return dict(latest_manifest["txns"])
+    txns: dict[str, int] = {}
+    for s in snaps:
+        m = latest_manifest if s == snaps[-1] else _read_manifest(path, s)
+        if "txn_app" in m:
+            txns[m["txn_app"]] = max(txns.get(m["txn_app"], -1), m["txn_version"])
+    return txns
 
 
 def foreach_batch_appender(path: str, writer_id: str):
@@ -263,18 +350,31 @@ def foreach_batch_appender(path: str, writer_id: str):
     return _sink
 
 
-def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Replace the table contents in one snapshot (old files stay on disk
-    for time travel until a vacuum, exactly like Delta/Iceberg)."""
+def _pin_latest(path: str) -> tuple[int, dict, dict[str, int]]:
+    """Pin the rewrite base ONCE: (latest snapshot id, its manifest, the
+    carried txns map). Every rewrite op (overwrite/delete/merge/compact)
+    must derive BOTH its source rows and its commit id from this single
+    pin — re-listing snapshots after reading would let a concurrent
+    append advance 'latest' and get silently clobbered without a
+    CommitConflict (the lost-update race)."""
     snaps = _list_snapshots(path)
     if not snaps:
         raise ValueError(f"no table at {path}")
     latest = snaps[-1]
     prev = _read_manifest(path, latest)
+    return latest, prev, _txns_of(path, snaps, prev)
+
+
+def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Replace the table contents in one snapshot (old files stay on disk
+    for time travel until a vacuum, exactly like Delta/Iceberg)."""
+    latest, prev, txns = _pin_latest(path)
     partition_by = prev["partition_by"] or None
     files = _write_data_files(df, path, partition_by)
     _commit(
-        path, latest + 1, _manifest("overwrite", files, df.schema.json(), partition_by)
+        path,
+        latest + 1,
+        _manifest("overwrite", files, df.schema.json(), partition_by, {"txns": txns}),
     )
     return latest + 1
 
@@ -282,11 +382,14 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
 def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
     """Copy-on-write DELETE: keep rows NOT matching ``predicate_sql``,
     committed as a new snapshot; prior snapshots still see the rows.
-    HONEST LIMIT: rewrites the whole table (module docstring)."""
-    kept = read(spark, path).filter(f"NOT ({predicate_sql})")
-    snaps = _list_snapshots(path)
-    latest = snaps[-1]
-    prev = _read_manifest(path, latest)
+    HONEST LIMIT: rewrites the whole table (module docstring).
+
+    The rewrite source is pinned to the SAME snapshot the commit id is
+    derived from (_pin_latest), so a concurrent append between our read
+    and our commit surfaces as CommitConflict — never a silent clobber
+    of its rows."""
+    latest, prev, txns = _pin_latest(path)
+    kept = read(spark, path, snapshot=latest).filter(f"NOT ({predicate_sql})")
     partition_by = prev["partition_by"] or None
     files = _write_data_files(kept, path, partition_by)
     _commit(
@@ -297,7 +400,7 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
             files,
             prev["schema"],
             partition_by,
-            {"predicate": predicate_sql},
+            {"predicate": predicate_sql, "txns": txns},
         ),
     )
     return latest + 1
@@ -318,21 +421,23 @@ def merge(
     Copy-on-write at table granularity like delete_where (HONEST LIMIT
     — real formats rewrite only files containing matches): survivors =
     target anti-join source on the keys, then union the full source;
-    one shuffle join on the keys, committed as one atomic snapshot."""
-    target = read(spark, path)
+    one shuffle join on the keys, committed as one atomic snapshot.
+    Source rows and commit id derive from one pinned snapshot
+    (_pin_latest) so concurrent appends conflict instead of vanishing."""
+    latest, prev, txns = _pin_latest(path)
+    target = read(spark, path, snapshot=latest)
     survivors = target.join(source.select(*on).distinct(), on, "left_anti")
     merged = survivors.select(*target.columns).unionByName(
         source.select(*target.columns)
     )
-    snaps = _list_snapshots(path)
-    latest = snaps[-1]
-    prev = _read_manifest(path, latest)
     partition_by = prev["partition_by"] or None
     files = _write_data_files(merged, path, partition_by)
     _commit(
         path,
         latest + 1,
-        _manifest("merge", files, prev["schema"], partition_by, {"merge_on": on}),
+        _manifest(
+            "merge", files, prev["schema"], partition_by, {"merge_on": on, "txns": txns}
+        ),
     )
     return latest + 1
 
@@ -344,11 +449,12 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     Old files stay until vacuum — readers of prior snapshots are
     untouched. The small-files problem is the tax every log-structured
     streaming sink pays; periodic compaction is its standard repayment
-    (Delta OPTIMIZE / Iceberg rewrite_data_files)."""
-    current = read(spark, path)
-    snaps = _list_snapshots(path)
-    latest = snaps[-1]
-    prev = _read_manifest(path, latest)
+    (Delta OPTIMIZE / Iceberg rewrite_data_files). The 'identical rows'
+    guarantee requires the rewrite source and the commit id to come
+    from one pinned snapshot (_pin_latest); a concurrent append
+    conflicts rather than losing its rows."""
+    latest, prev, txns = _pin_latest(path)
+    current = read(spark, path, snapshot=latest)
     partition_by = prev["partition_by"] or None
     files = _write_data_files(current.coalesce(target_files), path, partition_by)
     _commit(
@@ -359,7 +465,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
             files,
             prev["schema"],
             partition_by,
-            {"compacted_from": len(prev["files"])},
+            {"compacted_from": len(prev["files"]), "txns": txns},
         ),
     )
     return latest + 1
@@ -370,7 +476,7 @@ def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
     roll-forward RESTORE of Delta/Iceberg — history is never rewritten,
     so audits and time travel across the rollback keep working)."""
     target = _read_manifest(path, snapshot)  # raises if absent
-    latest = _list_snapshots(path)[-1]
+    latest, _prev, txns = _pin_latest(path)
     _commit(
         path,
         latest + 1,
@@ -379,7 +485,7 @@ def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
             target["files"],
             target["schema"],
             target["partition_by"] or None,
-            {"restored_snapshot": snapshot},
+            {"restored_snapshot": snapshot, "txns": txns},
         ),
     )
     return latest + 1
@@ -508,14 +614,22 @@ def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> 
     return spark.createDataFrame(rows, schema)
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    orphan_retention_ms: int = 24 * 3600 * 1000,
+) -> list[str]:
     """Physically delete data files referenced ONLY by snapshots older
     than the last ``keep_last`` (which stop being time-travelable —
     the explicit retention trade every log-structured format has).
     Also sweeps crashed-writer garbage: leftover ``_staging/`` write
-    dirs and orphaned ``_log/.tmp-*.json`` manifests (both invisible to
-    readers, but they accumulate disk). Returns the deleted data-file
-    paths (relative)."""
+    dirs and orphaned ``_log/.tmp-*.json`` manifests — but only ones
+    whose mtime is older than ``orphan_retention_ms`` (Delta's vacuum
+    retention rule): an IN-FLIGHT writer's staging dir or tmp manifest
+    is indistinguishable from a crashed one except by age, so sweeping
+    young ones would corrupt a live write. Returns the deleted
+    data-file paths (relative)."""
     snaps = _list_snapshots(path)
     keep = snaps[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
@@ -532,9 +646,25 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> list[str]:
     for s in snaps:
         if s not in keep:
             os.unlink(_manifest_path(path, s))
-    shutil.rmtree(os.path.join(path, "_staging"), ignore_errors=True)
+    cutoff = time.time() - orphan_retention_ms / 1000.0
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            dp = os.path.join(staging_root, d)
+            try:
+                if os.stat(dp).st_mtime < cutoff:
+                    shutil.rmtree(dp, ignore_errors=True)
+            except FileNotFoundError:
+                pass  # writer finished (moved its files) mid-scan
+        if not os.listdir(staging_root):
+            shutil.rmtree(staging_root, ignore_errors=True)
     log_d = _log_dir(path)
     for f in os.listdir(log_d):
         if f.startswith(".tmp-"):
-            os.unlink(os.path.join(log_d, f))
+            fp = os.path.join(log_d, f)
+            try:
+                if os.stat(fp).st_mtime < cutoff:
+                    os.unlink(fp)
+            except FileNotFoundError:
+                pass  # the committing writer unlinked it mid-scan
     return sorted(dead)

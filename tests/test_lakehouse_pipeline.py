@@ -1,5 +1,6 @@
 """End-to-end lakehouse pipeline: the reference demo's core flow
-(stream → Iceberg table → query it; lakehouse_part2_streaming.py:163-188)
+(stream → Iceberg table → query it; reference code/pyspark-job.py:205-216
+foreachBatch table write, lakehouse_part2_spark_processing.py catalog setup)
 re-expressed Spark-native over this repo's pieces:
 
     file-source stream → watermarked OHLC rollup (streaming/rollups.py)

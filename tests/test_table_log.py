@@ -1,7 +1,8 @@
 """Snapshot-versioned parquet table log (sources/table_log.py): the
 native fallback for the Iceberg contracts the reference demo relies on
-(snapshot isolation, time travel — lakehouse_part1:346-409, part2:163-188)
-in an environment without the Iceberg runtime jar."""
+(snapshot isolation, time travel — lakehouse_part1_load_data.py:235-240
+and :505-508 create/write Iceberg tables; code/pyspark-job.py:205-216
+streams into tables) in an environment without the Iceberg runtime jar."""
 
 from __future__ import annotations
 
@@ -360,3 +361,148 @@ def test_vacuum_expires_old_snapshots(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 3
     with pytest.raises(FileNotFoundError):
         tl._read_manifest(path, 0)
+
+
+def test_rewrite_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch):
+    """Lost-update race (r6 advice): an append that commits AFTER a
+    rewrite op (delete_where/merge/compact) pinned its base snapshot
+    must surface as CommitConflict for the rewriter — never a silent
+    clobber of the appended rows."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    real = tl._write_data_files
+    raced = {"done": False}
+
+    def racing_write(df, p, partition_by):
+        files = real(df, p, partition_by)
+        if not raced["done"]:
+            raced["done"] = True  # append below re-enters this hook; fire once
+            tl.append(spark, path, base.withColumn("tag", F.lit("concurrent")))
+        return files
+
+    monkeypatch.setattr(tl, "_write_data_files", racing_write)
+    with pytest.raises(tl.CommitConflict):
+        tl.delete_where(spark, path, "id < 5")
+    # the concurrent append's rows survived intact
+    assert tl.read(spark, path).count() == 20
+    assert tl.history(path)[-1]["operation"] == "append"
+
+
+def test_compact_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    real = tl._write_data_files
+    raced = {"done": False}
+
+    def racing_write(df, p, partition_by):
+        files = real(df, p, partition_by)
+        if not raced["done"]:
+            raced["done"] = True
+            tl.append(spark, path, base)
+        return files
+
+    monkeypatch.setattr(tl, "_write_data_files", racing_write)
+    with pytest.raises(tl.CommitConflict):
+        tl.compact(spark, path)
+    assert tl.read(spark, path).count() == 20
+
+
+def test_txn_idempotency_survives_compact_and_is_o1(spark, base, tmp_path):
+    """The high-water txn map is carried forward by every operation
+    (Delta setTransaction pattern), so (a) a replayed batch after a
+    compact is still skipped and (b) the check reads only the LATEST
+    manifest — O(1) driver I/O per append, not O(snapshots)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    tl.append(spark, path, base, txn=("writer", 0))
+    tl.append(spark, path, base, txn=("writer", 1))
+    tl.compact(spark, path)
+    n_before = tl.read(spark, path).count()
+    # replays of both already-committed batches: skipped, no new snapshot
+    latest = tl.append(spark, path, base, txn=("writer", 0))
+    assert tl.append(spark, path, base, txn=("writer", 1)) == latest
+    assert tl.read(spark, path).count() == n_before
+    # O(1): the skip decision must not read any manifest but the latest
+    reads: list[int] = []
+    real_read = tl._read_manifest
+
+    def counting_read(p, s):
+        reads.append(s)
+        return real_read(p, s)
+
+    snaps = tl._list_snapshots(path)
+    try:
+        tl._read_manifest = counting_read
+        tl.append(spark, path, base, txn=("writer", 1))
+    finally:
+        tl._read_manifest = real_read
+    assert set(reads) == {snaps[-1]}
+
+
+def test_schema_union_keeps_dropped_columns(spark, base, tmp_path):
+    """Committed schema is the true UNION (r6 advice): an append whose
+    df lacks an earlier column but adds a new one must keep BOTH in the
+    recorded schema, and the empty-table read path must agree."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)  # cols: id, bucket, tag
+    narrower = spark.range(5).select(F.col("id"), F.lit(1.5).alias("score"))
+    tl.append(spark, path, narrower)
+    m = tl._read_manifest(path, tl._list_snapshots(path)[-1])
+    names = [f["name"] for f in _json.loads(m["schema"])["fields"]]
+    assert set(names) == {"id", "bucket", "tag", "score"}
+    cur = tl.read(spark, path)
+    assert set(cur.columns) == {"id", "bucket", "tag", "score"}
+    assert cur.filter(F.col("score").isNotNull()).count() == 5
+
+
+def test_vacuum_age_gates_inflight_writer_garbage(spark, base, tmp_path):
+    """vacuum must NOT sweep a young _staging dir or tmp manifest (it
+    could belong to an in-flight writer); only ones older than the
+    retention window are crashed-writer garbage (r6 advice)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    staging = os.path.join(path, "_staging", "inflight")
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()
+    tmp_manifest = os.path.join(tl._log_dir(path), ".tmp-inflight.json")
+    open(tmp_manifest, "w").close()
+    tl.vacuum(spark, path, keep_last=1)  # default 24h retention
+    assert os.path.isdir(staging) and os.path.exists(tmp_manifest)
+    # age them past the window → swept
+    old = time.time() - 100
+    os.utime(staging, (old, old))
+    os.utime(tmp_manifest, (old, old))
+    tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=50_000)
+    assert not os.path.exists(staging) and not os.path.exists(tmp_manifest)
+
+
+def test_conditional_put_commit_protocol(spark, base, tmp_path, monkeypatch):
+    """The commit seam (CommitProtocol): the whole log runs unchanged on
+    an object-store-style conditional PUT, and a lost PUT race raises
+    CommitConflict (failure injection proving the conflict path)."""
+    calls = {"n": 0}
+
+    def put_if_absent(final_path, payload):
+        calls["n"] += 1
+        try:
+            with open(final_path, "x") as f:  # exclusive-create = If-None-Match: *
+                f.write(payload)
+            return True
+        except FileExistsError:
+            return False
+
+    monkeypatch.setattr(tl, "DEFAULT_COMMIT_PROTOCOL", tl.ConditionalPutCommit(put_if_absent))
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    tl.append(spark, path, base)
+    assert tl.read(spark, path).count() == 20
+    assert calls["n"] >= 2
+
+    # inject a store whose PUT always loses the race
+    monkeypatch.setattr(
+        tl, "DEFAULT_COMMIT_PROTOCOL", tl.ConditionalPutCommit(lambda p, b: False)
+    )
+    with pytest.raises(tl.CommitConflict):
+        tl.overwrite(spark, path, base)
