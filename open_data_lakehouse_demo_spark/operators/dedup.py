@@ -439,6 +439,78 @@ def bloom_contains(words: Column, dig: Column) -> Column:
     return out
 
 
+def token_hash_local(s: str) -> int:
+    """Driver-side twin of token_hash — bit-identical by construction
+    (md5 of the UTF-8 bytes, first 8 hex chars as an integer)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def bloom_sketch_local(members: list[str]) -> list[int]:
+    """Driver-side twin of bloom_sketch for a CONSTANT-SIZE member set
+    (the decontamination eval suite): returns the DENSE word list
+    (BLOOM_WORDS 62-bit ints, index = word id) instead of the 1-row map
+    relation, so a probe can embed the whole bitmap as an array LITERAL
+    — zero broadcast/crossJoin rounds in the corpus pass. Bit-identical
+    to the SQL arithmetic in bloom_sketch/_bloom_bit (same md5 slices,
+    same modulus), which the DuckDB oracle also replicates.
+
+    Driver materialization bound: len(members) is the eval-suite
+    shingle count (~240 here, capped by construction) and the output is
+    always exactly BLOOM_WORDS ints — the same constant-size-codebook
+    class as the PQ/IVF literals (quantization.py)."""
+    import hashlib
+
+    words = [0] * BLOOM_WORDS
+    for s in members:
+        dig = hashlib.md5(b"bloom:" + s.encode("utf-8")).hexdigest()
+        for j in range(BLOOM_K):
+            bit = int(dig[8 * j : 8 * j + 8], 16) % BLOOM_M
+            words[bit // BLOOM_BITS_PER_WORD] |= 1 << (bit % BLOOM_BITS_PER_WORD)
+    return words
+
+
+def bloom_contains_dense(words: Column, dig: Column) -> Column:
+    """bloom_contains against a DENSE literal word array (from
+    bloom_sketch_local; element index = word id, 1-based element_at)
+    instead of the word→bits map — same K-conjunct codegen shape."""
+
+    def bit_set(j: int) -> Column:
+        bit = _bloom_bit(dig, j)
+        word_bits = F.coalesce(
+            F.element_at(words, (F.floor(bit / BLOOM_BITS_PER_WORD) + 1).cast("int")),
+            F.lit(0).cast("bigint"),
+        )
+        mask = _bloom_mask(bit % BLOOM_BITS_PER_WORD)
+        return word_bits.bitwiseAND(mask) != 0
+
+    out = bit_set(0)
+    for j in range(1, BLOOM_K):
+        out = out & bit_set(j)
+    return out
+
+
+def bloom_contains_sql(words: list[int], dig_sql: str = "dig") -> str:
+    """bloom_contains_dense as ONE SQL expression string over a literal
+    word list: the K-conjunct probe builds as text instead of ~50 Py4J
+    column objects — the same plan-construction-cost fix the simhash
+    block expression uses (each Py4J round trip costs more than the
+    whole parse; measured ~0.3s/construction saved on the
+    decontamination probe). shiftleft replaces the pow(2.0, offset)
+    double round-trip of the Column version — bit-identical for
+    offsets 0..61."""
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for j in range(BLOOM_K):
+        bit = f"(cast(conv(substring({dig_sql}, {1 + 8 * j}, 8), 16, 10) as bigint) % {BLOOM_M})"
+        tests.append(
+            f"(coalesce(element_at({arr}, cast({bit} div {BLOOM_BITS_PER_WORD} as int) + 1), 0L)"
+            f" & shiftleft(1L, cast({bit} % {BLOOM_BITS_PER_WORD} as int))) != 0"
+        )
+    return "(" + " AND ".join(tests) + ")"
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct text.
 

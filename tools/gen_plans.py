@@ -389,17 +389,19 @@ CHECKS = [
     ),
     (
         "bloom_decontaminate",
-        ["BroadcastNestedLoopJoin Cross", "Generate",
-         "BroadcastHashJoin LeftOuter", "0x:SortMergeJoin",
-         "3x:Scan parquet"],
-        "ONE corpus pass feeds both arms (r6 fusion): the 1-row Bloom "
-        "bitmap crossJoin-broadcasts onto the corpus scan, every exploded "
-        "shingle carries its once-projected digest AND its exact hash, "
-        "the benchmark hash set broadcasts back as a membership flag "
-        "(BroadcastHashJoin LeftOuter), and the only fact-sized shuffle "
-        "is the flagged-rows groupBy reduce. Exactly 3 scans: the corpus "
-        "ONCE (previously twice) plus the two eval-set-sized benchmark "
-        "scans that build the broadcast sketch and hash set.",
+        ["Generate", "0x:SortMergeJoin", "0x:BroadcastHashJoin",
+         "0x:BroadcastNestedLoopJoin", "1x:Scan parquet", "HashAggregate"],
+        "ONE corpus pass, ZERO joins (r7): the eval suite is "
+        "constant-size by construction, so its Bloom bitmap embeds as a "
+        "124-long array LITERAL and its exact hashes as an InSet — both "
+        "built driver-side from one tiny collect (memoized per session). "
+        "Every exploded shingle pays ONE md5 whose slices feed the K "
+        "bloom conjuncts AND the exact-audit hash; the only fact-sized "
+        "shuffle is the flagged-rows groupBy reduce. Exactly 1 scan: "
+        "the corpus (the r6 shape paid a crossJoin broadcast round, a "
+        "LeftOuter hash-set broadcast, two benchmark scans and a second "
+        "md5 per shingle — 2.17x the DuckDB gate; this shape is the "
+        "how-a-100TB-decontaminator-ships-its-eval-set design).",
     ),
     (
         "scd2_priority_history",
