@@ -35,36 +35,87 @@ def _inventory():
 # themselves, so whichever 50 the driver records is always the set that
 # most needs fresh evidence, with no per-round list editing to forget:
 #
-#   1. _FORCE_FRESH (small, hand-curated per round): queries whose
-#      implementation changed this round — they need re-verification
-#      even if their last row is recent. r6: bpe_merges (at-scale local
-#      learner), ann_recall_eval (shared-arm cache, applicationId key),
-#      sq_int8_topk (bit-parity Arrow kernel, then the collect-free
-#      declarative stats subplan), the k-means pair (one shared
-#      assignment pass — the r5 perf regression's root cause) and
-#      bloom_decontaminate (both arms fused into one corpus scan).
+#   1. CHANGE-DRIVEN freshness (since r7, automatic): queries whose
+#      defining plans module — or any package module it imports —
+#      changed since the last round-boundary commit (_changed_queries,
+#      derived from git). They need re-verification even if their last
+#      row is recent, and deriving them from the diff means a code
+#      change can't ship unverified because someone forgot a list edit
+#      (the r6 verdict's process nit). _FORCE_FRESH remains as a small
+#      manual supplement for changes git can't see (e.g. an oracle
+#      embedded in an unchanged module, or testdata semantics).
 #   2. never-recorded queries (no row in ANY artifact) — newest
 #      registrations surface automatically;
 #   3. everything else by ascending last-recorded round (stalest
 #      first), registration order as the deterministic tiebreak.
 #
 # tools/driver_sim.py --gate independently asserts the resulting
-# 2-round-union coverage before every snapshot.
-_FORCE_FRESH = [
-    "bpe_merges",
-    "ann_recall_eval",
-    "sq_int8_topk",
-    "cosine_topk_ivf_kmeans",
-    "cosine_topk_ivf_kmeans1",
-    "bloom_decontaminate",
+# 2-round-union coverage AND that every diff-affected query is in the
+# next artifact before every snapshot.
+_FORCE_FRESH: list[str] = [
+    "bloom_decontaminate",  # r7: oracle's exact-audit hash changed too
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _staleness_order(names: list[str]) -> list[str]:
-    """names sorted stalest-first by the correctness artifacts on disk
-    (registration order when none exist — e.g. a fresh checkout)."""
+def _changed_queries(inv) -> list[str]:
+    """Inventory queries affected by the diff since the last round
+    boundary (the driver's 'round N: ...' commit): a query is affected
+    when its defining module, or any package module visible in that
+    module's globals, changed. Best-effort — any git failure returns
+    empty and the staleness rotation alone governs."""
+    import subprocess
+    import sys
+    import types
+
+    def _git(*args: str) -> str:
+        try:
+            return subprocess.run(
+                ["git", *args], cwd=_REPO, capture_output=True, text=True, timeout=30
+            ).stdout
+        except Exception:
+            return ""
+
+    base = _git("log", "--grep", r"^round [0-9]\+:", "-n", "1", "--format=%H").strip()
+    if not base:
+        return []
+    paths = set(_git("diff", "--name-only", f"{base}..HEAD").splitlines())
+    paths |= {ln[3:] for ln in _git("status", "--porcelain").splitlines() if len(ln) > 3}
+    changed = {
+        p.strip()[:-3].replace("/", ".")
+        for p in paths
+        if p.strip().startswith("open_data_lakehouse_demo_spark/")
+        and p.strip().endswith(".py")
+    }
+    if not changed:
+        return []
+    affected = []
+    for name, q in inv.items():
+        mod = sys.modules.get(q.spark.__module__)
+        deps = {q.spark.__module__}
+        if mod is not None:
+            for v in vars(mod).values():
+                if isinstance(v, types.ModuleType):
+                    deps.add(v.__name__)
+                else:
+                    m = getattr(v, "__module__", None)
+                    if isinstance(m, str):
+                        deps.add(m)
+        if deps & changed:
+            affected.append(name)
+    return affected
+
+
+def _staleness_order(names: list[str], forced_extra: list[str] = ()) -> list[str]:
+    """names sorted by recording priority. Primary key: last-recorded
+    round ascending (stalest first) — this is the HARD driver contract,
+    every query must appear in the union of two consecutive artifacts,
+    so the queries the previous artifact did NOT record must occupy the
+    next one's slots before anything else. Secondary key: diff-affected
+    (forced_extra + _FORCE_FRESH) before untouched, so changed queries
+    win the remaining slots within each staleness bucket. Tiebreak:
+    registration order (deterministic)."""
     last_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -78,17 +129,19 @@ def _staleness_order(names: list[str]) -> list[str]:
         for name in rows:
             last_seen[name] = max(last_seen.get(name, -1), rnd)
     pos = {n: i for i, n in enumerate(names)}
-    forced = [n for n in _FORCE_FRESH if n in pos]
-    rest = sorted(
-        (n for n in names if n not in set(forced)),
-        key=lambda n: (last_seen.get(n, -1), pos[n]),
+    hand = {n for n in _FORCE_FRESH if n in pos}
+    forced_set = hand | {n for n in forced_extra if n in pos}
+    # hand-curated entries (definitely-changed semantics) outrank the
+    # derived module-dependency over-approximation within a bucket
+    return sorted(
+        names,
+        key=lambda n: (last_seen.get(n, -1), n not in hand, n not in forced_set, pos[n]),
     )
-    return forced + rest
 
 
 def _ordered():
     inv = _inventory()
-    return {n: inv[n] for n in _staleness_order(list(inv))}
+    return {n: inv[n] for n in _staleness_order(list(inv), _changed_queries(inv))}
 
 
 def entry(spark: SparkSession) -> DataFrame:

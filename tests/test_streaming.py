@@ -349,7 +349,14 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas requires google.protobuf (not in image)",
+    reason=(
+        "PERMANENT environment gate (decided r7): transformWithStateInPandas "
+        "requires google.protobuf for the state-v2 python<->JVM state-server "
+        "wire protocol; the package is not in this image and installs are "
+        "out of policy, so this runs only where protobuf exists. The same "
+        "semantics are covered unconditionally by the agg and "
+        "applyInPandasWithState T3 variants above."
+    ),
 )
 def test_tws_variant_matches_agg_semantics(spark, dirs, tmp_path):
     """transformWithStateInPandas branch (Spark 4 state-v2 API): same final

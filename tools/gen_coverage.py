@@ -34,7 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
-    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends + exactly-once foreachBatch streaming sink — the Iceberg contracts (reference part1:346-409, part2:163-188) without the runtime jar", "tests/test_table_log.py"),
+    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends + exactly-once foreachBatch streaming sink — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
@@ -43,7 +43,7 @@ STATIC = {
     "P2": ("withColumn/Renamed/drop — pervasive", "all queries"),
     "T1": ("streaming/job.py withWatermark", "tests/test_streaming.py"),
     "T2": ("streaming/job.py alerts_stream", "tests/test_streaming.py + capacity_alerts_batch"),
-    "T3": ("streaming/job.py latest_state_agg + latest_state_stateful + latest_state_tws (state-v2, protobuf-gated)", "tests/test_streaming.py + latest_bus_state_batch"),
+    "T3": ("streaming/job.py latest_state_agg + latest_state_stateful + latest_state_tws (state-v2; PERMANENT env gate: google.protobuf absent from image + do-not-install policy, decided r7)", "tests/test_streaming.py + latest_bus_state_batch"),
     "T4": ("streaming/job.py run_pipeline overwrite sink", "tests/test_streaming.py"),
     "T5": ("streaming/job.py run_pipeline dual queries", "tests/test_streaming.py"),
     "T6": ("streaming/replay.py", "tests/test_streaming.py, test_integration.py"),
