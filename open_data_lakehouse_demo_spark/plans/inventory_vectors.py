@@ -157,17 +157,95 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD)
 
 
+def _ivf_kmeans_oracle(n_rounds: int) -> str:
+    """FIXED-count Lloyd refinement unrolls into plain SQL: each round is
+    the same assignment (fold-cosine argmax, centroid-id tiebreak) +
+    per-element AVG re-centering CAST to REAL + empty-cluster carry
+    (COALESCE), chained ``n_rounds`` times, then the standard IVF search
+    against the final codebook. This is what promoted the 3-round
+    trained-IVF query from rows-only to hash-checked in r7 — 'iterative'
+    only rules out SQL when the round count is data-dependent. Shares
+    kmeans1's f32-boundary flake analysis (per-round f32 casts absorb
+    the engines' f64 summation-association differences except ~2^-29
+    boundary landings, now ~n_rounds times the exposure)."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = "c0" if r == 1 else f"cents{r - 1}"
+        rounds.append(f"""
+scored{r} AS (
+  SELECT b.vid, b.vec, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN {prev} c
+),
+assign{r} AS (
+  SELECT centroid_id, vid, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored{r}
+  ) WHERE rn = 1
+),
+means{r} AS (
+  SELECT centroid_id, i, CAST(AVG(CAST(vec[i] AS DOUBLE)) AS REAL) AS m
+  FROM assign{r} CROSS JOIN range(1, {sim.DIM + 1}) t(i)
+  GROUP BY centroid_id, i
+),
+newvecs{r} AS (
+  SELECT centroid_id, list(m ORDER BY i) AS nvec FROM means{r} GROUP BY centroid_id
+),
+cents{r} AS (
+  SELECT c.centroid_id,
+         COALESCE(n.nvec, c.cvec) AS cvec,
+         sqrt({_dot('COALESCE(n.nvec, c.cvec)', 'COALESCE(n.nvec, c.cvec)')}) AS cnrm
+  FROM {prev} c LEFT JOIN newvecs{r} n USING (centroid_id)
+)""".strip())
+    final = f"cents{n_rounds}"
+    return f"""
+WITH {_BASE_SQL},
+c0 AS (SELECT vid AS centroid_id, vec AS cvec, nrm AS cnrm FROM base ORDER BY vid LIMIT 16),
+{",".join(rounds)},
+fscored AS (
+  SELECT b.vid, b.vec, b.nrm, c.centroid_id,
+         {_dot('b.vec', 'c.cvec')} / (b.nrm * c.cnrm) AS ccos
+  FROM base b CROSS JOIN {final} c
+),
+fassign AS (
+  SELECT centroid_id, vid, vec, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM fscored
+  ) WHERE rn = 1
+),
+passign AS (
+  SELECT centroid_id, vid AS query_id, vec AS qvec, nrm AS qnrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+    FROM fscored WHERE vid % {_PROBE_MOD} = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         MAX({_dot('p.qvec', 'a.vec')} / (p.qnrm * a.nrm)) AS cosine
+  FROM passign p JOIN fassign a USING (centroid_id)
+  WHERE a.vid <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {_K}
+"""
+
+
 @query(
     "cosine_topk_ivf_kmeans",
     ("V2",),
+    oracle=_ivf_kmeans_oracle(3),
     tags=("similarity",),
 )
 def cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat top-5 with a TRAINED codebook: 3 rounds of distributed
     Lloyd's k-means (operators/similarity.py kmeans_codebook) replace the
     sampled lowest-id quantizer — the production IVF training step.
-    Iterative centroid refinement isn't single-SQL-expressible → rows-only
-    driver check; centroid math is numpy-cross-checked in
+    Hash-checked since r7: a FIXED round count unrolls into plain SQL
+    (_ivf_kmeans_oracle), so the full 3-round refinement gets the DuckDB
+    differential too; centroid math additionally numpy-cross-checked in
     tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(

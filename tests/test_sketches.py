@@ -30,8 +30,11 @@ def test_approx_quantiles_close_to_exact(spark):
 
 
 def test_hll_close_to_exact_distinct(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    """The query now EMITS its accuracy contract (hll_within_3rsd — the
+    r7 oracle-ized form); cross-check the exact column and the flag
+    against an independent exact aggregate."""
+    rows = {
+        r["event_type"]: r
         for r in QUERIES["distinct_users_hll"].spark(spark, SF_DIR).collect()
     }
     events = read_parquet(spark, f"{SF_DIR}/events.parquet")
@@ -39,9 +42,10 @@ def test_hll_close_to_exact_distinct(spark):
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    assert approx.keys() == exact.keys()
+    assert rows.keys() == exact.keys()
     for k in exact:
-        assert abs(approx[k] - exact[k]) <= max(2, 0.06 * exact[k])  # rsd=2%, 3σ
+        assert rows[k]["exact_users"] == exact[k]
+        assert rows[k]["hll_within_3rsd"] is True
 
 
 def test_stream_static_enriched_alerts(spark, tmp_path):
