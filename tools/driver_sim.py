@@ -118,6 +118,24 @@ def run_gate() -> int:
                       f"load-noise (see BENCH_QUERIES.json noisy_rule): {noisy}")
         except Exception:
             pass
+    # Advisory: the sf0.1 heavy-query oracle sweep (tools/oracle_sf01.py)
+    # — scale-dependent bug classes are invisible at the sf0.01 gate.
+    o1 = os.path.join(_REPO, "ORACLE_SF01.json")
+    if os.path.exists(o1):
+        try:
+            d = json.load(open(o1))
+            bad = sorted(n for n, r in d.get("queries", {}).items()
+                         if not r.get("hash_match"))
+            if bad:
+                print(f"GATE NOTE: sf0.1 oracle sweep has FAILING rows "
+                      f"(rerun tools/oracle_sf01.py after fixing): {bad}")
+            else:
+                print(f"GATE OK: sf0.1 heavy-query oracle sweep green "
+                      f"({len(d.get('queries', {}))} rows)")
+        except Exception:
+            pass
+    else:
+        print("GATE NOTE: no ORACLE_SF01.json — run tools/oracle_sf01.py")
     print("running pytest tests/ -q ...", flush=True)
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
