@@ -203,6 +203,93 @@ Notes on reading specific rows:
   the IVF+PQ composition (ivf_pq_topk, ~1× here: nprobe/n_centroids
   pruning holds the per-probe scored set flat).""")
 
+    audit_candidate_ratio(spark)
+
+
+def _docs_blowup(spark, copies: int) -> str:
+    """documents-only blow-up at ``copies``× (the candidate audit touches
+    no other table); built once under /tmp."""
+    from pyspark.sql import functions as F
+
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    dst = f"/tmp/spark-graft-scale{copies}-docs"
+    out = f"{dst}/documents.parquet"
+    if not os.path.exists(out):
+        os.makedirs(dst, exist_ok=True)
+        df = read_parquet(spark, f"{SRC}/documents.parquet")
+        span = 10 ** 9
+        u = df
+        for i in range(1, copies):
+            u = u.unionByName(df.withColumn("doc_id", F.col("doc_id") + i * span))
+        u.write.mode("overwrite").parquet(out + ".dir")
+        os.rename(out + ".dir", out)
+    return dst
+
+
+def audit_candidate_ratio(spark) -> None:
+    """Measure (not argue) that the near-10x SCALING rows are OUTPUT
+    growth: for the two banded-candidate dedups, count the band-collision
+    CANDIDATE pairs and the EMITTED (verified) pairs at 1x/10x/30x — a
+    flat candidate:output ratio across three decades is the direct
+    evidence the candidate join is output-sized by construction (r6
+    verdict follow-up #6); a rising ratio would mean band collisions are
+    outpacing true duplicates (the quadratic failure mode banding
+    exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES, t
+
+    def counts(name: str, sf_dir: str) -> tuple[int, int]:
+        docs = t(spark, sf_dir, "documents")
+        if name == "minhash_lsh_dups":
+            sets = dedup._doc_shingle_sets(docs, "doc_id", "text", 3)
+            bands = dedup._minhash_bands(sets)
+            cands = (
+                bands.alias("x")
+                .join(bands.alias("y"), ["band_id", "band_key"])
+                .filter(F.col("x.doc") < F.col("y.doc"))
+                .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+                .distinct()
+            )
+        else:  # incremental_near_dups: batch bands vs (batch ∪ index)
+            new = docs.filter(F.col("doc_id") % 10 == 0)
+            old = docs.filter(F.col("doc_id") % 10 != 0)
+            bn = dedup._minhash_bands(dedup._doc_shingle_sets(new, "doc_id", "text", 3))
+            ba = dedup._minhash_bands(
+                dedup._doc_shingle_sets(old, "doc_id", "text", 3)
+            ).unionByName(bn)
+            cands = (
+                bn.alias("x")
+                .join(ba.alias("y"), ["band_id", "band_key"])
+                .filter(F.col("x.doc") != F.col("y.doc"))
+                .select(
+                    F.least("x.doc", "y.doc").alias("a"),
+                    F.greatest("x.doc", "y.doc").alias("b"),
+                )
+                .distinct()
+            )
+        return cands.count(), QUERIES[name].spark(spark, sf_dir).count()
+
+    # docs-only blow-ups: self-contained (the audit can run standalone
+    # via `python -c "...audit_candidate_ratio(spark)"` without the full
+    # SLICE build)
+    dirs = [
+        ("1x", SRC),
+        (f"{COPIES}x", _docs_blowup(spark, COPIES)),
+        ("30x", _docs_blowup(spark, 30)),
+    ]
+    print("\n## Candidate:output audit (banded dedups, 3 decades)\n")
+    print("Band-collision candidates vs emitted verified pairs — flat ratio")
+    print("= the candidate set tracks TRUE output, not corpus^2:\n")
+    print("| query | scale | candidates | emitted | cand:out |")
+    print("|---|---|---|---|---|")
+    for name in ("minhash_lsh_dups", "incremental_near_dups"):
+        for label, d in dirs:
+            c, o = counts(name, d)
+            print(f"| {name} | {label} | {c} | {o} | {c / max(o, 1):.2f} |")
+
 
 if __name__ == "__main__":
     main()
