@@ -51,11 +51,17 @@ Scale notes (the honest 100 TB picture):
     that, out of scope here;
   * reads pin the snapshot's exact file list and hand it to the normal
     parquet reader with ``basePath`` set, so column pruning, predicate
-    pushdown and hive-style partition pruning all still apply;
-  * ``delete_where`` is copy-on-write at TABLE granularity (filter +
-    rewrite + commit). Real formats rewrite only affected files /
-    write delete vectors; documented HONEST LIMIT, the snapshot
-    semantics are identical.
+    pushdown and hive-style partition pruning all still apply; since r7
+    manifests also carry per-file column bounds (parquet footer min/max
+    + partition values — Iceberg's lower/upper_bounds) consumed by
+    ``plan_scan``/``read_where`` for driver-side FILE pruning before
+    the engine sees a split;
+  * DELETE is copy-on-write: ``delete_rows`` (conjunctions of simple
+    comparisons) rewrites ONLY the files whose bounds may match —
+    untouched files carry into the new snapshot by reference, the way
+    Iceberg COW plans its rewrite set; ``delete_where`` (arbitrary SQL
+    predicates) remains table-granular — real formats additionally
+    offer merge-on-read delete vectors, out of scope here.
 """
 
 from __future__ import annotations
@@ -99,6 +105,52 @@ def _read_manifest(path: str, snapshot: int) -> dict:
         return json.load(f)
 
 
+def _file_column_stats(abs_path: str) -> dict:
+    """Per-column (min, max, null_count) from the parquet FOOTER — O(1)
+    per file, no column data read. Only flat primitive columns with
+    JSON-portable values (int/float/str/bool) are recorded; anything
+    else is simply absent, which pruning treats as 'may match'. This is
+    the commit-time stats collection every log-structured format does
+    (Iceberg manifests carry lower_bounds/upper_bounds per data file)."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return {}
+    agg: dict[str, list] = {}
+    poisoned: set[str] = set()  # any row group without usable stats ⇒ column unusable
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in poisoned:  # nested leaf / already unusable
+                continue
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        lo = None
+            if lo is None or not isinstance(lo, (int, float, str, bool)):
+                poisoned.add(name)
+                agg.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            if name in agg:
+                cur = agg[name]
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+                cur[2] = (cur[2] + nulls) if (cur[2] is not None and nulls is not None) else None
+            else:
+                agg[name] = [lo, hi, nulls]
+    return agg
+
+
 def _write_data_files(df: DataFrame, path: str, partition_by: list[str] | None) -> list[str]:
     """Write df as new immutable parquet files under data/ and return
     their paths (relative to the table root).
@@ -131,6 +183,34 @@ def _write_data_files(df: DataFrame, path: str, partition_by: list[str] | None) 
             rel_files.append(os.path.relpath(final, path))
     shutil.rmtree(os.path.join(path, "_staging", token), ignore_errors=True)
     return sorted(rel_files)
+
+
+def _coerce_partition_value(v: str):
+    """Hive path segments are strings; coerce numerics so partition
+    'stats' compare correctly against typed predicate values."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
+def _collect_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
+    """rel file → column stats ({col: [min, max, null_count]}) for the
+    manifest: parquet footer min/max per flat primitive column, plus the
+    hive partition values as exact-equality [v, v] stats so partition
+    pruning rides the same code path as data-column pruning."""
+    out: dict[str, dict] = {}
+    for f in rel_files:
+        stats = _file_column_stats(os.path.join(path, f))
+        for seg in f.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pv = _coerce_partition_value(v)
+                stats[k] = [pv, pv, 0]
+        out[f] = stats
+    return out
 
 
 class CommitProtocol:
@@ -209,6 +289,7 @@ def _manifest(
     schema_json: str,
     partition_by: list[str] | None,
     extra: dict | None = None,
+    file_stats: dict | None = None,
 ) -> dict:
     m = {
         "operation": operation,
@@ -216,6 +297,10 @@ def _manifest(
         "files": files,
         "schema": schema_json,
         "partition_by": partition_by or [],
+        # per-file column min/max/null_count (Iceberg's
+        # lower_bounds/upper_bounds): the scan-planning input for
+        # plan_scan/read(where=...)/delete_rows file pruning
+        "file_stats": file_stats or {},
     }
     if extra:
         m.update(extra)
@@ -232,7 +317,14 @@ def create(
     if _list_snapshots(path):
         raise ValueError(f"table already exists at {path}")
     files = _write_data_files(df, path, partition_by)
-    _commit(path, 0, _manifest("create", files, df.schema.json(), partition_by))
+    _commit(
+        path,
+        0,
+        _manifest(
+            "create", files, df.schema.json(), partition_by,
+            file_stats=_collect_stats(path, files),
+        ),
+    )
     return 0
 
 
@@ -309,7 +401,10 @@ def append(
             _commit(
                 path,
                 latest + 1,
-                _manifest("append", prev["files"] + files, schema_json, partition_by, extra),
+                _manifest(
+                    "append", prev["files"] + files, schema_json, partition_by, extra,
+                    file_stats={**prev.get("file_stats", {}), **_collect_stats(path, files)},
+                ),
             )
             return latest + 1
         except CommitConflict:
@@ -374,7 +469,10 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     _commit(
         path,
         latest + 1,
-        _manifest("overwrite", files, df.schema.json(), partition_by, {"txns": txns}),
+        _manifest(
+            "overwrite", files, df.schema.json(), partition_by, {"txns": txns},
+            file_stats=_collect_stats(path, files),
+        ),
     )
     return latest + 1
 
@@ -401,6 +499,7 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
             prev["schema"],
             partition_by,
             {"predicate": predicate_sql, "txns": txns},
+            file_stats=_collect_stats(path, files),
         ),
     )
     return latest + 1
@@ -436,7 +535,9 @@ def merge(
         path,
         latest + 1,
         _manifest(
-            "merge", files, prev["schema"], partition_by, {"merge_on": on, "txns": txns}
+            "merge", files, prev["schema"], partition_by,
+            {"merge_on": on, "txns": txns},
+            file_stats=_collect_stats(path, files),
         ),
     )
     return latest + 1
@@ -466,6 +567,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
             prev["schema"],
             partition_by,
             {"compacted_from": len(prev["files"]), "txns": txns},
+            file_stats=_collect_stats(path, files),
         ),
     )
     return latest + 1
@@ -486,6 +588,7 @@ def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
             target["schema"],
             target["partition_by"] or None,
             {"restored_snapshot": snapshot, "txns": txns},
+            file_stats=target.get("file_stats", {}),
         ),
     )
     return latest + 1
@@ -528,6 +631,146 @@ def read(
     )
 
 
+# ---------------------------------------------------------------------------
+# Scan planning: manifest-stats file pruning (Iceberg's scan planning)
+# ---------------------------------------------------------------------------
+
+#: predicate form shared by plan_scan / read_where / delete_rows: a
+#: CONJUNCTION of simple comparisons [(column, op, value), ...] with op
+#: in =, <, <=, >, >= — the expression subset every format's scan
+#: planner binds against file bounds (arbitrary SQL still works through
+#: read().filter(...); it just can't prune files driver-side).
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _may_match(stats: dict | None, where: list[tuple]) -> bool:
+    """Can this file contain a row satisfying the conjunction? Missing
+    stats (absent column, unsupported type, legacy manifest) are
+    conservative TRUE — pruning is an optimization, never a filter."""
+    if not stats:
+        return True
+    for col, op, val in where:
+        s = stats.get(col)
+        if not s:
+            continue
+        lo, hi = s[0], s[1]
+        if isinstance(val, str) != isinstance(lo, str):
+            continue  # cross-type compare — don't guess, keep the file
+        if (
+            (op == "=" and not (lo <= val <= hi))
+            or (op == "<" and not (lo < val))
+            or (op == "<=" and not (lo <= val))
+            or (op == ">" and not (hi > val))
+            or (op == ">=" and not (hi >= val))
+        ):
+            return False
+    return True
+
+
+def _where_sql(where: list[tuple]) -> str:
+    parts = []
+    for col, op, val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} (use one of {_OPS})")
+        lit = "'" + val.replace("'", "''") + "'" if isinstance(val, str) else repr(val)
+        parts.append(f"(`{col}` {op} {lit})")
+    return " AND ".join(parts) or "TRUE"
+
+
+def plan_scan(
+    path: str, where: list[tuple], snapshot: int | None = None
+) -> tuple[list[str], list[str]]:
+    """Scan planning: split a snapshot's files into (candidates, skipped)
+    for a conjunction of simple comparisons, using only the manifest's
+    per-file column bounds — zero file opens, the driver-side pruning
+    step Iceberg/Delta run before handing splits to the engine. At
+    100 TB this is the difference between a metadata operation and a
+    full scan when the predicate hits a clustered/partitioned column."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
+    stats_map = m.get("file_stats", {})
+    keep, skip = [], []
+    for f in m["files"]:
+        (keep if _may_match(stats_map.get(f), where) else skip).append(f)
+    return keep, skip
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot read: scans ONLY the plan_scan candidate
+    files, then applies the same predicate row-level (pruning is
+    file-granular; candidates still carry non-matching rows). Equivalent
+    to ``read().filter(...)`` by construction — tests assert it — but
+    skipped files never reach the engine at all, on top of whatever
+    row-group pushdown the parquet reader does inside candidates."""
+    keep, _skip = plan_scan(path, where, snapshot)
+    sql = _where_sql(where)
+    if not keep:
+        m = _read_manifest(path, _list_snapshots(path)[-1] if snapshot is None else snapshot)
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
+    return (
+        spark.read.option("basePath", _data_dir(path))
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in keep])
+        .filter(sql)
+    )
+
+
+def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
+    """FILE-GRANULAR copy-on-write DELETE (closes the r6 'rewrites the
+    whole table' HONEST LIMIT for stats-expressible predicates): files
+    whose manifest bounds prove no row matches are carried into the new
+    snapshot UNCHANGED — same path, no IO — and only the candidate files
+    are filtered and rewritten, exactly how Iceberg's copy-on-write
+    DELETE plans its rewrite set. Falls back to rewriting every file
+    when stats are absent (legacy manifests). Pinned-snapshot source +
+    commit id (_pin_latest), so concurrent appends conflict, never
+    vanish. Returns the new snapshot id (or the current one when the
+    predicate provably matches nothing — a metadata-only no-op)."""
+    latest, prev, txns = _pin_latest(path)
+    stats_map = prev.get("file_stats", {})
+    touched = [f for f in prev["files"] if _may_match(stats_map.get(f), where)]
+    untouched = [f for f in prev["files"] if f not in set(touched)]
+    if not touched:
+        return latest  # nothing can match: no rewrite, no new snapshot
+    partition_by = prev["partition_by"] or None
+    src = (
+        spark.read.option("basePath", _data_dir(path))
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in touched])
+    )
+    kept_rows = src.filter(f"NOT ({_where_sql(where)})")
+    new_files = _write_data_files(kept_rows, path, partition_by)
+    file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
+    file_stats.update(_collect_stats(path, new_files))
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "delete",
+            sorted(untouched + new_files),
+            prev["schema"],
+            partition_by,
+            {
+                "predicate": _where_sql(where),
+                "txns": txns,
+                "rewritten_files": len(touched),
+                "skipped_files": len(untouched),
+            },
+            file_stats=file_stats,
+        ),
+    )
+    return latest + 1
+
+
 def history(path: str) -> list[dict]:
     """Commit history, oldest first: (snapshot, operation, ts_ms,
     n_files + operation extras)."""
@@ -540,7 +783,8 @@ def history(path: str) -> list[dict]:
             "ts_ms": m["ts_ms"],
             "n_files": len(m["files"]),
         }
-        for k in ("predicate", "restored_snapshot", "schema_evolved", "merge_on", "txn_app", "txn_version"):
+        for k in ("predicate", "restored_snapshot", "schema_evolved", "merge_on",
+                  "txn_app", "txn_version", "rewritten_files", "skipped_files"):
             if k in m:
                 entry[k] = m[k]
         out.append(entry)

@@ -506,3 +506,88 @@ def test_conditional_put_commit_protocol(spark, base, tmp_path, monkeypatch):
     )
     with pytest.raises(tl.CommitConflict):
         tl.overwrite(spark, path, base)
+
+
+def test_plan_scan_prunes_by_manifest_stats(spark, tmp_path):
+    """Manifest-stats scan planning: appends with disjoint id ranges give
+    per-file bounds; a point/range predicate must skip the provably
+    non-matching files (driver-side, zero file opens) and read_where
+    must equal the unpruned filter exactly."""
+    path = str(tmp_path / "t")
+
+    def mk(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2).alias("v")
+        )
+
+    tl.create(spark, path, mk(0, 100, "a").coalesce(1))
+    tl.append(spark, path, mk(100, 200, "b").coalesce(1))
+    tl.append(spark, path, mk(200, 300, "c").coalesce(1))
+
+    keep, skip = tl.plan_scan(path, [("id", ">=", 250)])
+    assert len(skip) == 2 and len(keep) == 1
+    got = tl.read_where(spark, path, [("id", ">=", 250)])
+    want = tl.read(spark, path).filter("id >= 250")
+    assert _rows(got) == _rows(want) and got.count() == 50
+
+    # string bounds prune too
+    keep, skip = tl.plan_scan(path, [("tag", "=", "b")])
+    assert len(keep) == 1 and len(skip) == 2
+    assert tl.read_where(spark, path, [("tag", "=", "b")]).count() == 100
+
+    # conjunction that nothing satisfies: all files skipped, empty read
+    keep, skip = tl.plan_scan(path, [("id", ">=", 250), ("id", "<", 100)])
+    assert keep == []
+    empty = tl.read_where(spark, path, [("id", ">=", 250), ("id", "<", 100)])
+    assert empty.count() == 0 and set(empty.columns) == {"id", "tag", "v"}
+
+
+def test_plan_scan_partition_values_prune(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base, partition_by=["bucket"])
+    keep, skip = tl.plan_scan(path, [("bucket", "=", 1)])
+    assert skip, "partition-value stats must prune sibling partitions"
+    assert tl.read_where(spark, path, [("bucket", "=", 1)]).count() == 3
+
+
+def test_delete_rows_rewrites_only_matching_files(spark, tmp_path):
+    """File-granular COW DELETE: files whose bounds exclude the predicate
+    carry into the new snapshot by REFERENCE (same path, no IO); only
+    candidates are rewritten. Snapshot isolation still holds."""
+    path = str(tmp_path / "t")
+    df = lambda lo, hi: spark.range(lo, hi).select(F.col("id"))  # noqa: E731
+    tl.create(spark, path, df(0, 100).coalesce(1))
+    tl.append(spark, path, df(100, 200).coalesce(1))
+    tl.append(spark, path, df(200, 300).coalesce(1))
+    before = tl._read_manifest(path, tl._list_snapshots(path)[-1])
+
+    s = tl.delete_rows(spark, path, [("id", ">=", 120), ("id", "<", 150)])
+    after = tl._read_manifest(path, s)
+    # the two non-overlapping files survive verbatim
+    untouched = set(before["files"]) & set(after["files"])
+    assert len(untouched) == 2
+    assert after["rewritten_files"] == 1 and after["skipped_files"] == 2
+    cur = tl.read(spark, path)
+    assert cur.count() == 270
+    assert cur.filter("id >= 120 AND id < 150").count() == 0
+    # time travel still sees the rows
+    assert tl.read(spark, path, snapshot=s - 1).count() == 300
+    # untouched files kept their stats; new file got fresh stats
+    assert all(f in after["file_stats"] for f in after["files"])
+
+    # provably-no-match predicate: metadata-only no-op, no new snapshot
+    assert tl.delete_rows(spark, path, [("id", ">=", 1000)]) == s
+    assert tl._list_snapshots(path)[-1] == s
+
+
+def test_delete_rows_without_stats_falls_back_to_full_rewrite(spark, base, tmp_path):
+    """Legacy manifests (no file_stats) must still delete correctly —
+    pruning degrades to 'rewrite everything', never to wrong rows."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    # simulate a legacy manifest: strip the stats and republish as snap 1
+    m = tl._read_manifest(path, 0)
+    m.pop("file_stats", None)
+    tl._commit(path, 1, m)
+    s = tl.delete_rows(spark, path, [("id", "<", 3)])
+    assert tl.read(spark, path, snapshot=s).count() == 7
