@@ -573,6 +573,49 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return latest + 1
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 8,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (Delta's clustered compaction / Iceberg's
+    sort-order rewrite): rewrite the current snapshot's rows clustered on
+    the Morton interleave of ``cols`` (sources/layout.py — one range
+    shuffle, pure-codegen key) and commit as a new snapshot with
+    identical rows. The payoff compounds with the manifest bounds: after
+    the rewrite every participating column's per-file min/max is tight,
+    so ``plan_scan``/``read_where``/``delete_rows`` prune files for
+    predicates on ANY clustered column — layout work converts directly
+    into skipped IO at scale. Pinned-snapshot source + commit id, like
+    compact."""
+    from open_data_lakehouse_demo_spark.sources.layout import zorder_key
+
+    latest, prev, txns = _pin_latest(path)
+    current = read(spark, path, snapshot=latest)
+    partition_by = prev["partition_by"] or None
+    keyed = current.withColumn("__z", zorder_key(current, cols))
+    clustered = (
+        keyed.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    files = _write_data_files(clustered, path, partition_by)
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "optimize_zorder",
+            files,
+            prev["schema"],
+            partition_by,
+            {"zorder_by": cols, "txns": txns},
+            file_stats=_collect_stats(path, files),
+        ),
+    )
+    return latest + 1
+
+
 def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
     """Restore an earlier snapshot's file list as a NEW snapshot (the
     roll-forward RESTORE of Delta/Iceberg — history is never rewritten,

@@ -591,3 +591,36 @@ def test_delete_rows_without_stats_falls_back_to_full_rewrite(spark, base, tmp_p
     tl._commit(path, 1, m)
     s = tl.delete_rows(spark, path, [("id", "<", 3)])
     assert tl.read(spark, path, snapshot=s).count() == 7
+
+
+def test_optimize_zorder_improves_scan_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER: same rows, new layout — after the rewrite the
+    manifest bounds are tight on BOTH clustered columns, so plan_scan
+    skips files for predicates on either, where the random layout
+    skipped none."""
+    path = str(tmp_path / "t")
+    # random-ish layout: x and y uncorrelated with file placement
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.hash(F.col("id")) % 1000).alias("x"),
+        (F.hash(F.col("id") + 7) % 1000).alias("y"),
+    )
+    tl.create(spark, path, df.repartition(8))
+    pred_x = [("x", ">=", 400), ("x", "<", 500)]
+    pred_y = [("y", ">=", 400), ("y", "<", 500)]
+    _, skip_x0 = tl.plan_scan(path, pred_x)
+    _, skip_y0 = tl.plan_scan(path, pred_y)
+    assert not skip_x0 and not skip_y0  # every random file spans ~full range
+
+    s = tl.optimize_zorder(spark, path, ["x", "y"], target_files=8)
+    _, skip_x1 = tl.plan_scan(path, pred_x)
+    _, skip_y1 = tl.plan_scan(path, pred_y)
+    assert skip_x1 and skip_y1, "z-order must enable pruning on both dims"
+    # identical rows, and the pruned read agrees with the full filter
+    assert tl.read(spark, path).count() == 4096
+    got = tl.read_where(spark, path, pred_x)
+    want = tl.read(spark, path).filter("x >= 400 AND x < 500")
+    assert _rows(got.select("id")) == _rows(want.select("id"))
+    # pre-optimize snapshot still time-travels
+    assert tl.read(spark, path, snapshot=s - 1).count() == 4096
+    assert tl.history(path)[-1]["operation"] == "optimize_zorder"
