@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.functions import text as tx
 from open_data_lakehouse_demo_spark.operators import dedup
-from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+from open_data_lakehouse_demo_spark.sources.io import spread
 from open_data_lakehouse_demo_spark.plans.inventory import query, t
 from open_data_lakehouse_demo_spark.plans.inventory_docs import (
     _JACCARD_THRESHOLD,

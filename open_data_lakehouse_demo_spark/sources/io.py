@@ -230,12 +230,16 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     state, and this is the documented invalidation hook.
     """
     from open_data_lakehouse_demo_spark.plans.inventory import clear_scan_cache
+    from open_data_lakehouse_demo_spark.plans.inventory_corpus import (
+        clear_bloom_eval_cache,
+    )
     from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
         clear_ann_ranked_cache,
     )
 
     clear_scan_cache()
     clear_ann_ranked_cache()
+    clear_bloom_eval_cache()  # r7: the decontamination eval-set literals
     for name in tables:
         read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
