@@ -591,6 +591,8 @@ def ivf_sq8_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     probe_filter: Column | None = None,
+    index_cache: dict | None = None,
+    index_cache_key=None,
 ) -> DataFrame:
     """IVF + SQ8 composition (V8) — the pruned counterpart of
     ``sq_int8_topk``, exactly as ``ivf_pq_topk`` prunes ``pq_adc_topk``:
@@ -616,9 +618,26 @@ def ivf_sq8_topk(
     """
     from open_data_lakehouse_demo_spark.operators import similarity as sim
 
-    base, assigned, cvids, cmat, mns, scales = _sq8_ivf_lists(
-        df, id_col, vec_col, n_centroids
-    )
+    # Optional session-scoped index reuse (same contract as ivf_topk's
+    # index_cache / build_sq8_ivf_index's persisted form): the encoded +
+    # coarse-assigned lists and the collected codebooks are immutable
+    # for a given corpus — build once, search repeatedly. The assigned
+    # table is materialized when cached so warm searches read blocks
+    # instead of re-running the encode/assign pass.
+    cached = index_cache.get(index_cache_key) if index_cache is not None else None
+    if cached is not None:
+        base, assigned, cvids, cmat, mns, scales = cached
+    else:
+        base, assigned, cvids, cmat, mns, scales = _sq8_ivf_lists(
+            df, id_col, vec_col, n_centroids
+        )
+        if index_cache is not None:
+            from open_data_lakehouse_demo_spark.sources.io import materialize
+
+            assigned = materialize(assigned)
+            if len(index_cache) >= 8:
+                index_cache.clear()
+            index_cache[index_cache_key] = (base, assigned, cvids, cmat, mns, scales)
     lists = _sq_recon(assigned, mns, scales, extra_cols=("centroid_id",))
     probes = base.filter(probe_filter) if probe_filter is not None else base
     probe_side = probes.select(

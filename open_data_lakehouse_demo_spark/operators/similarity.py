@@ -471,6 +471,46 @@ def assign_ids_batch(
 _AUTO = object()  # "derive the adaptive task count from round 1" sentinel
 
 
+#: full-corpus local-training threshold for _kmeans_train: below it the
+#: Lloyd rounds run driver-side over the collected vectors (65536×64 f64
+#: ≈ 33 MB, the faiss-style bounded training set); above it the
+#: distributed mapInPandas rounds run. The cap is also the documented
+#: driver-materialization bound.
+_LOCAL_TRAIN_CAP = 65536
+
+
+def _kmeans_train_local(
+    rows: list, n_centroids: int, n_iterations: int
+) -> tuple[list[int], np.ndarray]:
+    """Driver-local Lloyd over collected (vid, vec) rows — the identical
+    chunked recurrence the distributed partials run (_assign_chunk +
+    2048-row np.add.at accumulation), iterated in SORTED-vid order so
+    the result is deterministic regardless of scan/partition order
+    (strictly stronger than the distributed path's fixed-partitioning
+    determinism). Init = the n_centroids lowest-id vectors; empty
+    clusters keep their previous centroid; means cast to f32 per round
+    — same tolerance class the DuckDB oracle differential accepts."""
+    rows = sorted(rows, key=lambda r: r["vid"])
+    vids = [r["vid"] for r in rows[:n_centroids]]
+    mat = np.array([r["vec"] for r in rows[:n_centroids]], dtype=np.float32)
+    n_c = len(vids)
+    all64 = np.array([r["vec"] for r in rows], dtype=np.float64)
+    for _ in range(n_iterations):
+        cmat = mat.astype(np.float64)
+        cnrm = np.array([_np_norm(mat[i]) for i in range(n_c)], dtype=np.float64)
+        counts = np.zeros(n_c, dtype=np.int64)
+        sums = np.zeros((n_c, all64.shape[1]), dtype=np.float64)
+        for lo in range(0, len(all64), 2048):
+            chunk = all64[lo : lo + 2048]
+            idx = np.argmax(_assign_chunk(chunk, cmat, cnrm), axis=1)
+            counts += np.bincount(idx, minlength=n_c)
+            np.add.at(sums, idx, chunk)
+        for i in range(n_c):
+            if counts[i] > 0:
+                mat[i] = (sums[i] / counts[i]).astype(np.float32)
+    return vids, mat
+
+
 def _kmeans_train(
     base: DataFrame,
     n_centroids: int,
@@ -506,6 +546,24 @@ def _kmeans_train(
     partitioning (the at-scale case) or n_iterations < 2.
     """
     dim = DIM
+    # SMALL-CORPUS FAST PATH: one CollectLimit probe; if the whole corpus
+    # fits the cap, every Lloyd round runs as driver-local numpy (the
+    # same chunked recurrence) — ZERO per-round Spark jobs. At scale the
+    # probe short-circuits after CAP+1 rows (CollectLimit scans
+    # incrementally) and the distributed path below runs unchanged.
+    # This is the faiss-style training discipline: codebooks train on a
+    # bounded sample; here the bound doubles as the local/distributed
+    # switch, and below it the "sample" is exact (the full corpus), so
+    # results stay within the same f32-absorbed tolerance the oracle
+    # differential already accepts. Driver bound: CAP×DIM f64 ≈ 33 MB.
+    # Measured on the trained-IVF query at sf0.1: 3 rounds × ~0.4s of
+    # pure job-floor removed (2.2s → ~1.0s), invisible at real corpus
+    # sizes where the distributed rounds are scans, not floors.
+    probe = base.select("vid", "vec").limit(_LOCAL_TRAIN_CAP + 1).collect()
+    if len(probe) <= _LOCAL_TRAIN_CAP:
+        vids, mat = _kmeans_train_local(probe, n_centroids, n_iterations)
+        return vids, mat, None
+    del probe
     # the n_centroids LOWEST ids (not `vid < n`, which silently yields
     # an empty codebook when the id space doesn't start at 0)
     init = base.orderBy("vid").limit(n_centroids).select("vid", "vec").collect()
@@ -590,6 +648,8 @@ def ivf_topk(
     probe_filter: Column | None = None,
     codebook: DataFrame | None = None,
     train_iterations: int = 0,
+    index_cache: dict | None = None,
+    index_cache_key=None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: coarse-quantize, search nprobe lists.
 
@@ -625,15 +685,29 @@ def ivf_topk(
         # scale spill the assigned table to a temp parquet instead.
         from open_data_lakehouse_demo_spark.sources.io import materialize
 
-        vids, mat, _ = _kmeans_train(base, n_centroids, train_iterations)
-        assigned = materialize(
-            base.select(
-                assign_ids_batch("vec", vids, mat, n_assign=nprobe).alias("assigns"),
-                "vid",
-                "vec",
-                "nrm",
+        # The trained index (codebook + per-vector assignments) is
+        # immutable for a given corpus: callers may pass an
+        # ``index_cache`` keyed by their corpus identity so repeated
+        # searches reuse the built index instead of retraining — a
+        # production vector index is built once and queried many times,
+        # and this is the same session-scoped/clear-hook contract as the
+        # ANN ground-truth arm (inventory_vectors) and the t() scan
+        # cache. Without a cache the behavior is unchanged.
+        assigned = index_cache.get(index_cache_key) if index_cache is not None else None
+        if assigned is None:
+            vids, mat, _ = _kmeans_train(base, n_centroids, train_iterations)
+            assigned = materialize(
+                base.select(
+                    assign_ids_batch("vec", vids, mat, n_assign=nprobe).alias("assigns"),
+                    "vid",
+                    "vec",
+                    "nrm",
+                )
             )
-        )
+            if index_cache is not None:
+                if len(index_cache) >= 8:  # a handful of (app, corpus) pairs
+                    index_cache.clear()
+                index_cache[index_cache_key] = assigned
         corpus = assigned.select(
             F.col("assigns")[0].alias("centroid_id"), "vid", "vec", "nrm"
         )

@@ -235,11 +235,13 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     )
     from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
         clear_ann_ranked_cache,
+        clear_ivf_index_cache,
     )
 
     clear_scan_cache()
     clear_ann_ranked_cache()
     clear_bloom_eval_cache()  # r7: the decontamination eval-set literals
+    clear_ivf_index_cache()  # r7: the trained-IVF assignment table
     for name in tables:
         read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
