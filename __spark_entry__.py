@@ -56,6 +56,8 @@ _FORCE_FRESH: list[str] = [
     "bloom_decontaminate",  # r7: oracle's exact-audit hash changed too
     "cosine_topk_ivf_kmeans",  # r7: promoted rows-only → 3-round unrolled oracle
     "distinct_users_hll",  # r7: promoted rows-only → accuracy-contract oracle
+    "value_quantiles_sketch",  # r7: promoted — GK rank-contract oracle
+    "table_profile_hll",  # r7: promoted — per-column HLL accuracy-contract oracle
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -251,14 +251,51 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(cust).drop("approx_distinct")
 
 
-@query("table_profile_hll", ("M5", "A10"), tags=("metadata", "sketch"))
+_PROFILE_HLL_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{dt}' AS dtype, COUNT(*) AS n_rows,
+  COUNT(DISTINCT {c}) AS exact_distinct, TRUE AS hll_within_3rsd
+FROM customer"""
+    for c, dt in _PROFILE_COLS
+)
+
+
+@query(
+    "table_profile_hll",
+    ("M5", "A10"),
+    oracle=_PROFILE_HLL_ORACLE,
+    tags=("metadata", "sketch"),
+)
 def table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch arm of the profile: per-column approx_count_distinct
     (Spark's HyperLogLog++, rsd=0.05) from the SAME single aggregation
     pass — mergeable registers make the profile shard-parallel for free.
-    Estimates aren't SQL-portable → rows-only driver check; accuracy is
-    pytest-asserted against exact distinct counts (tests/test_io_ddl.py)."""
+
+    Hash-checked since r7 via the ACCURACY-CONTRACT oracle (the
+    distinct_users_hll pattern): the estimate itself is Spark-internal
+    register math, so the query emits ``hll_within_3rsd`` =
+    |est − exact| ≤ 3·rsd·exact next to the exact distinct count and
+    DuckDB asserts the flag TRUE per column. The exact arm is the audit
+    column; at 100 TB it runs on a sample while the sketch runs on
+    everything."""
     from open_data_lakehouse_demo_spark.operators.profiling import profile_table
 
     cust = t(spark, sf_dir, "customer")
-    return profile_table(cust).select("column", "dtype", "n_rows", "approx_distinct")
+    prof = profile_table(cust).select("column", "dtype", "n_rows", "approx_distinct")
+    cols = [c for c, _dt in _PROFILE_COLS]
+    exacts = cust.agg(
+        *[F.countDistinct(F.col(c)).alias(f"ed_{c}") for c in cols]
+    ).selectExpr(
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', ed_{c}" for c in cols)
+        + ") AS (column, exact_distinct)"
+    )
+    return prof.join(F.broadcast(exacts), "column").select(
+        "column",
+        "dtype",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 3 * 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_3rsd"),
+    )

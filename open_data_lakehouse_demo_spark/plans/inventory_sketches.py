@@ -25,17 +25,79 @@ from open_data_lakehouse_demo_spark.functions.compat import approx_quantiles
 from open_data_lakehouse_demo_spark.plans.inventory import query, t
 
 
-@query("value_quantiles_sketch", ("A5",), tags=("sketch",))
+_GK_ORACLE = """
+SELECT event_type,
+       MIN(value) AS q0,
+       MAX(value) AS q100,
+       TRUE AS rank_ok_q25,
+       TRUE AS rank_ok_q50,
+       TRUE AS rank_ok_q75
+FROM events GROUP BY event_type
+"""
+
+# percentile_approx accuracy=10000 ⇒ Greenwald-Khanna rank error ≤ n/10000
+_GK_EPS = 1.0 / 10000.0
+
+
+@query("value_quantiles_sketch", ("A5",), oracle=_GK_ORACLE, tags=("sketch",))
 def value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_QUANTILES via the Greenwald-Khanna sketch (the ref's actual
-    function — part3:272-289; the exact twin `value_quantiles` is the
-    oracle-checked variant)."""
+    function — part3:272-289; the exact twin `value_quantiles` carries
+    the value-level oracle).
+
+    Hash-checked since r7 via the GK ACCURACY CONTRACT (the same
+    oracle-ized-bound pattern as distinct_users_hll): the sketch values
+    are Spark-internal, but GK's published guarantee — the returned
+    element's rank is within ε·n of the target rank — is checkable, so
+    the query re-ranks each returned quantile against the group
+    (count(<x), count(≤x): the element's rank INTERVAL under ties) and
+    emits ``rank_ok_q{25,50,75}`` = interval intersects
+    [⌈p·n⌉ − εn − 1, ⌈p·n⌉ + εn + 1]; p=0/100 are exact min/max and
+    oracle-checked by value. DuckDB asserts the flags TRUE — a sketch
+    regression (or an accuracy-parameter change) flips them red. The
+    re-rank join is the audit arm; at 100 TB it runs on a sample."""
     events = t(spark, sf_dir, "events")
     qs = approx_quantiles("value", [0.0, 0.25, 0.5, 0.75, 1.0])
-    agg = events.groupBy("event_type").agg(qs.alias("qs"))
-    return agg.select(
+    agg = events.groupBy("event_type").agg(qs.alias("qs"), F.count("*").alias("n"))
+    vals = agg.select(
         "event_type",
-        *[F.element_at("qs", i + 1).alias(f"q{p}") for i, p in enumerate((0, 25, 50, 75, 100))],
+        "n",
+        *[
+            F.element_at("qs", i + 1).alias(f"q{p}")
+            for i, p in enumerate((0, 25, 50, 75, 100))
+        ],
+    )
+    joined = events.select("event_type", "value").join(F.broadcast(vals), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("q0").alias("q0"),
+        F.first("q100").alias("q100"),
+        *[
+            F.sum((F.col("value") < F.col(f"q{p}")).cast("long")).alias(f"lt{p}")
+            for p in (25, 50, 75)
+        ],
+        *[
+            F.sum((F.col("value") <= F.col(f"q{p}")).cast("long")).alias(f"le{p}")
+            for p in (25, 50, 75)
+        ],
+    )
+
+    def rank_ok(p: int):
+        target = F.ceil(F.col("n") * F.lit(p / 100.0))
+        slack = F.col("n") * F.lit(_GK_EPS) + F.lit(1.0)
+        # returned element occupies rank interval [lt+1, le]; the GK
+        # guarantee holds if it intersects [target - slack, target + slack]
+        return (F.col(f"le{p}") >= target - slack) & (
+            F.col(f"lt{p}") + 1 <= target + slack
+        )
+
+    return ranks.select(
+        "event_type",
+        "q0",
+        "q100",
+        rank_ok(25).alias("rank_ok_q25"),
+        rank_ok(50).alias("rank_ok_q50"),
+        rank_ok(75).alias("rank_ok_q75"),
     )
 
 

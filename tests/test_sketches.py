@@ -16,17 +16,19 @@ from tests.conftest import SF_DIR
 
 def test_approx_quantiles_close_to_exact(spark):
     sketch = {
-        r["event_type"]: (r["q25"], r["q50"], r["q75"])
+        r["event_type"]: r
         for r in QUERIES["value_quantiles_sketch"].spark(spark, SF_DIR).collect()
     }
     exact = {
-        r["event_type"]: (r["q25"], r["q50"], r["q75"])
+        r["event_type"]: (r["q0"], r["q100"])
         for r in QUERIES["value_quantiles"].spark(spark, SF_DIR).collect()
     }
     assert sketch.keys() == exact.keys()
     for k in exact:
-        for s, e in zip(sketch[k], exact[k]):
-            assert abs(s - e) <= max(1.0, 0.05 * abs(e))  # GK rank-error bound
+        # r7 oracle-ized form: exact endpoints by value + GK rank-contract flags
+        row = sketch[k]
+        assert (row["q0"], row["q100"]) == exact[k]
+        assert row["rank_ok_q25"] and row["rank_ok_q50"] and row["rank_ok_q75"]
 
 
 def test_hll_close_to_exact_distinct(spark):
