@@ -487,7 +487,13 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
     and our commit surfaces as CommitConflict — never a silent clobber
     of its rows."""
     latest, prev, txns = _pin_latest(path)
-    kept = read(spark, path, snapshot=latest).filter(f"NOT ({predicate_sql})")
+    # SQL DELETE removes rows where the predicate is TRUE; rows where it
+    # is NULL (e.g. the column is null, or absent from pre-evolution
+    # files and read back as null) SURVIVE — a bare NOT(pred) filter
+    # would silently delete them
+    kept = read(spark, path, snapshot=latest).filter(
+        f"NOT coalesce(({predicate_sql}), false)"
+    )
     partition_by = prev["partition_by"] or None
     files = _write_data_files(kept, path, partition_by)
     _commit(
@@ -790,7 +796,8 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(path, f) for f in touched])
     )
-    kept_rows = src.filter(f"NOT ({_where_sql(where)})")
+    # DELETE semantics: NULL-predicate rows survive (see delete_where)
+    kept_rows = src.filter(f"NOT coalesce(({_where_sql(where)}), false)")
     new_files = _write_data_files(kept_rows, path, partition_by)
     file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
     file_stats.update(_collect_stats(path, new_files))

@@ -624,3 +624,26 @@ def test_optimize_zorder_improves_scan_pruning(spark, tmp_path):
     # pre-optimize snapshot still time-travels
     assert tl.read(spark, path, snapshot=s - 1).count() == 4096
     assert tl.history(path)[-1]["operation"] == "optimize_zorder"
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    survive — including rows from pre-schema-evolution files where the
+    predicate column doesn't exist (reads back as null). A bare
+    NOT(pred) filter silently deleted them (caught r7)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(5).select("id"))
+    tl.append(
+        spark, path,
+        spark.range(5, 10).select("id", (F.col("id") * 1.0).alias("score")),
+    )
+    # delete_where: score >= 7.0 — the 5 old rows have score NULL
+    s = tl.delete_where(spark, path, "score >= 7.0")
+    cur = tl.read(spark, path, snapshot=s)
+    assert cur.count() == 7  # 5 null-score + scores 5.0/6.0 survive
+    assert cur.filter("score IS NULL").count() == 5
+    # delete_rows (file-granular) under the same semantics
+    s2 = tl.delete_rows(spark, path, [("score", "<=", 5.0)])
+    cur2 = tl.read(spark, path, snapshot=s2)
+    assert cur2.count() == 6
+    assert cur2.filter("score IS NULL").count() == 5
