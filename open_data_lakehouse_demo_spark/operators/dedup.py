@@ -648,20 +648,24 @@ def shared_substring_runs(
     Window keys (doc_a, doc_b, diag) are high-cardinality → the sort is
     many small partitions, never a global sort.
     """
-    from open_data_lakehouse_demo_spark.sources.io import spread
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
 
     toks = spread(
         df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
     )
-    # The positioned-hash table feeds the df-cap agg and both self-join
-    # sides. It is deliberately NOT materialized: it is per-token-OCCURRENCE
-    # (fact-scale — localCheckpointing it would pin the whole tokenized
-    # corpus in executor storage, violating io.materialize's contract), so
-    # the tokenize+hash lineage recomputes per consumer — CPU, not storage.
-    # A production run at 10^9 docs would persist this as a real stage
-    # table (the per-doc signature tables elsewhere in this module stay
-    # checkpointable because they are doc-sized, not token-sized).
-    sh = (
+    # The positioned-hash table feeds THREE consumers (the df-cap agg and
+    # both self-join sides), and Catalyst does not reuse the exchange
+    # across them (alias/pruning differences defeat canonicalization —
+    # measured 4 full tokenize+md5 passes, ~3/4 of the query's runtime).
+    # Materialize it once: (doc, pos, h) is 3 narrow columns per token
+    # occurrence — the text itself is NOT pinned — and localCheckpoint
+    # blocks are memory-AND-DISK (spill, not OOM). At 10^9 docs this is
+    # exactly the stage table a production ExactSubstr pass persists
+    # between its index and join steps; here the checkpoint plays that
+    # role (r7: was deliberately unmaterialized, 3.2× the DuckDB gate —
+    # the recompute cost the old comment defended exceeded the pinning
+    # cost it feared by an order of magnitude).
+    sh = materialize(
         toks.filter(F.size("tk") >= k)
         .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
         .select("doc", "pos", token_hash(F.col("s")).alias("h"))
