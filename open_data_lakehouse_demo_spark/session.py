@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- semantics ---------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not legacy INT96: INT96 carries NO parquet
+        # column statistics, which blinds footer-stats file skipping
+        # (table_log scan planning, layout.py skip audits) on every
+        # timestamp column; int64-micros is also what Iceberg/Delta
+        # write. (Found r7: a table_log timestamp-pruning test saw
+        # statistics=None on the ts column.)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # ANSI off: GoogleSQL's SAFE_ functions are the compat layer's job
         .config("spark.sql.ansi.enabled", "false")
         # -- local-mode ergonomics ---------------------------------------

@@ -118,6 +118,23 @@ def _file_column_stats(abs_path: str) -> dict:
         meta = pq.ParquetFile(abs_path).metadata
     except Exception:
         return {}
+    import datetime as _dt
+
+    def _portable(v):
+        """JSON-portable bound: native for int/float/str/bool; timestamps
+        → epoch microseconds, dates → proleptic ordinal (both ints, so
+        min/max and predicate comparison stay plain integer arithmetic —
+        event-time predicates are THE common pruning case at scale).
+        Returns (value, type_tag) or (None, None) when unsupported."""
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v, ""
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() * 1_000_000), "ts"
+        if isinstance(v, _dt.date):
+            return v.toordinal(), "date"
+        return None, None
+
     agg: dict[str, list] = {}
     poisoned: set[str] = set()  # any row group without usable stats ⇒ column unusable
     for rg in range(meta.num_row_groups):
@@ -136,7 +153,9 @@ def _file_column_stats(abs_path: str) -> dict:
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                     except UnicodeDecodeError:
                         lo = None
-            if lo is None or not isinstance(lo, (int, float, str, bool)):
+            lo, tag = _portable(lo)
+            hi, _ = _portable(hi)
+            if lo is None or hi is None:
                 poisoned.add(name)
                 agg.pop(name, None)
                 continue
@@ -147,7 +166,7 @@ def _file_column_stats(abs_path: str) -> dict:
                 cur[1] = max(cur[1], hi)
                 cur[2] = (cur[2] + nulls) if (cur[2] is not None and nulls is not None) else None
             else:
-                agg[name] = [lo, hi, nulls]
+                agg[name] = [lo, hi, nulls, tag] if tag else [lo, hi, nulls]
     return agg
 
 
@@ -696,6 +715,8 @@ def _may_match(stats: dict | None, where: list[tuple]) -> bool:
     """Can this file contain a row satisfying the conjunction? Missing
     stats (absent column, unsupported type, legacy manifest) are
     conservative TRUE — pruning is an optimization, never a filter."""
+    import datetime as _dt
+
     if not stats:
         return True
     for col, op, val in where:
@@ -703,6 +724,25 @@ def _may_match(stats: dict | None, where: list[tuple]) -> bool:
         if not s:
             continue
         lo, hi = s[0], s[1]
+        tag = s[3] if len(s) > 3 else ""
+        # temporal bounds are stored as portable ints (_file_column_stats);
+        # convert a datetime/date predicate value to the same scale.
+        # TIMESTAMP soundness: parquet stores UTC instants, but Spark
+        # interprets a naive predicate literal in the SESSION time zone —
+        # an offset this metadata layer cannot see. Widen the file bounds
+        # by 26h (max |UTC offset| + DST) so pruning stays conservative
+        # under ANY session zone; day-scale event-time pruning keeps
+        # nearly all of its effect, and the row-level filter enforces
+        # exactness on whatever survives.
+        if tag == "ts" and isinstance(val, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+            val = int((val - epoch).total_seconds() * 1_000_000)
+            pad = 26 * 3600 * 1_000_000
+            lo, hi = lo - pad, hi + pad
+        elif tag == "date" and isinstance(val, _dt.date):
+            val = val.toordinal()
+        elif tag:
+            continue  # temporal stat but non-temporal predicate value
         if isinstance(val, str) != isinstance(lo, str):
             continue  # cross-type compare — don't guess, keep the file
         if (
@@ -717,11 +757,20 @@ def _may_match(stats: dict | None, where: list[tuple]) -> bool:
 
 
 def _where_sql(where: list[tuple]) -> str:
+    import datetime as _dt
+
     parts = []
     for col, op, val in where:
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r} (use one of {_OPS})")
-        lit = "'" + val.replace("'", "''") + "'" if isinstance(val, str) else repr(val)
+        if isinstance(val, _dt.datetime):
+            lit = f"TIMESTAMP '{val.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        elif isinstance(val, _dt.date):
+            lit = f"DATE '{val.isoformat()}'"
+        elif isinstance(val, str):
+            lit = "'" + val.replace("'", "''") + "'"
+        else:
+            lit = repr(val)
         parts.append(f"(`{col}` {op} {lit})")
     return " AND ".join(parts) or "TRUE"
 

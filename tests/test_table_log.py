@@ -647,3 +647,65 @@ def test_delete_keeps_null_predicate_rows(spark, tmp_path):
     cur2 = tl.read(spark, path, snapshot=s2)
     assert cur2.count() == 6
     assert cur2.filter("score IS NULL").count() == 5
+
+
+def test_plan_scan_timestamp_bounds_prune(spark, tmp_path):
+    """Temporal stats: timestamp bounds are recorded as portable epoch
+    ints and prune files for datetime predicates — with a 26h
+    conservative pad (session-TZ interpretation is invisible to the
+    metadata layer), so only files >1 day away from the predicate are
+    skipped; read_where equals the unpruned filter."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+
+    def day(d):
+        return spark.range(100).select(
+            "id",
+            (
+                F.lit(f"2025-03-{d:02d} 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+
+    tl.create(spark, path, day(1).coalesce(1))
+    for d in (5, 10, 15):
+        tl.append(spark, path, day(d).coalesce(1))
+    cut = dt.datetime(2025, 3, 12)
+    keep, skip = tl.plan_scan(path, [("ts", ">=", cut)])
+    # files for Mar 1/5/10 end >1 day before the cut → skipped; Mar 15 kept
+    assert len(keep) == 1 and len(skip) == 3
+    got = tl.read_where(spark, path, [("ts", ">=", cut)])
+    want = tl.read(spark, path).filter(F.col("ts") >= F.lit("2025-03-12").cast("timestamp"))
+    assert _rows(got) == _rows(want) and got.count() == 100
+
+
+def test_plan_scan_pruning_soundness_property(spark, tmp_path):
+    """Property: for random per-file integer ranges and random simple
+    conjunctions, a file plan_scan skips NEVER contains a matching row —
+    read_where must equal read().filter(...) exactly. (Deterministic
+    seeded sweep rather than hypothesis-over-Spark: each case costs two
+    jobs, so we bound the count.)"""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    path = str(tmp_path / "t")
+    ranges = [(rng.randrange(0, 500), rng.randrange(1, 200)) for _ in range(4)]
+    dfs = [
+        spark.range(lo, lo + n).select(
+            F.col("id"), (F.col("id") % 7).alias("m")
+        ).coalesce(1)
+        for lo, n in ranges
+    ]
+    tl.create(spark, path, dfs[0])
+    for d in dfs[1:]:
+        tl.append(spark, path, d)
+    full = tl.read(spark, path)
+    ops = ["=", "<", "<=", ">", ">="]
+    for _ in range(12):
+        where = [
+            ("id", rng.choice(ops), rng.randrange(-50, 800))
+        ] + ([("m", rng.choice(ops), rng.randrange(0, 7))] if rng.random() < 0.5 else [])
+        got = sorted(tuple(r) for r in tl.read_where(spark, path, where).collect())
+        want = sorted(tuple(r) for r in full.filter(tl._where_sql(where)).collect())
+        assert got == want, where
