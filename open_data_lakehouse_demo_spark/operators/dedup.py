@@ -691,7 +691,7 @@ def shared_substring_runs(
     islands = (
         cand.withColumn("island", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(F.count("*").alias("run_len"))
+        .agg(F.count("*").alias("run_len"), F.min("pa").alias("pa0"))
     )
     return (
         islands.groupBy("doc_a", "doc_b")
@@ -702,6 +702,126 @@ def shared_substring_runs(
             "doc_b",
             "max_run",
             (F.col("max_run") + F.lit(k - 1)).alias("span_tokens"),
+        )
+    )
+
+
+def scrub_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 4,
+    max_df: int = 20,
+) -> DataFrame:
+    """The ExactSubstr dedup ACTION (Lee et al. 2107.06499 §4): where
+    shared_substring_runs only REPORTS copy-paste spans, this REMOVES
+    them — keep-first policy: for every maximal run of ≥ ``min_run``
+    consecutive shared k-shingles between doc_a < doc_b, the duplicated
+    token interval is cut from the HIGHER-id document; the lower id
+    keeps its copy. Docs shrink, never vanish (the published
+    ExactSubstr behavior, vs whole-doc dropping).
+
+    Relational plan on top of the detection machinery:
+      1. the same positioned-hash islands (one materialized pass — see
+         shared_substring_runs), now keeping each run's start position:
+         doc_b's duplicated tokens are [pa0 − diag, pa0 − diag + run +
+         k − 2] (1-based);
+      2. intervals merge per doc via the classic running-max window
+         (overlapping/adjacent spans from different partners coalesce);
+      3. the scrub is map-side: per-doc merged intervals collect to a
+         small array (spans-per-doc-sized, NOT corpus-sized), join back
+         to the docs, and an indexed filter() keeps tokens outside
+         every interval. Exactly one extra shuffle (the per-doc interval
+         agg) beyond detection.
+
+    Output — every input doc: (doc_id, clean_text, n_spans,
+    n_tokens_removed); untouched docs pass through with zeros.
+
+    Approximation inherited from detection (documented there): shingles
+    in more than ``max_df`` docs are df-capped out of candidate
+    generation, so boilerplate beyond the cap is not scrubbed — the
+    standard hot-key guard.
+    """
+    # Rebuild the positioned islands with run starts. (Deliberately not
+    # shared as one private helper with shared_substring_runs: the
+    # report path aggregates per PAIR while this path aggregates per
+    # DOC-b INTERVAL, and the shared prefix is four expressions.)
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+
+    toks = spread(
+        df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
+    )
+    sh = materialize(
+        toks.filter(F.size("tk") >= k)
+        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
+        .select("doc", "pos", token_hash(F.col("s")).alias("h"))
+    )
+    rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
+        F.col("d") <= max_df
+    )
+    shc = sh.join(rare.select("h"), "h")
+    cand = (
+        shc.alias("x")
+        .join(shc.alias("y"), "h")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        cand.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run_len"), F.min("pa").alias("pa0"))
+        .filter(F.col("run_len") >= min_run)
+    )
+    # posexplode positions are 0-based; intervals are kept 1-based to
+    # match the indexed filter() below (and the DuckDB oracle's unnest)
+    intervals = runs.select(
+        F.col("doc_b").alias("doc"),
+        (F.col("pa0") - F.col("diag") + 1).alias("s"),
+        (F.col("pa0") - F.col("diag") + F.col("run_len") + F.lit(k - 1)).alias("e"),
+    )
+    # classic interval merge: new group when this start clears every
+    # previous end (+1 merges adjacent spans too)
+    wd = Window.partitionBy("doc").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = intervals.withColumn(
+        "new_grp",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "grp", F.sum("new_grp").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = grouped.groupBy("doc", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.count("*").alias("n_spans"),
+    )
+    tk = tokenize(F.col(text_col))
+    keep = F.filter(
+        tk,
+        lambda x, i: ~F.exists(
+            F.col("iv"), lambda v: (i + 1 >= v["s"]) & (i + 1 <= v["e"])
+        ),
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["doc"], "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("iv").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(" ", keep))
+            .alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.when(F.col("iv").isNull(), F.lit(0))
+            .otherwise(F.size(tk) - F.size(keep))
+            .cast("long")
+            .alias("n_tokens_removed"),
         )
     )
 

@@ -685,6 +685,94 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substring(md5(array_to_string(tk[i:i+{_SUBSTR_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
+  FROM toks, unnest(range(1, greatest(len(tk) - {_SUBSTR_K - 1}, 0) + 1)) t(i)
+  WHERE len(tk) >= {_SUBSTR_K}
+),
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY h),
+shc AS (SELECT s.* FROM sh s JOIN dfreq USING (h) WHERE dfreq.d <= {_SUBSTR_DF_CAP}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM shc a JOIN shc b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len, MIN(pa) AS pa0 FROM (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+    FROM cand
+  ) GROUP BY doc_a, doc_b, diag, island
+  HAVING COUNT(*) >= {_SUBSTR_MIN_RUN}
+),
+iv AS (
+  SELECT doc_b AS doc, pa0 - diag AS s,
+         pa0 - diag + run_len + {_SUBSTR_K - 2} AS e
+  FROM runs
+),
+miv AS (
+  SELECT doc, MIN(s) AS s, MAX(e) AS e FROM (
+    SELECT doc, s, e,
+           SUM(ng) OVER (PARTITION BY doc ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT doc, s, e,
+        CASE WHEN MAX(e) OVER (PARTITION BY doc ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > MAX(e) OVER (PARTITION BY doc ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS ng
+      FROM iv)
+  ) GROUP BY doc, grp
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM toks, unnest(range(1, len(tk) + 1)) t(i)
+  WHERE doc_id IN (SELECT doc FROM miv)
+),
+scrubbed AS (
+  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM miv m WHERE m.doc = tp.doc_id AND tp.pos BETWEEN m.s AND m.e)
+  GROUP BY tp.doc_id
+),
+spanstats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed FROM miv GROUP BY doc)
+SELECT d.doc_id,
+  CASE WHEN ss.doc IS NULL THEN d.text ELSE COALESCE(sc.clean, '') END AS clean_text,
+  COALESCE(ss.n_spans, 0) AS n_spans,
+  COALESCE(ss.removed, 0) AS n_tokens_removed
+FROM documents d
+LEFT JOIN spanstats ss ON d.doc_id = ss.doc
+LEFT JOIN scrubbed sc ON d.doc_id = sc.doc_id
+"""
+
+
+@query(
+    "scrub_duplicated_spans",
+    ("DD8", "PIPE1"),
+    oracle=_SCRUB_ORACLE,
+    tags=("dedup", "pipeline"),
+)
+def scrub_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup ACTION (operators/dedup.py
+    scrub_shared_spans): shared_substring_spans only REPORTS copy-paste
+    spans; this removes them — keep-first policy, duplicated token
+    intervals cut from the higher-id document, overlapping/adjacent
+    intervals merged, docs shrink but never vanish (Lee et al.
+    2107.06499 §4's published behavior). Every input doc comes back:
+    (doc_id, clean_text, n_spans, n_tokens_removed)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.scrub_shared_spans(
+        docs, "doc_id", "text",
+        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+    )
+
+
 _PACK_SEQ_LEN = 2048
 
 _PACK_ORACLE = rf"""

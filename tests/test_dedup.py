@@ -242,3 +242,55 @@ def test_containment_catches_planted_subset_dup(spark):
     assert r["containment_a"] == 1.0  # snippet fully contained
     assert r["jaccard"] < 0.1  # Jaccard would never flag it
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_scrub_shared_spans_removes_exactly_the_span(spark):
+    """ExactSubstr ACTION: the planted span must be cut from the
+    HIGHER-id doc only (keep-first), the surrounding text must survive
+    verbatim, untouched docs pass through, and n_tokens_removed equals
+    the span length."""
+    from open_data_lakehouse_demo_spark.operators.dedup import scrub_shared_spans
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "zeta eta " + span + " theta iota kappa"),
+            (3, "completely different words nothing shared here at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in scrub_shared_spans(docs, "doc_id", "text", k=4, min_run=4).collect()}
+    assert set(got) == {1, 2, 3}
+    # keep-first: doc 1 (lower id) keeps its copy, doc 3 untouched
+    assert got[1]["clean_text"] == "alpha beta gamma " + span + " delta epsilon"
+    assert got[1]["n_spans"] == 0 and got[1]["n_tokens_removed"] == 0
+    assert got[3]["n_spans"] == 0
+    # doc 2 loses exactly the 10 span tokens, neighbors intact
+    assert got[2]["clean_text"] == "zeta eta theta iota kappa"
+    assert got[2]["n_spans"] == 1 and got[2]["n_tokens_removed"] == 10
+
+
+def test_scrub_shared_spans_merges_overlapping_intervals(spark):
+    """A doc duplicating spans from TWO partners with overlapping
+    extents must scrub the merged interval once (n_spans counts merged
+    intervals, tokens are never double-counted)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import scrub_shared_spans
+
+    s = [f"w{i}" for i in range(14)]
+    doc3 = "pre " + " ".join(s) + " post"
+    docs = spark.createDataFrame(
+        [
+            (1, "one filler " + " ".join(s[:9]) + " more filler stuff"),
+            (2, "other junk " + " ".join(s[5:]) + " trailing bits here"),
+            (3, doc3),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in scrub_shared_spans(docs, "doc_id", "text", k=4, min_run=4).collect()}
+    # doc 3 shares s[0:9] with doc 1 and s[5:14] with doc 2 — overlapping
+    # intervals merge into one covering all 14 tokens
+    assert got[3]["n_spans"] == 1
+    assert got[3]["n_tokens_removed"] == 14
+    assert got[3]["clean_text"] == "pre post"
+    assert got[1]["n_tokens_removed"] == 0 and got[2]["n_tokens_removed"] == 0
