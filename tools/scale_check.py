@@ -51,6 +51,7 @@ SLICE = [
     ("dup_cluster_canonical", "iterative components + keep-best argmax"),
     ("source_mixture_sample", "language-sized agg broadcast + map-side hash filter"),
     ("shared_substring_spans", "df-capped positional inverted index + diagonal islands"),
+    ("scrub_duplicated_spans", "ExactSubstr removal: islands → interval merge → map-side token filter"),
     ("packed_example_assignment", "prefix-sum example routing"),
     ("ann_recall_sweep", "single-sort multi-nprobe recall curve"),
     ("incremental_near_dups", "batch-vs-index band join"),
