@@ -753,6 +753,8 @@ def ivf_pq_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     probe_filter: Column | None = None,
+    index_cache: dict | None = None,
+    index_cache_key=None,
 ) -> DataFrame:
     """IVF + PQ composition — the billion-vector full-corpus search path.
 
@@ -787,18 +789,33 @@ def ivf_pq_topk(
     # assign_centroids join path), encode (pq_codes_batch ≡ pq_encode),
     # probe LUTs (pq_lut_batch ≡ _probe_lut). The only shuffle left is
     # the centroid_id candidate equi-join itself.
-    cvids, cmat = pq_seed_matrix(base, n=max(NCODES, n_centroids))
-    cvids, cmat_coarse = cvids[:n_centroids], cmat[:n_centroids]
-    pq_mat = cmat[:NCODES]
+    # Session-scoped index reuse (same contract as ivf_sq8_topk): the
+    # seed codebooks and the encoded inverted lists are immutable per
+    # corpus — build once, search repeatedly; cached lists materialize
+    # so warm searches read blocks instead of re-encoding.
+    cached = index_cache.get(index_cache_key) if index_cache is not None else None
+    if cached is not None:
+        base, lists, cvids, cmat_coarse, pq_mat = cached
+    else:
+        cvids, cmat = pq_seed_matrix(base, n=max(NCODES, n_centroids))
+        cvids, cmat_coarse = cvids[:n_centroids], cmat[:n_centroids]
+        pq_mat = cmat[:NCODES]
 
-    # inverted lists: (centroid_id, vid, codes) — 8 small ints per vector
-    lists = base.select(
-        F.element_at(
-            sim.assign_ids_batch("vec", cvids, cmat_coarse, 1), 1
-        ).alias("centroid_id"),
-        "vid",
-        pq_codes_batch("vec", pq_mat).alias("codes"),
-    )
+        # inverted lists: (centroid_id, vid, codes) — 8 small ints per vector
+        lists = base.select(
+            F.element_at(
+                sim.assign_ids_batch("vec", cvids, cmat_coarse, 1), 1
+            ).alias("centroid_id"),
+            "vid",
+            pq_codes_batch("vec", pq_mat).alias("codes"),
+        )
+        if index_cache is not None:
+            from open_data_lakehouse_demo_spark.sources.io import materialize
+
+            lists = materialize(lists)
+            if len(index_cache) >= 8:
+                index_cache.clear()
+            index_cache[index_cache_key] = (base, lists, cvids, cmat_coarse, pq_mat)
 
     probes = base.filter(probe_filter) if probe_filter is not None else base
     # explode duplicates the already-computed LUT across the probe's

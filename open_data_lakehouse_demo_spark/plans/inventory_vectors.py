@@ -939,6 +939,8 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivf_pq_topk(
         emb, k=_K, n_centroids=16, nprobe=_IVFPQ_NPROBE,
         probe_filter=F.col("vid") % _PROBE_MOD == 0,
+        index_cache=_IVF_INDEX_CACHE,
+        index_cache_key=("pq", spark.sparkContext.applicationId, sf_dir, 16),
     )
 
 
