@@ -55,7 +55,7 @@ def main() -> None:
     # rows can self-disclaim: this box is a shared-CPU VM where a
     # neighbor burst inflates individual rows 2-7x, and every round a
     # phantom "regression" used to cost a judge rerun to dismiss.
-    ref = _load_reference_medians()
+    ref = _load_reference_medians(sf_dir)
 
     per_query: dict[str, float] = {}
     query_load: dict[str, float] = {}
@@ -136,14 +136,20 @@ def main() -> None:
     spark.stop()
 
 
-def _load_reference_medians() -> dict[str, float]:
+def _load_reference_medians(sf_dir: str) -> dict[str, float]:
     """Per-query 5-run warm Spark medians parsed from BENCH_VS_DUCK.md's
-    table rows (``| name | spark | duck | ratio |``); empty when the
-    artifact is absent or a row doesn't parse."""
+    table rows (``| name | spark | duck | ratio |``) — but ONLY when the
+    artifact was generated at the SAME sf dir (its header records it);
+    cross-SF comparisons would flag every row of a bigger run as noise.
+    Empty when absent, mismatched, or unparsable."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_VS_DUCK.md")
     out: dict[str, float] = {}
     try:
         with open(path) as f:
+            head = f.read(4096)
+            if f"`{sf_dir}`" not in head:
+                return {}
+            f.seek(0)
             for ln in f:
                 m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", ln)
                 if m:
