@@ -715,9 +715,26 @@ def search_sq8_ivf_index(
     lists scan's PARTITION column, so only nprobe/n_centroids of the
     index bytes are read — file skipping, not post-scan filtering.
     """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    lists = spark.read.parquet(f"{path}/lists")
+    return _search_sq8_lists(lists, meta, probes, id_col, vec_col, k, nprobe, exclude_self)
+
+
+def _search_sq8_lists(
+    lists: DataFrame,
+    meta,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF-SQ8 search core over an already-loaded lists relation +
+    meta row — used by both the plain-parquet and the table_log-versioned
+    index (search_sq8_ivf_index / search_sq8_ivf_index_logged)."""
     from open_data_lakehouse_demo_spark.operators import similarity as sim
 
-    meta = spark.read.parquet(f"{path}/meta").first()
     mns, scales = list(meta["mns"]), list(meta["scales"])
     cvids = [int(v) for v in meta["cvids"]]
     cmat = np.array([list(r) for r in meta["cmat"]], dtype=np.float32)
@@ -729,9 +746,7 @@ def search_sq8_ivf_index(
     probe_cids = sorted(
         r["centroid_id"] for r in probe_side.select("centroid_id").distinct().collect()
     )
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col("centroid_id").isin(probe_cids)
-    )
+    lists = lists.filter(F.col("centroid_id").isin(probe_cids))
     recon = _sq_recon(lists, mns, scales, extra_cols=("centroid_id",))
     adc = recon.join(F.broadcast(probe_side), "centroid_id")
     if exclude_self:
@@ -743,6 +758,99 @@ def search_sq8_ivf_index(
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return adc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def build_sq8_ivf_index_logged(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> int:
+    """IVF-SQ8 index as a SNAPSHOT-VERSIONED logged table pair
+    (sources/table_log.py) — the build-once/search-many workflow of
+    build_sq8_ivf_index plus the table-format contracts a production
+    index store needs: atomic visibility of each maintenance batch,
+    time-travel searches against any prior index version, exactly-once
+    streaming appends, compaction.
+
+      {path}/lists  logged table PARTITIONED BY centroid_id
+                    (vid, codes, centroid_id); a search's nprobe lists
+                    prune at FILE level via the manifest's partition
+                    bounds + hive pruning;
+      {path}/meta   logged 1-row table — the frozen SQ codebook and
+                    coarse centroids (snapshot 0 forever: codebooks are
+                    immutable once trained; retraining is a REBUILD, the
+                    standard IVF maintenance contract).
+
+    Returns the lists table's initial snapshot id (0)."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    _, assigned, cvids, cmat, mns, scales = _sq8_ivf_lists(
+        df, id_col, vec_col, n_centroids
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(mns, scales, [int(v) for v in cvids], [[float(x) for x in row] for row in cmat])],
+        "mns ARRAY<DOUBLE>, scales ARRAY<DOUBLE>, cvids ARRAY<BIGINT>, cmat ARRAY<ARRAY<DOUBLE>>",
+    )
+    tl.create(spark, f"{path}/meta", meta)
+    return tl.create(spark, f"{path}/lists", assigned, partition_by=["centroid_id"])
+
+
+def append_sq8_ivf_index_logged(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incremental index maintenance: encode a NEW vector batch with the
+    FROZEN codebooks (assign + SQ8, the same kernels as the build) and
+    append it to the lists table as ONE atomic snapshot — per-batch work
+    scales with the batch, searches see the old or the new index, never
+    a mix, and ``txn=(writer, version)`` makes a replayed streaming
+    micro-batch a no-op (exactly-once, the table_log.append contract).
+    Returns the new lists snapshot id."""
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    meta = tl.read(spark, f"{path}/meta").first()
+    mns, scales = list(meta["mns"]), list(meta["scales"])
+    cvids = [int(v) for v in meta["cvids"]]
+    cmat = np.array([list(r) for r in meta["cmat"]], dtype=np.float32)
+    raw = new_df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    with_cid = raw.select(
+        "vid",
+        "vec",
+        F.element_at(sim.assign_ids_batch("vec", cvids, cmat, 1), 1).alias("centroid_id"),
+    )
+    assigned = sq_encode(with_cid, mns, scales, extra_cols=("centroid_id",))
+    return tl.append(spark, f"{path}/lists", assigned, txn=txn)
+
+
+def search_sq8_ivf_index_logged(
+    spark,
+    path: str,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Search a versioned IVF-SQ8 index at any snapshot (default latest):
+    ``snapshot`` pins the lists manifest, so 'what did this query return
+    before yesterday's ingest?' is a first-class, reproducible question —
+    the same arithmetic as search_sq8_ivf_index, same file-level list
+    pruning via the pinned manifest's partition values."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    meta = tl.read(spark, f"{path}/meta").first()
+    lists = tl.read(spark, f"{path}/lists", snapshot=snapshot)
+    return _search_sq8_lists(lists, meta, probes, id_col, vec_col, k, nprobe, exclude_self)
 
 
 def ivf_pq_topk(

@@ -551,3 +551,50 @@ def test_persisted_index_search_external_probes(spark, tmp_path):
     assert set(by_q) == {1_000_000 + i for i in range(7)}
     for dists in by_q.values():
         assert len(dists) == 3 and dists == sorted(dists)
+
+
+def test_versioned_sq8_index_time_travel_and_incremental_append(spark, tmp_path):
+    """IVF-SQ8 index as a snapshot-versioned logged table (r7): the
+    logged build searches bit-identically to the in-memory operator;
+    an incremental append (frozen codebooks) lands as ONE atomic
+    snapshot whose vectors are searchable; and a snapshot-pinned search
+    reproduces exactly the pre-append results — the 'what did this
+    query return before yesterday's ingest' question as a first-class
+    read."""
+    from open_data_lakehouse_demo_spark.operators import quantization as pq
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    idx = str(tmp_path / "vidx")
+    s0 = pq.build_sq8_ivf_index_logged(old, idx, n_centroids=16)
+
+    # probes drawn from the indexed corpus so the in-memory operator
+    # (whose probe_filter selects from its own corpus) sees the same set
+    probes = old.filter(F.col("vec_id") % 50 == 0)
+    got0 = pq.search_sq8_ivf_index_logged(spark, idx, probes, k=5, nprobe=2)
+    rows0 = sorted(map(tuple, got0.collect()))
+    # bit-identical to the in-memory operator over the same corpus
+    want0 = pq.ivf_sq8_topk(
+        old, k=5, n_centroids=16, nprobe=2,
+        probe_filter=F.col("vid") % 50 == 0,
+    )
+    assert rows0 == sorted(map(tuple, want0.collect()))
+
+    # incremental append: new batch encoded with the FROZEN codebooks
+    s1 = pq.append_sq8_ivf_index_logged(spark, idx, batch, txn=("ingest", 0))
+    assert s1 == s0 + 1
+    # replayed micro-batch: exactly-once no-op
+    assert pq.append_sq8_ivf_index_logged(spark, idx, batch, txn=("ingest", 0)) == s1
+
+    # latest search sees the appended vectors
+    got1 = sorted(map(tuple, pq.search_sq8_ivf_index_logged(spark, idx, probes, k=5, nprobe=2).collect()))
+    new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert any(t[1] in new_ids for t in got1), "appended vectors must be searchable"
+    # time travel: the pinned pre-append search is unchanged
+    got0_again = sorted(map(tuple, pq.search_sq8_ivf_index_logged(
+        spark, idx, probes, k=5, nprobe=2, snapshot=s0).collect()))
+    assert got0_again == rows0
+    assert [h["operation"] for h in tl.history(f"{idx}/lists")] == ["create", "append"]
