@@ -150,10 +150,21 @@ def _load_reference_medians(sf_dir: str) -> dict[str, float]:
             if f"`{sf_dir}`" not in head:
                 return {}
             f.seek(0)
+            # anchor to the benchmark table's own header — any other
+            # `| name | number |`-shaped table (appendices, cold-build
+            # disclosures) must not pollute the noise-flag medians
+            in_table = False
             for ln in f:
+                if re.match(r"\|\s*query\s*\|\s*spark s\s*\|", ln):
+                    in_table = True
+                    continue
+                if not in_table:
+                    continue
                 m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", ln)
                 if m:
                     out[m.group(1)] = float(m.group(2))
+                elif not ln.strip().startswith("|"):
+                    in_table = False
     except OSError:
         pass
     return out

@@ -476,6 +476,17 @@ _AUTO = object()  # "derive the adaptive task count from round 1" sentinel
 #: ≈ 33 MB, the faiss-style bounded training set); above it the
 #: distributed mapInPandas rounds run. The cap is also the documented
 #: driver-materialization bound.
+#:
+#: ORACLE-CONTRACT NOTE (ADVICE r7): the two paths accumulate the same
+#: f64 chunked recurrence in different orders (sorted-vid locally,
+#: partition order distributed), so trained centroids can differ by one
+#: f32 ulp — and on ~2^-29-probability argmax ties flip an assignment —
+#: exactly AT the cap. The hash-checked IVF oracles
+#: (cosine_topk_ivf_kmeans, ivf_sq8_topk, ...) unroll the SAME path the
+#: Spark side takes at the driver's fixed sf, so the boundary is outside
+#: their contract: a corpus crossing 65536 rows re-trains a NEW index
+#: (the snapshot-versioned index table makes that an explicit rebuild,
+#: quantization.py), it does not silently re-rank an existing one.
 _LOCAL_TRAIN_CAP = 65536
 
 

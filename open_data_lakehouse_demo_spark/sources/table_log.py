@@ -724,6 +724,13 @@ def _may_match(stats: dict | None, where: list[tuple]) -> bool:
         if not s:
             continue
         lo, hi = s[0], s[1]
+        # NaN bounds ⇒ stats are unusable, not "empty range": parquet-mr
+        # propagates NaN through double min/max (Math.min/max), and every
+        # comparison against NaN is False, so `not (lo <= val <= hi)`
+        # would wrongly prune a file whose double column contains any
+        # NaN. Treat non-finite bounds as missing stats (keep the file).
+        if lo != lo or hi != hi:
+            continue
         tag = s[3] if len(s) > 3 else ""
         # temporal bounds are stored as portable ints (_file_column_stats);
         # convert a datetime/date predicate value to the same scale.
@@ -764,6 +771,12 @@ def _where_sql(where: list[tuple]) -> str:
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r} (use one of {_OPS})")
         if isinstance(val, _dt.datetime):
+            # strftime drops the UTC offset of a tz-aware value, and the
+            # naive literal would then be read in the session TZ (pinned
+            # UTC here) — normalize to UTC-naive first so the row-level
+            # filter selects the same instant _may_match pruned by.
+            if val.tzinfo is not None:
+                val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             lit = f"TIMESTAMP '{val.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
         elif isinstance(val, _dt.date):
             lit = f"DATE '{val.isoformat()}'"
@@ -836,7 +849,8 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
     latest, prev, txns = _pin_latest(path)
     stats_map = prev.get("file_stats", {})
     touched = [f for f in prev["files"] if _may_match(stats_map.get(f), where)]
-    untouched = [f for f in prev["files"] if f not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in prev["files"] if f not in touched_set]
     if not touched:
         return latest  # nothing can match: no rewrite, no new snapshot
     partition_by = prev["partition_by"] or None
@@ -894,7 +908,7 @@ def snapshots_table(spark: SparkSession, path: str) -> DataFrame:
     """Metadata table of commits — the native twin of Iceberg's
     ``tbl.snapshots`` (the introspection the reference walks by hand
     through metadata.json → manifest list → manifests,
-    lakehouse_part1_batch_ingestion.py:346-409; SURVEY M4).
+    lakehouse_part1_load_data.py:349-409; SURVEY M4).
 
     One row per snapshot: (snapshot_id, committed_at TIMESTAMP,
     operation, n_files, total_bytes). Driver-side metadata only —

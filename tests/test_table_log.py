@@ -709,3 +709,64 @@ def test_plan_scan_pruning_soundness_property(spark, tmp_path):
         got = sorted(tuple(r) for r in tl.read_where(spark, path, where).collect())
         want = sorted(tuple(r) for r in full.filter(tl._where_sql(where)).collect())
         assert got == want, where
+
+
+def test_nan_bounds_never_prune(spark, tmp_path):
+    """ADVICE r7 (table_log.py _may_match): parquet-mr propagates NaN
+    into double min/max stats, and every NaN comparison is False — so a
+    file whose double column contains NaN must be treated as having NO
+    stats for that column, never pruned. Regression: before the fix,
+    read_where dropped the NaN file's matching rows and delete_rows
+    silently failed to delete them."""
+    path = str(tmp_path / "t")
+    clean = spark.range(3).select(F.col("id"), (F.col("id") * 1.0).alias("x"))
+    dirty = spark.range(10, 13).select(
+        F.col("id"),
+        F.when(F.col("id") == 11, F.lit(float("nan"))).otherwise(F.col("id") * 1.0).alias("x"),
+    )
+    tl.create(spark, path, clean.coalesce(1))
+    tl.append(spark, path, dirty.coalesce(1))
+    stats = tl._read_manifest(path, 1)["file_stats"]
+    assert any(
+        s.get("x") and (s["x"][0] != s["x"][0] or s["x"][1] != s["x"][1])
+        for s in stats.values()
+    ), "fixture must actually produce NaN bounds, else the test is vacuous"
+    # all 3 dirty rows match x >= 10 row-level: Spark SQL orders NaN
+    # GREATER than every double (unlike the Java min/max that wrote the
+    # stats) — one more reason the metadata layer must not trust NaN
+    # bounds, since engine and stats semantics disagree.
+    got = tl.read_where(spark, path, [("x", ">=", 10.0)])
+    assert got.count() == 3
+    keep, skip = tl.plan_scan(path, [("x", ">=", 10.0)])
+    assert len(keep) >= 1  # NaN-bounds file kept as a candidate
+    tl.delete_rows(spark, path, [("x", ">=", 10.0)])
+    remaining = tl.read(spark, path)
+    assert remaining.filter("id >= 10").count() == 0
+    assert remaining.count() == 3  # only the clean file's rows survive
+
+
+def test_tz_aware_predicate_literal_is_utc_normalized(spark, tmp_path):
+    """ADVICE r7 (table_log.py _where_sql): a tz-aware datetime predicate
+    must filter at the same instant regardless of its offset — strftime
+    on the aware value would drop the offset and select a shifted set.
+    Session TZ is pinned UTC, so UTC+2 10:00 == UTC 08:00."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.range(24).select(
+        "id",
+        (
+            F.lit("2025-06-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    tl.create(spark, path, df.coalesce(1))
+    cut_utc = dt.datetime(2025, 6, 1, 8, 0, 0)
+    cut_aware = dt.datetime(2025, 6, 1, 10, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    got_aware = tl.read_where(spark, path, [("ts", ">=", cut_aware)])
+    got_naive = tl.read_where(spark, path, [("ts", ">=", cut_utc)])
+    assert _rows(got_aware) == _rows(got_naive)
+    assert got_aware.count() == 16  # hours 08..23
+    # delete path goes through the same literal
+    tl.delete_rows(spark, path, [("ts", ">=", cut_aware)])
+    assert tl.read(spark, path).count() == 8
