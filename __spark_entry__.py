@@ -53,11 +53,11 @@ def _inventory():
 # 2-round-union coverage AND that every diff-affected query is in the
 # next artifact before every snapshot.
 _FORCE_FRESH: list[str] = [
-    "bloom_decontaminate",  # r7: oracle's exact-audit hash changed too
-    "cosine_topk_ivf_kmeans",  # r7: promoted rows-only → 3-round unrolled oracle
-    "distinct_users_hll",  # r7: promoted rows-only → accuracy-contract oracle
-    "value_quantiles_sketch",  # r7: promoted — GK rank-contract oracle
-    "table_profile_hll",  # r7: promoted — per-column HLL accuracy-contract oracle
+    # r8: the one red r7 driver row (hash_match false; locally green 4/4
+    # at sf0.01 AND green in the sf0.1 sweep) — its r7-fresh timestamp
+    # means staleness alone would NOT re-record it, so pin it until a
+    # green driver row lands (VERDICT r7 item #1).
+    "scrub_duplicated_spans",
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -18,6 +18,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _oracle_hash import hash_rows as _hash_rows  # noqa: E402
 
 
+def _canon_lines(cols, rows) -> list[str]:
+    from _oracle_hash import canon
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+
+
+def _dump_diff(name, cols, rows, ocols, orows, limit: int = 5) -> None:
+    """On a hash mismatch, persist both sides' sorted canonical lines
+    under /tmp and print the first `limit` lines unique to each side."""
+    sl, ol = _canon_lines(cols, rows), _canon_lines(ocols, orows)
+    sp, op_ = f"/tmp/{name}.spark.rows", f"/tmp/{name}.oracle.rows"
+    with open(sp, "w") as f:
+        f.write("\n".join(sl))
+    with open(op_, "w") as f:
+        f.write("\n".join(ol))
+    only_s = sorted(set(sl) - set(ol))
+    only_o = sorted(set(ol) - set(sl))
+    print(f"  diff dump: {sp} / {op_} "
+          f"(spark-only {len(only_s)}, oracle-only {len(only_o)})")
+    for tag, lines in (("spark-only", only_s), ("oracle-only", only_o)):
+        for ln in lines[:limit]:
+            show = ln if len(ln) <= 200 else ln[:200] + "..."
+            print(f"    {tag}: {show!r}")
+
+
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     time_only = "--time-only" in sys.argv
@@ -64,6 +90,12 @@ def main() -> None:
                 if sorted(cols) != sorted(ocols):
                     print(f"  spark cols: {sorted(cols)}")
                     print(f"  duck  cols: {sorted(ocols)}")
+                if sh != oh:
+                    # row-level diff dump (VERDICT r7 #1): write both
+                    # sides' sorted canonical lines and print the first
+                    # divergences, so a hash mismatch names the rows
+                    # instead of leaving them to inference.
+                    _dump_diff(name, cols, rows, ocols, orows)
         if not check_only:
             import gc
 
