@@ -616,6 +616,44 @@ def ngram_jaccard_pairs(
     return _verified_pairs(cands, sets, threshold)
 
 
+def positioned_hash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    max_df: int = 20,
+) -> DataFrame:
+    """The materialized, df-capped positioned-shingle-hash table
+    (doc, pos, h) that BOTH ExactSubstr paths — the report
+    (shared_substring_runs) and the scrub (scrub_shared_spans) — consume:
+    one k-token shingle hash per token position, minus shingles appearing
+    in more than ``max_df`` docs (the boilerplate hot-key guard; applied
+    at build so the cap aggregation is paid once, not per consumer).
+
+    This IS the persistable ExactSubstr index: at 10^9 docs a production
+    pass writes exactly this table between its tokenize and join stages,
+    then runs detection and scrubbing against it. Callers that run both
+    paths (or either one repeatedly) should build it once and pass it in —
+    plans/inventory_corpus.py caches it per (session, sf_dir) the same way
+    inventory_vectors caches the trained-IVF index. Three narrow columns
+    per token occurrence; the text itself is NOT pinned, and materialize's
+    localCheckpoint blocks are memory-AND-DISK (spill, not OOM)."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+
+    toks = spread(
+        df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
+    )
+    sh = (
+        toks.filter(F.size("tk") >= k)
+        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
+        .select("doc", "pos", token_hash(F.col("s")).alias("h"))
+    )
+    rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
+        F.col("d") <= max_df
+    )
+    return materialize(sh.join(rare.select("h"), "h"))
+
+
 def shared_substring_runs(
     df: DataFrame,
     id_col: str,
@@ -623,6 +661,7 @@ def shared_substring_runs(
     k: int = 4,
     min_run: int = 4,
     max_df: int = 20,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shared-substring detection between documents (the Lee et al.
     2107.06499 ExactSubstr dedup signal, re-expressed relationally): for
@@ -647,33 +686,17 @@ def shared_substring_runs(
     Output (doc_a, doc_b, max_run, span_tokens), doc_a < doc_b.
     Window keys (doc_a, doc_b, diag) are high-cardinality → the sort is
     many small partitions, never a global sort.
-    """
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
 
-    toks = spread(
-        df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
+    ``index``: a precomputed positioned_hash_index(df, ...) table built
+    with the SAME (k, max_df) — the caller-owned sharing that lets one
+    index feed report + scrub (r8; the r7 per-path rebuild was the
+    shared_substring_spans 3.2× bench breach).
+    """
+    shc = (
+        positioned_hash_index(df, id_col, text_col, k=k, max_df=max_df)
+        if index is None
+        else index
     )
-    # The positioned-hash table feeds THREE consumers (the df-cap agg and
-    # both self-join sides), and Catalyst does not reuse the exchange
-    # across them (alias/pruning differences defeat canonicalization —
-    # measured 4 full tokenize+md5 passes, ~3/4 of the query's runtime).
-    # Materialize it once: (doc, pos, h) is 3 narrow columns per token
-    # occurrence — the text itself is NOT pinned — and localCheckpoint
-    # blocks are memory-AND-DISK (spill, not OOM). At 10^9 docs this is
-    # exactly the stage table a production ExactSubstr pass persists
-    # between its index and join steps; here the checkpoint plays that
-    # role (r7: was deliberately unmaterialized, 3.2× the DuckDB gate —
-    # the recompute cost the old comment defended exceeded the pinning
-    # cost it feared by an order of magnitude).
-    sh = materialize(
-        toks.filter(F.size("tk") >= k)
-        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
-        .select("doc", "pos", token_hash(F.col("s")).alias("h"))
-    )
-    rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
-        F.col("d") <= max_df
-    )
-    shc = sh.join(rare.select("h"), "h")
     # one row per (pos-pair, h) by construction — no DISTINCT needed
     cand = (
         shc.alias("x")
@@ -713,6 +736,7 @@ def scrub_shared_spans(
     k: int = 4,
     min_run: int = 4,
     max_df: int = 20,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """The ExactSubstr dedup ACTION (Lee et al. 2107.06499 §4): where
     shared_substring_runs only REPORTS copy-paste spans, this REMOVES
@@ -743,24 +767,11 @@ def scrub_shared_spans(
     generation, so boilerplate beyond the cap is not scrubbed — the
     standard hot-key guard.
     """
-    # Rebuild the positioned islands with run starts. (Deliberately not
-    # shared as one private helper with shared_substring_runs: the
-    # report path aggregates per PAIR while this path aggregates per
-    # DOC-b INTERVAL, and the shared prefix is four expressions.)
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
-
-    toks = spread(
-        df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
+    shc = (
+        positioned_hash_index(df, id_col, text_col, k=k, max_df=max_df)
+        if index is None
+        else index
     )
-    sh = materialize(
-        toks.filter(F.size("tk") >= k)
-        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
-        .select("doc", "pos", token_hash(F.col("s")).alias("h"))
-    )
-    rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
-        F.col("d") <= max_df
-    )
-    shc = sh.join(rare.select("h"), "h")
     cand = (
         shc.alias("x")
         .join(shc.alias("y"), "h")

@@ -232,6 +232,8 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     from open_data_lakehouse_demo_spark.plans.inventory import clear_scan_cache
     from open_data_lakehouse_demo_spark.plans.inventory_corpus import (
         clear_bloom_eval_cache,
+        clear_decon_eval_cache,
+        clear_substr_index_cache,
     )
     from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
         clear_ann_ranked_cache,
@@ -242,6 +244,8 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     clear_ann_ranked_cache()
     clear_bloom_eval_cache()  # r7: the decontamination eval-set literals
     clear_ivf_index_cache()  # r7: the trained-IVF assignment table
+    clear_substr_index_cache()  # r8: the shared ExactSubstr positioned-hash index
+    clear_decon_eval_cache()  # r8: the exact-decontamination eval hash literals
     for name in tables:
         read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
