@@ -347,11 +347,20 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = decode_image(bytes(r.payload), int(r.width), int(r.height))
-                gray = arr.mean(axis=2)
-                # aHash: 8x8 downsample (block mean) vs global mean → 64 bits
-                h8 = gray[: gray.shape[0] // 8 * 8, : gray.shape[1] // 8 * 8]
-                blocks = h8.reshape(8, h8.shape[0] // 8, 8, h8.shape[1] // 8).mean(axis=(1, 3))
-                bits = (blocks > blocks.mean()).flatten()
+                # exact-integer reductions (r8): per-channel sums are exact
+                # in int64 and the aHash threshold compares cross-multiplied
+                # integer block sums (equal-size blocks: block_mean >
+                # global_mean ⟺ 64·block_sum > total_sum), so every output
+                # is a pure function of pixel VALUES — no float-summation
+                # ties that could flip with array layout/batching. This is
+                # what lets MM1 carry an exact value-hash oracle.
+                g3 = arr.sum(axis=2, dtype=np.int64)  # 3·gray per pixel
+                hh, ww = arr.shape[0], arr.shape[1]
+                h8, w8 = hh // 8 * 8, ww // 8 * 8
+                bsum = g3[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).sum(
+                    axis=(1, 3), dtype=np.int64
+                )
+                bits = (bsum * 64 > bsum.sum()).flatten()
                 phash = int(np.packbits(bits).view(">u8")[0]) - (1 << 63)  # signed
                 rows.append(
                     {
@@ -361,7 +370,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                         "mean_r": float(arr[:, :, 0].mean()),
                         "mean_g": float(arr[:, :, 1].mean()),
                         "mean_b": float(arr[:, :, 2].mean()),
-                        "brightness": float(gray.mean()),
+                        "brightness": float(int(g3.sum()) / (3.0 * hh * ww)),
                         "phash": phash,
                     }
                 )

@@ -1,8 +1,12 @@
-"""Query inventory — multimodal operators (rows-only driver checks).
+"""Query inventory — multimodal operators.
 
-The decode layer is Python-side (mapInPandas) so these aren't
-SQL-expressible; schema/batch/determinism contracts are pytest-verified in
-tests/test_multimodal.py.
+The decode layer is Python-side (mapInPandas), so the audio/video
+entries are rows-only driver checks with their schema/batch/determinism
+contracts pytest-verified in tests/test_multimodal.py. MM1 is the
+exception (promoted r8): over tier-1 BMP payloads every feature is an
+exact analytic value, so it carries a full value-hash oracle — a
+generated VALUES table of the expected features (tools/gen_mm1_oracle.py),
+nothing approximate on either side.
 """
 
 from __future__ import annotations
@@ -10,14 +14,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from open_data_lakehouse_demo_spark.operators import multimodal as mm
+from open_data_lakehouse_demo_spark.plans._mm1_oracle import MM1_ORACLE_SQL
 from open_data_lakehouse_demo_spark.plans.inventory import query, t
 
 
-@query("image_feature_extract", ("MM1",), tags=("multimodal",))
+@query("image_feature_extract", ("MM1",), oracle=MM1_ORACLE_SQL, tags=("multimodal",))
 def image_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode → color stats + aHash via Arrow-batched mapInPandas
-    (operators/multimodal.py; codec stubbed deterministically)."""
-    media = mm.synth_media_from_documents(t(spark, sf_dir, "documents"))
+    """Image decode → color stats + aHash over TIER-1 payloads: real BMP
+    bytes (deterministic per-id gradients, synth_real_media) through the
+    pure-numpy BMP codec and Arrow-batched mapInPandas
+    (operators/multimodal.py). Oracle = the generated expected-feature
+    VALUES table — exact integer-pixel means and aHash bits, so the
+    whole encode→batch→decode→feature path is value-hash-checked
+    end-to-end against an implementation that shares none of the
+    plumbing (tools/gen_mm1_oracle.py)."""
+    media = mm.synth_real_media(t(spark, sf_dir, "documents"))
     return mm.extract_image_features(media)
 
 

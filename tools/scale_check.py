@@ -273,6 +273,47 @@ def audit_candidate_ratio(spark) -> None:
             )
         return cands.count(), QUERIES[name].spark(spark, sf_dir).count()
 
+    def substr_counts(name: str, sf_dir: str) -> tuple[int, int]:
+        """ExactSubstr family: candidates = positional co-occurrence rows
+        after the df-cap (the join output the prefix-filter bounds);
+        emitted = the machinery's qualifying output — report: pair rows;
+        scrub: qualifying islands (runs ≥ min_run), the spans the scrub
+        acts on. (The scrub's FINAL output is doc-bounded — merged
+        intervals per doc — so islands are the right numerator-tracking
+        denominator; the merge is the compaction step.)"""
+        from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
+
+        docs = t(spark, sf_dir, "documents")
+        shc = dedup.positioned_hash_index(
+            docs, "doc_id", "text", k=ic._SUBSTR_K, max_df=ic._SUBSTR_DF_CAP
+        )
+        cand = (
+            shc.alias("x")
+            .join(shc.alias("y"), "h")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.col("x.pos").alias("pa"),
+                (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+            )
+        )
+        n_cand = cand.count()
+        if name == "shared_substring_spans":
+            emitted = QUERIES[name].spark(spark, sf_dir).count()
+        else:  # scrub: qualifying islands
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+            emitted = (
+                cand.withColumn("island", F.col("pa") - F.row_number().over(w))
+                .groupBy("doc_a", "doc_b", "diag", "island")
+                .agg(F.count("*").alias("run_len"))
+                .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
+                .count()
+            )
+        return n_cand, emitted
+
     # docs-only blow-ups: self-contained (the audit can run standalone
     # via `python -c "...audit_candidate_ratio(spark)"` without the full
     # SLICE build)
@@ -290,6 +331,60 @@ def audit_candidate_ratio(spark) -> None:
         for label, d in dirs:
             c, o = counts(name, d)
             print(f"| {name} | {label} | {c} | {o} | {c / max(o, 1):.2f} |")
+    for name in ("shared_substring_spans", "scrub_duplicated_spans"):
+        for label, d in dirs:
+            c, o = substr_counts(name, d)
+            print(f"| {name} | {label} | {c} | {o} | {c / max(o, 1):.2f} |")
+    print("""
+ExactSubstr rows: candidates = positional co-occurrences surviving the
+df-cap; emitted = pair rows (report) / qualifying ≥min_run islands
+(scrub) — the c²-growing TRUE span mass under the c-copy blow-up. The
+scrub's final output is doc-bounded (intervals merge per doc), so its
+cand:out tracks the island set the scrub acts on, not the merged rows.""")
+
+    # Three-decade COLD wall-clock for the four banded dedups (r7 verdict
+    # #4): the SLICE above measures 1x/10x warm; these rows re-measure
+    # 1x/10x/30x with the session index/eval caches cleared before every
+    # run, so the linear tokenize+hash+index build — the dominant term a
+    # cluster parallelizes — is inside the measurement at every scale.
+    from open_data_lakehouse_demo_spark.plans.inventory_corpus import (
+        clear_substr_index_cache,
+    )
+
+    def run_cold(name: str, sf_dir: str, n: int = 3) -> float:
+        ts = []
+        for _ in range(n + 1):  # first run warms scans/JIT, not the index
+            clear_substr_index_cache()
+            df = QUERIES[name].spark(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts[1:])
+
+    print("\n## Banded dedups: three-decade cold timing\n")
+    print("Index/eval caches cleared per run (full build + query at every")
+    print("scale; fixed 32 cores ⇒ linear work ⇒ ratio ≈ copies):\n")
+    print("| query | 1x s | 10x s | 30x s | 10x ratio | 30x ratio |")
+    print("|---|---|---|---|---|---|")
+    for name in (
+        "minhash_lsh_dups",
+        "incremental_near_dups",
+        "shared_substring_spans",
+        "scrub_duplicated_spans",
+    ):
+        b = run_cold(name, SRC)
+        m = run_cold(name, dirs[1][1])
+        g = run_cold(name, dirs[2][1])
+        print(
+            f"| {name} | {b:.2f} | {m:.2f} | {g:.2f} "
+            f"| {m / b:.1f}x | {g / b:.1f}x |"
+        )
+    print("""
+A flat cand:out ratio plus sub-copies time ratios across BOTH decades is
+the measured form of the scaling argument: candidate generation tracks
+true duplicate mass (never corpus²), and wall-clock grows at most
+linearly with data on fixed cores — the property that survives a 1000×
+cluster scale-out.""")
 
 
 if __name__ == "__main__":
