@@ -292,13 +292,18 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
                 mid = int(r.media_id)
                 if r.kind == "image":
                     w, h = 32 + mid % 16 * 8, 24 + mid % 9 * 8
+                    # mid enters the pixel math only mod 256; normalize
+                    # up front so huge ids (scale blow-ups offset ids by
+                    # 1e9 per copy) can't overflow the uint16 kernel
+                    # under NumPy 2's strict python-int casting
+                    m256 = mid % 256
                     xx = np.arange(w, dtype=np.uint16)
                     yy = np.arange(h, dtype=np.uint16)[:, None]
                     arr = np.stack(
                         [
-                            ((xx + yy + mid) % 256).astype(np.uint8),
-                            ((2 * xx + mid) % 256 + 0 * yy).astype(np.uint8),
-                            ((3 * yy + mid) % 256 + 0 * xx).astype(np.uint8),
+                            ((xx + yy + m256) % 256).astype(np.uint8),
+                            ((2 * xx + m256) % 256 + 0 * yy).astype(np.uint8),
+                            ((3 * yy + m256) % 256 + 0 * xx).astype(np.uint8),
                         ],
                         axis=2,
                     )

@@ -294,3 +294,42 @@ def test_scrub_shared_spans_merges_overlapping_intervals(spark):
     assert got[3]["n_tokens_removed"] == 14
     assert got[3]["clean_text"] == "pre post"
     assert got[1]["n_tokens_removed"] == 0 and got[2]["n_tokens_removed"] == 0
+
+
+def test_shared_index_param_matches_internal_build(spark):
+    """r8: report and scrub accept a caller-owned positioned_hash_index
+    (the sharing that lets one materialized pass feed both, and that
+    inventory_corpus caches per session). Passing the shared index must
+    be result-identical to each path building its own."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        positioned_hash_index,
+        scrub_shared_spans,
+        shared_substring_runs,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "zeta eta " + span + " theta iota kappa"),
+            (3, "one more " + span + " trailing words here"),
+            (4, "completely different words nothing shared here at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    idx = positioned_hash_index(docs, "doc_id", "text", k=4, max_df=20)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    own = shared_substring_runs(docs, "doc_id", "text", k=4, min_run=4)
+    shared = shared_substring_runs(docs, "doc_id", "text", k=4, min_run=4, index=idx)
+    assert rows(own) == rows(shared) and shared.count() == 3  # pairs (1,2)(1,3)(2,3)
+
+    own_s = scrub_shared_spans(docs, "doc_id", "text", k=4, min_run=4)
+    shared_s = scrub_shared_spans(docs, "doc_id", "text", k=4, min_run=4, index=idx)
+    assert rows(own_s) == rows(shared_s)
+    # keep-first: doc 1 keeps its copy, docs 2 and 3 lose the span
+    by_id = {r["doc_id"]: r for r in shared_s.collect()}
+    assert by_id[1]["n_spans"] == 0 and by_id[2]["n_spans"] == 1
+    assert by_id[3]["n_spans"] == 1 and by_id[4]["n_spans"] == 0

@@ -66,6 +66,8 @@ SLICE = [
     ("ivf_pq_topk", "IVF-pruned ADC over inverted code lists"),
     ("sq_int8_topk", "int8-quantized asymmetric L2 broadcast search"),
     ("bloom_decontaminate", "map-side Bloom membership + exact audit arm"),
+    ("benchmark_decontaminate", "single-scan InSet n-gram decontamination (r8 shape)"),
+    ("image_feature_extract", "tier-1 BMP decode + exact feature reduction (mapInPandas)"),
     ("scd2_priority_history", "single-shuffle gaps-and-islands SCD2 build"),
     ("touch_attribution", "24h range join + checkpointed channel rollup"),
     ("customer_value_deciles", "two-phase prefix-sum decile ranking"),
