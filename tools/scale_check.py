@@ -204,7 +204,13 @@ Notes on reading specific rows:
   are linear; scoring is the product term). Exhaustive ADC is the
   re-ranking/serving primitive; the scale path for full-corpus search is
   the IVF+PQ composition (ivf_pq_topk, ~1× here: nprobe/n_centroids
-  pruning holds the per-probe scored set flat).""")
+  pruning holds the per-probe scored set flat).
+- Cache-backed rows (the ExactSubstr pair, trained-ANN family) follow the
+  bench warm policy: the session index cache is populated by the warm-up
+  run, so their SLICE ratios measure the SEARCH/join stage only. The
+  'three-decade cold timing' table below re-measures the ExactSubstr
+  family fully cold (caches cleared, clock spanning construction) so the
+  index build is priced at every scale.""")
 
     audit_candidate_ratio(spark)
 
@@ -239,6 +245,8 @@ def audit_candidate_ratio(spark) -> None:
     verdict follow-up #6); a rising ratio would mean band collisions are
     outpacing true duplicates (the quadratic failure mode banding
     exists to prevent)."""
+    import gc
+
     from pyspark.sql import functions as F
 
     from open_data_lakehouse_demo_spark.operators import dedup
@@ -275,19 +283,28 @@ def audit_candidate_ratio(spark) -> None:
             )
         return cands.count(), QUERIES[name].spark(spark, sf_dir).count()
 
-    def substr_counts(name: str, sf_dir: str) -> tuple[int, int]:
-        """ExactSubstr family: candidates = positional co-occurrence rows
-        after the df-cap (the join output the prefix-filter bounds);
-        emitted = the machinery's qualifying output — report: pair rows;
-        scrub: qualifying islands (runs ≥ min_run), the spans the scrub
-        acts on. (The scrub's FINAL output is doc-bounded — merged
-        intervals per doc — so islands are the right numerator-tracking
-        denominator; the merge is the compaction step.)"""
+    def substr_counts(sf_dir: str, copies: int) -> tuple[int, int]:
+        """ExactSubstr machinery (shared by report + scrub, which differ
+        only downstream of the islands): candidates = positional
+        co-occurrence rows after the df-cap; matched = co-occurrence
+        rows inside qualifying (run ≥ min_run) islands — Σ run_len, the
+        TRUE span mass at position granularity. Both grow ~c² under the
+        c-copy blow-up, so a stable ratio = candidates track true span
+        mass, not corpus². The df-cap SCALES with the copy factor
+        (max_df · c): the cap is a relative boilerplate threshold — the
+        c-copy fixture gives every shingle df ≥ c, so a fixed absolute
+        cap saturates by construction at c > max_df (every true dup
+        becomes 'boilerplate'), which measures the fixture, not the
+        operator. Production contract per the operator docstring: cap
+        set relative to expected duplication multiplicity."""
+        from pyspark.sql import Window
+
         from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
 
         docs = t(spark, sf_dir, "documents")
         shc = dedup.positioned_hash_index(
-            docs, "doc_id", "text", k=ic._SUBSTR_K, max_df=ic._SUBSTR_DF_CAP
+            docs, "doc_id", "text", k=ic._SUBSTR_K,
+            max_df=ic._SUBSTR_DF_CAP * copies,
         )
         cand = (
             shc.alias("x")
@@ -301,20 +318,16 @@ def audit_candidate_ratio(spark) -> None:
             )
         )
         n_cand = cand.count()
-        if name == "shared_substring_spans":
-            emitted = QUERIES[name].spark(spark, sf_dir).count()
-        else:  # scrub: qualifying islands
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-            emitted = (
-                cand.withColumn("island", F.col("pa") - F.row_number().over(w))
-                .groupBy("doc_a", "doc_b", "diag", "island")
-                .agg(F.count("*").alias("run_len"))
-                .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
-                .count()
-            )
-        return n_cand, emitted
+        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+        matched = (
+            cand.withColumn("island", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "island")
+            .agg(F.count("*").alias("run_len"))
+            .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
+            .agg(F.sum("run_len"))
+            .collect()[0][0]
+        )
+        return n_cand, int(matched or 0)
 
     # docs-only blow-ups: self-contained (the audit can run standalone
     # via `python -c "...audit_candidate_ratio(spark)"` without the full
@@ -333,60 +346,84 @@ def audit_candidate_ratio(spark) -> None:
         for label, d in dirs:
             c, o = counts(name, d)
             print(f"| {name} | {label} | {c} | {o} | {c / max(o, 1):.2f} |")
-    for name in ("shared_substring_spans", "scrub_duplicated_spans"):
-        for label, d in dirs:
-            c, o = substr_counts(name, d)
-            print(f"| {name} | {label} | {c} | {o} | {c / max(o, 1):.2f} |")
+    for (label, d), copies in zip(dirs, (1, COPIES, 30)):
+        c, o = substr_counts(d, copies)
+        print(f"| exact_substr (report+scrub) | {label} | {c} | {o} "
+              f"| {c / max(o, 1):.2f} |")
     print("""
-ExactSubstr rows: candidates = positional co-occurrences surviving the
-df-cap; emitted = pair rows (report) / qualifying ≥min_run islands
-(scrub) — the c²-growing TRUE span mass under the c-copy blow-up. The
-scrub's final output is doc-bounded (intervals merge per doc), so its
-cand:out tracks the island set the scrub acts on, not the merged rows.""")
+exact_substr rows (the machinery shared by shared_substring_spans and
+scrub_duplicated_spans, which differ only downstream of the islands):
+candidates = positional co-occurrences surviving the df-cap; emitted =
+co-occurrences inside qualifying ≥min_run islands (Σ run_len, the true
+span mass) — both grow ~c² under the c-copy blow-up, so the stable
+ratio is the non-quadratic-candidates property. The df-cap scales with
+the copy factor (20·c): it is a RELATIVE boilerplate threshold, and the
+c-copy fixture gives every shingle df ≥ c, so a fixed absolute cap
+saturates by construction once c exceeds it (everything true becomes
+'boilerplate' and the operator correctly emits nothing — measured, but
+it measures the fixture).""")
 
     # Three-decade COLD wall-clock for the four banded dedups (r7 verdict
     # #4): the SLICE above measures 1x/10x warm; these rows re-measure
     # 1x/10x/30x with the session index/eval caches cleared before every
     # run, so the linear tokenize+hash+index build — the dominant term a
     # cluster parallelizes — is inside the measurement at every scale.
-    from open_data_lakehouse_demo_spark.plans.inventory_corpus import (
-        clear_substr_index_cache,
-    )
+    from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
 
-    def run_cold(name: str, sf_dir: str, n: int = 3) -> float:
+    def run_cold(build, sf_dir: str, copies: int, n: int = 3) -> float:
+        """Median of n FULLY-COLD runs: session caches cleared and the
+        clock started BEFORE plan construction, so eager index
+        materializations (the substr positioned-hash table, the minhash
+        signature table) are inside the window — this table exists to
+        price the build the SLICE's warm policy excludes."""
         ts = []
-        for _ in range(n + 1):  # first run warms scans/JIT, not the index
-            clear_substr_index_cache()
-            df = QUERIES[name].spark(spark, sf_dir)
+        for _ in range(n + 1):  # first run warms scans/JIT only
+            ic.clear_substr_index_cache()
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            build(sf_dir, copies).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
+        gc.collect()
         return statistics.median(ts[1:])
 
+    def _q(name):
+        return lambda sf_dir, copies: QUERIES[name].spark(spark, sf_dir)
+
+    def _substr(fn):
+        # direct operator call with the decade-scaled df-cap (see the
+        # audit note above; the registered query's fixed cap saturates
+        # at 30 copies by fixture construction)
+        return lambda sf_dir, copies: fn(
+            t(spark, sf_dir, "documents"), "doc_id", "text",
+            k=ic._SUBSTR_K, min_run=ic._SUBSTR_MIN_RUN,
+            max_df=ic._SUBSTR_DF_CAP * copies,
+        )
+
+    cold_rows = [
+        ("minhash_lsh_dups", _q("minhash_lsh_dups")),
+        ("incremental_near_dups", _q("incremental_near_dups")),
+        ("shared_substring_spans (cap 20c)", _substr(dedup.shared_substring_runs)),
+        ("scrub_duplicated_spans (cap 20c)", _substr(dedup.scrub_shared_spans)),
+    ]
     print("\n## Banded dedups: three-decade cold timing\n")
-    print("Index/eval caches cleared per run (full build + query at every")
-    print("scale; fixed 32 cores ⇒ linear work ⇒ ratio ≈ copies):\n")
+    print("Fully-cold runs (caches cleared, clock spans plan construction,")
+    print("so eager index materializations are priced in; fixed 32 cores ⇒")
+    print("linear work ⇒ ratio ≈ copies):\n")
     print("| query | 1x s | 10x s | 30x s | 10x ratio | 30x ratio |")
     print("|---|---|---|---|---|---|")
-    for name in (
-        "minhash_lsh_dups",
-        "incremental_near_dups",
-        "shared_substring_spans",
-        "scrub_duplicated_spans",
-    ):
-        b = run_cold(name, SRC)
-        m = run_cold(name, dirs[1][1])
-        g = run_cold(name, dirs[2][1])
+    for name, build in cold_rows:
+        b = run_cold(build, SRC, 1)
+        m = run_cold(build, dirs[1][1], COPIES)
+        g = run_cold(build, dirs[2][1], 30)
         print(
             f"| {name} | {b:.2f} | {m:.2f} | {g:.2f} "
             f"| {m / b:.1f}x | {g / b:.1f}x |"
         )
     print("""
-A flat cand:out ratio plus sub-copies time ratios across BOTH decades is
-the measured form of the scaling argument: candidate generation tracks
-true duplicate mass (never corpus²), and wall-clock grows at most
-linearly with data on fixed cores — the property that survives a 1000×
-cluster scale-out.""")
+A stable cand:out ratio plus sub-copies time ratios across BOTH decades
+is the measured form of the scaling argument: candidate generation
+tracks true duplicate mass (never corpus²), and wall-clock grows at
+most linearly with data on fixed cores — the property that survives a
+1000× cluster scale-out.""")
 
 
 if __name__ == "__main__":
