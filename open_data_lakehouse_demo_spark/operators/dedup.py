@@ -783,6 +783,21 @@ def scrub_shared_spans(
             (F.col("x.pos") - F.col("y.pos")).alias("diag"),
         )
     )
+    return _scrub_apply(df, cand, id_col, text_col, k, min_run)
+
+
+def _scrub_apply(
+    target: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_run: int,
+) -> DataFrame:
+    """Shared scrub tail: positional co-occurrences (doc_a, doc_b, pa,
+    diag) → diagonal islands → per-doc merged 1-based token intervals →
+    map-side indexed token filter over ``target``. Every ``target`` doc
+    comes back; only docs appearing as doc_b in qualifying runs shrink."""
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = (
         cand.withColumn("island", F.col("pa") - F.row_number().over(w))
@@ -822,7 +837,7 @@ def scrub_shared_spans(
         ),
     )
     return (
-        df.join(per_doc, df[id_col] == per_doc["doc"], "left")
+        target.join(per_doc, target[id_col] == per_doc["doc"], "left")
         .select(
             F.col(id_col).alias("doc_id"),
             F.when(F.col("iv").isNull(), F.col(text_col))
@@ -835,6 +850,71 @@ def scrub_shared_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def scrub_batch_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 4,
+    max_df: int = 20,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr scrub — the DD9 batch-vs-index pattern
+    applied to the DD8 ACTION: scrub ONLY a newly-ingested ``batch``
+    against the full corpus (existing docs + the batch itself), leaving
+    the existing corpus untouched. This is the steady-state ingest shape
+    at 100 TB: the accumulated corpus is orders of magnitude larger than
+    a day's batch, and rewriting it per batch is not an option — new
+    docs get their copy-pasted spans cut, first writers keep theirs.
+
+    EQUIVALENCE CONTRACT (tested + oracle-checked): output rows are
+    identical to ``scrub_shared_spans(corpus ∪ batch, ...)`` restricted
+    to batch docs — keep-first policy is doc-id-based (doc_a < doc_b),
+    so a batch doc's merged intervals are the same whether the partner
+    side was scanned as "index" or "full corpus". The deliberate
+    asymmetry: an EXISTING doc with a HIGHER id than a batch doc is not
+    retro-scrubbed (a full rebuild would cut it; here the corpus is
+    immutable) — the id order makes that a rare inversion under
+    monotonic ingest ids. The df-cap is likewise computed over the full
+    corpus (a production deployment maintains the per-shingle df as a
+    maintained aggregate/sketch instead of recomputing — same values,
+    incremental cost).
+
+    Scale shape: the positional self-join is ONE-SIDED — x-side the full
+    index, y-side only the batch's positioned hashes — so the join
+    output is bounded by the batch's true shared-span mass, not the
+    corpus's. The full-corpus terms are the index scan (or a cached/
+    logged index table passed via ``index``) and the df-cap aggregate;
+    both linear, neither quadratic.
+
+    ``corpus`` and ``batch`` must be disjoint on ``id_col``; ``index``
+    (optional) is positioned_hash_index(corpus ∪ batch) built with the
+    same (k, max_df) — pass it when several batches or the report path
+    share one session.
+    """
+    union = corpus.unionByName(batch)
+    shc = (
+        positioned_hash_index(union, id_col, text_col, k=k, max_df=max_df)
+        if index is None
+        else index
+    )
+    batch_ids = batch.select(F.col(id_col).alias("doc"))
+    shc_batch = shc.join(batch_ids, "doc")
+    cand = (
+        shc.alias("x")
+        .join(shc_batch.alias("y"), "h")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+        )
+    )
+    return _scrub_apply(batch, cand, id_col, text_col, k, min_run)
 
 
 def minhash_lsh_pairs(

@@ -870,6 +870,42 @@ def scrub_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle = the full-corpus scrub restricted to the batch: keep-first is
+# id-based, so a batch doc's merged intervals are identical whether the
+# partner side is called "index" or "full corpus" (the operator's
+# equivalence contract).
+_SCRUB_INCR_ORACLE = f"""
+SELECT * FROM (
+{_SCRUB_ORACLE}
+) WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "incremental_scrub_batch",
+    ("DD8", "DD9", "PIPE1"),
+    oracle=_SCRUB_INCR_ORACLE,
+    tags=("dedup", "pipeline"),
+)
+def incremental_scrub_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr scrub (operators/dedup.py
+    scrub_batch_incremental): scrub ONLY the newly-ingested batch
+    (doc_id % 10 == 0, the incremental_near_dups split) against the full
+    corpus — the steady-state ingest shape where the accumulated corpus
+    is never rewritten and new docs lose their copy-pasted spans to
+    first writers. One-sided positional join (index side full, batch
+    side 10%), sharing the session's cached positioned-hash index with
+    the report and full-scrub queries — one index, three consumers."""
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.scrub_batch_incremental(
+        corpus, batch, "doc_id", "text",
+        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+        index=_substr_index(spark, sf_dir),
+    )
+
+
 _PACK_SEQ_LEN = 2048
 
 _PACK_ORACLE = rf"""

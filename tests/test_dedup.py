@@ -333,3 +333,66 @@ def test_shared_index_param_matches_internal_build(spark):
     by_id = {r["doc_id"]: r for r in shared_s.collect()}
     assert by_id[1]["n_spans"] == 0 and by_id[2]["n_spans"] == 1
     assert by_id[3]["n_spans"] == 1 and by_id[4]["n_spans"] == 0
+
+
+def test_incremental_scrub_matches_full_scrub_on_batch(spark):
+    """scrub_batch_incremental's equivalence contract: output rows are
+    identical to the full-corpus scrub restricted to batch docs (keep-
+    first is id-based, so partner provenance — index vs full corpus —
+    cannot change a batch doc's merged intervals)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        scrub_batch_incremental,
+        scrub_shared_spans,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "alpha beta gamma " + span + " delta epsilon"),       # corpus
+        (2, "zeta eta " + span + " theta iota kappa"),            # corpus dup
+        (3, "completely different words nothing shared here ok"),  # corpus
+        (10, "new doc one " + span + " trailing tokens here now"),  # batch dup
+        (11, "fresh unrelated material with no overlap at all"),   # batch
+        (12, "two copies " + span + " and " + span + " again yes"),  # batch 2 spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    batch = docs.filter("doc_id >= 10")
+    corpus = docs.filter("doc_id < 10")
+
+    incr = scrub_batch_incremental(corpus, batch, "doc_id", "text", k=4, min_run=4)
+    full = scrub_shared_spans(docs, "doc_id", "text", k=4, min_run=4).filter(
+        "doc_id >= 10"
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(incr) == key(full)
+    by_id = {r["doc_id"]: r for r in incr.collect()}
+    assert set(by_id) == {10, 11, 12}  # batch rows only, all of them
+    assert by_id[10]["n_spans"] == 1 and by_id[10]["n_tokens_removed"] == 10
+    assert by_id[11]["n_spans"] == 0
+    assert by_id[12]["n_spans"] >= 1 and "s0" not in by_id[12]["clean_text"]
+
+
+def test_incremental_scrub_leaves_corpus_out_and_uses_batch_partners(spark):
+    """Batch docs also scrub against EACH OTHER (the union is the partner
+    side): a span shared only within the batch is still cut from the
+    higher-id batch doc, and no corpus doc ever appears in the output."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        scrub_batch_incremental,
+    )
+
+    span = " ".join(f"b{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, "corpus text with nothing shared anywhere at all"),
+            (20, "first batch doc " + span + " tail words"),
+            (21, "second batch doc " + span + " other tail"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = scrub_batch_incremental(
+        docs.filter("doc_id < 10"), docs.filter("doc_id >= 10"),
+        "doc_id", "text", k=4, min_run=4,
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert set(by_id) == {20, 21}
+    assert by_id[20]["n_spans"] == 0  # lower id keeps its copy
+    assert by_id[21]["n_spans"] == 1 and "b0" not in by_id[21]["clean_text"]
