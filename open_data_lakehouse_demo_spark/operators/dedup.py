@@ -638,16 +638,32 @@ def positioned_hash_index(
     inventory_vectors caches the trained-IVF index. Three narrow columns
     per token occurrence; the text itself is NOT pinned, and materialize's
     localCheckpoint blocks are memory-AND-DISK (spill, not OOM)."""
-    from open_data_lakehouse_demo_spark.sources.io import materialize, spread
+    return _cap_index(_positioned_hashes(df, id_col, text_col, k), max_df)
+
+
+def _positioned_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Raw UNCAPPED positioned shingle hashes (doc, pos, h) — the
+    persistable form (build/append_substr_index_logged store exactly
+    this: the df-cap is a query-time decision because per-shingle df
+    grows as the corpus does)."""
+    from open_data_lakehouse_demo_spark.sources.io import spread
 
     toks = spread(
         df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
     )
-    sh = (
+    return (
         toks.filter(F.size("tk") >= k)
         .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
         .select("doc", "pos", token_hash(F.col("s")).alias("h"))
     )
+
+
+def _cap_index(sh: DataFrame, max_df: int) -> DataFrame:
+    """df-cap + materialize a (doc, pos, h) relation: three consumers
+    downstream (the cap aggregate and both join sides) and Catalyst does
+    not reuse the exchange across them."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
     rare = sh.groupBy("h").agg(F.count_distinct("doc").alias("d")).filter(
         F.col("d") <= max_df
     )
@@ -901,6 +917,20 @@ def scrub_batch_incremental(
         if index is None
         else index
     )
+    return _scrub_batch_from_shc(shc, batch, id_col, text_col, k, min_run)
+
+
+def _scrub_batch_from_shc(
+    shc: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_run: int,
+) -> DataFrame:
+    """One-sided scrub core: x-side the full capped index, y-side only
+    the batch's rows of it — join output bounded by the batch's true
+    shared-span mass, then the shared islands→intervals→filter tail."""
     batch_ids = batch.select(F.col(id_col).alias("doc"))
     shc_batch = shc.join(batch_ids, "doc")
     cand = (
@@ -915,6 +945,86 @@ def scrub_batch_incremental(
         )
     )
     return _scrub_apply(batch, cand, id_col, text_col, k, min_run)
+
+
+def build_substr_index_logged(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> int:
+    """The ExactSubstr positioned-hash index as a SNAPSHOT-VERSIONED
+    logged table (sources/table_log.py) — the persistent form of the
+    session-cached index the report/scrub/incremental queries share, with
+    the table-format contracts an always-on ingest pipeline needs: atomic
+    visibility of each appended batch, time-travel scrubs against any
+    prior index version, exactly-once streaming appends (idempotent txn),
+    compaction/vacuum. Mirrors the IVF-SQ8 logged index
+    (operators/quantization.py build_sq8_ivf_index_logged).
+
+    Stores the UNCAPPED (doc, pos, h) rows: per-shingle document
+    frequency grows as the corpus does, so the df-cap is applied at
+    query time by scrub_batch_logged — persisting a capped index would
+    freeze yesterday's notion of boilerplate. Returns snapshot id 0."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    return tl.create(
+        docs.sparkSession, path, _positioned_hashes(docs, id_col, text_col, k)
+    )
+
+
+def append_substr_index_logged(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incremental index maintenance: tokenize ONLY the new batch and
+    append its positioned hashes as ONE atomic snapshot — per-batch work
+    scales with the batch; concurrent scrubs see the old or the new
+    index, never a mix; ``txn=(writer, version)`` makes a replayed
+    streaming micro-batch a no-op (table_log.append's exactly-once
+    contract). Returns the new snapshot id."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    return tl.append(
+        spark, path, _positioned_hashes(batch, id_col, text_col, k), txn=txn
+    )
+
+
+def scrub_batch_logged(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_run: int = 4,
+    max_df: int = 20,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr scrub against a PINNED snapshot of the
+    logged index (default latest): the batch's own hashes are computed
+    fresh and any batch rows already present in the index are excluded
+    first (anti-join on batch ids), so the result is identical whether
+    the caller scrubs before or after appending the batch — the
+    order-independence an ingest pipeline needs when scrub and append
+    are separate jobs. Semantics = scrub_batch_incremental (same
+    keep-first contract, df-cap over index ∪ batch computed at query
+    time against the pinned snapshot)."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    batch_ids = batch.select(F.col(id_col).alias("doc"))
+    idx_sh = tl.read(spark, path, snapshot=snapshot).join(
+        batch_ids, "doc", "left_anti"
+    )
+    b_sh = _positioned_hashes(batch, id_col, text_col, k)
+    shc = _cap_index(idx_sh.unionByName(b_sh), max_df)
+    return _scrub_batch_from_shc(shc, batch, id_col, text_col, k, min_run)
 
 
 def minhash_lsh_pairs(

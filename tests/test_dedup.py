@@ -396,3 +396,71 @@ def test_incremental_scrub_leaves_corpus_out_and_uses_batch_partners(spark):
     assert set(by_id) == {20, 21}
     assert by_id[20]["n_spans"] == 0  # lower id keeps its copy
     assert by_id[21]["n_spans"] == 1 and "b0" not in by_id[21]["clean_text"]
+
+
+def test_logged_substr_index_scrub_order_independent(spark, tmp_path):
+    """Snapshot-versioned ExactSubstr index (build/append/scrub_logged):
+    scrubbing a batch gives the same rows as scrub_batch_incremental
+    whether it runs BEFORE or AFTER the batch is appended to the index
+    (fresh batch hashes + anti-join dedupe), an idempotent-txn re-append
+    is a no-op, and a scrub pinned to the pre-append snapshot still
+    sees the same corpus partners."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "plain corpus text with no shared overlap at all"),
+            (10, "new doc one " + span + " trailing tokens here now"),
+            (11, "fresh unrelated material with no overlap anywhere"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    corpus = docs.filter("doc_id < 10")
+    batch = docs.filter("doc_id >= 10")
+    path = str(tmp_path / "substr_idx")
+
+    assert dedup.build_substr_index_logged(corpus, path) == 0
+    want = sorted(
+        tuple(r)
+        for r in dedup.scrub_batch_incremental(
+            corpus, batch, "doc_id", "text", k=4, min_run=4
+        ).collect()
+    )
+
+    # scrub BEFORE append
+    got_pre = sorted(
+        tuple(r)
+        for r in dedup.scrub_batch_logged(spark, path, batch, k=4, min_run=4).collect()
+    )
+    assert got_pre == want
+
+    # append (exactly-once txn), then scrub AFTER — identical
+    s1 = dedup.append_substr_index_logged(spark, path, batch, txn=("ingest", 1))
+    assert s1 == 1
+    assert dedup.append_substr_index_logged(spark, path, batch, txn=("ingest", 1)) == 1
+    got_post = sorted(
+        tuple(r)
+        for r in dedup.scrub_batch_logged(spark, path, batch, k=4, min_run=4).collect()
+    )
+    assert got_post == want
+
+    # time travel: pin the pre-append snapshot — same partners, same rows
+    got_pinned = sorted(
+        tuple(r)
+        for r in dedup.scrub_batch_logged(
+            spark, path, batch, k=4, min_run=4, snapshot=0
+        ).collect()
+    )
+    assert got_pinned == want
+    # the appended index serves a SECOND batch against corpus ∪ batch1
+    batch2 = spark.createDataFrame(
+        [(20, "second wave " + span + " more words after")],
+        "doc_id BIGINT, text STRING",
+    )
+    got2 = {r["doc_id"]: r for r in dedup.scrub_batch_logged(
+        spark, path, batch2, k=4, min_run=4
+    ).collect()}
+    assert got2[20]["n_spans"] == 1 and "s0" not in got2[20]["clean_text"]
