@@ -110,3 +110,61 @@ def ivf_ingest_stream(
         F.col(vec_col).alias("vec"),
         sim.norm(F.col(vec_col)).alias("nrm"),
     )
+
+
+def init_scrub_ingest(spark, index_path: str, clean_path: str, like: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Create the two logged tables scrub-at-ingest maintains: the
+    positioned-hash index (empty snapshot 0) and the curated clean-docs
+    table (scrub output schema). ``like`` supplies the document schema
+    (any DataFrame with id/text columns; no rows are read)."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    empty = like.limit(0)
+    tl.create(spark, index_path, dedup._positioned_hashes(empty, id_col, text_col, 4))
+    tl.create(
+        spark, clean_path,
+        dedup.scrub_batch_incremental(empty, empty, id_col, text_col),
+    )
+
+
+def scrub_ingest_handler(spark, index_path: str, clean_path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 4, min_run: int = 4, max_df: int = 20,
+                         writer: str = "scrub-ingest"):
+    """foreachBatch handler for EXACTLY-ONCE ExactSubstr curation at
+    ingest: each micro-batch is scrubbed against the accumulated logged
+    index (operators/dedup.py scrub_batch_logged), the clean rows land in
+    the curated table, and the batch's positioned hashes append to the
+    index — BOTH appends carry txn=(writer, batch_id), so a replayed
+    micro-batch after a crash is a no-op on whichever append already
+    committed.
+
+    Crash-replay determinism is exactly scrub_batch_logged's
+    order-independence contract: the scrub computes the batch's hashes
+    fresh and anti-joins its ids out of the index read, so recomputing a
+    batch whose index append DID survive the crash yields the identical
+    clean rows the first attempt produced (tested). Combined with the
+    id-based keep-first policy and monotonic ingest ids, the curated
+    table converges to the same rows a full-corpus batch scrub would
+    emit — per-batch cost, never a corpus rewrite.
+
+    Wire with ``docs_stream.writeStream.foreachBatch(handler)`` (see
+    streaming/job.py run_pipeline for the trigger/checkpoint wiring).
+    """
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        clean = dedup.scrub_batch_logged(
+            spark, index_path, batch_df, id_col, text_col,
+            k=k, min_run=min_run, max_df=max_df,
+        )
+        tl.append(spark, clean_path, clean, txn=(writer, batch_id))
+        dedup.append_substr_index_logged(
+            spark, index_path, batch_df, id_col, text_col, k=k,
+            txn=(writer, batch_id),
+        )
+
+    return handle

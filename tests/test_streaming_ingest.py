@@ -182,3 +182,68 @@ def test_ivf_ingest_stream_matches_batch_assignment(spark, tmp_path):
     # every list id is one of the trained codebook's centroids
     assigned = {r["centroid_id"] for r in out.select("centroid_id").distinct().collect()}
     assert assigned <= set(vids)
+
+
+def test_scrub_ingest_pipeline_exactly_once(spark, tmp_path):
+    """Scrub-at-ingest (streaming/ingest.py scrub_ingest_handler): two
+    micro-batches through a real foreachBatch stream — the curated table
+    must equal the FULL-corpus batch scrub (monotonic ids make per-batch
+    incremental scrubs compose to exactly that), and a replayed
+    micro-batch must be a no-op on both logged tables."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.streaming.ingest import (
+        init_scrub_ingest,
+        scrub_ingest_handler,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    b1 = [
+        (1, "alpha beta gamma " + span + " delta epsilon"),
+        (2, "plain first-wave text with no overlap at all"),
+    ]
+    b2 = [
+        (10, "second wave copy " + span + " trailing tokens"),
+        (11, "fresh unrelated material nothing shared anywhere"),
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two separate files + maxFilesPerTrigger=1 → two micro-batches
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f1.parquet")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f2.parquet")
+
+    idx, clean = str(tmp_path / "idx"), str(tmp_path / "clean")
+    init_scrub_ingest(spark, idx, clean, spark.createDataFrame([], schema))
+    handler = scrub_ingest_handler(spark, idx, clean)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        tuple(r)
+        for r in dedup.scrub_shared_spans(all_docs, "doc_id", "text").collect()
+    )
+    got = sorted(tuple(r) for r in tl.read(spark, clean).collect())
+    assert got == want  # per-batch scrubs composed to the full-corpus scrub
+    assert {r[0] for r in got} == {1, 2, 10, 11}
+
+    # replay the last micro-batch: both appends are txn no-ops
+    s_idx, s_clean = tl._list_snapshots(idx)[-1], tl._list_snapshots(clean)[-1]
+    handler(spark.createDataFrame(b2, schema), 1)
+    assert tl._list_snapshots(idx)[-1] == s_idx
+    assert tl._list_snapshots(clean)[-1] == s_clean
+    assert sorted(tuple(r) for r in tl.read(spark, clean).collect()) == want
