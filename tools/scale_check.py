@@ -55,6 +55,7 @@ SLICE = [
     ("packed_example_assignment", "prefix-sum example routing"),
     ("ann_recall_sweep", "single-sort multi-nprobe recall curve"),
     ("incremental_near_dups", "batch-vs-index band join"),
+    ("incremental_scrub_batch", "one-sided batch-vs-corpus ExactSubstr scrub (r8)"),
     ("pii_scrub_profile", "map-only regex scrub (linear ceiling)"),
     ("funnel_conversion", "single-shuffle windowFunnel arrays"),
     ("cms_heavy_hitters", "mergeable CMS cells + broadcast read-out"),
