@@ -53,11 +53,16 @@ def _inventory():
 # 2-round-union coverage AND that every diff-affected query is in the
 # next artifact before every snapshot.
 _FORCE_FRESH: list[str] = [
-    # r8: the one red r7 driver row (hash_match false; locally green 4/4
-    # at sf0.01 AND green in the sf0.1 sweep) — its r7-fresh timestamp
-    # means staleness alone would NOT re-record it, so pin it until a
-    # green driver row lands (VERDICT r7 item #1).
+    # r9: BOTH red r8 driver rows (hash_match false; locally green at
+    # sf0.01 AND in the sf0.1 sweep, every round). Their r8-fresh
+    # timestamps mean staleness alone would NOT re-record them, so they
+    # stay pinned until a green driver row lands (VERDICT r8 item #1).
+    # r9 rewrote their oracles onto the driver-proven construct set
+    # (inventory_corpus.py _SCRUB_ORACLE) and added the scrub_spans_meta
+    # / scrub_text_digest canaries (never-recorded → auto-prioritized)
+    # so a further red round bisects itself.
     "scrub_duplicated_spans",
+    "incremental_scrub_batch",
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -158,6 +158,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as the held-out eval set the corpus must not leak).
 _BENCH_MOD = 97
 _DECON_N = 8  # 8-gram overlap, the common decontamination window
+# max eval-shingle hashes compiled into an InSet literal before the
+# query falls back to the broadcast semi-join twin (dedup.decontaminate)
+_DECON_INSET_MAX = 100_000
 
 # (applicationId, sf_dir) → sorted distinct benchmark shingle hashes for
 # the exact decontamination's InSet literal (see benchmark_decontaminate;
@@ -241,6 +244,19 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(_DECON_EVAL_CACHE) >= 8:
             _DECON_EVAL_CACHE.clear()
         _DECON_EVAL_CACHE[key] = bench_hashes
+
+    if not bench_hashes:
+        # empty eval split (tiny/empty fixture): nothing can be
+        # contaminated — and `h IN ()` would be a SQL parse error
+        return corpus.select("doc_id", "lang", "source")
+    if len(bench_hashes) > _DECON_INSET_MAX:
+        # BOUNDED-EVAL CONTRACT enforced (the docstring's ≲10^5 limit):
+        # past a job-shippable literal count, fall back to the broadcast
+        # semi-join twin with identical semantics
+        bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        return dedup.decontaminate(
+            corpus, bench, "doc_id", "text", n=_DECON_N
+        ).select("doc_id", "lang", "source")
 
     n_sh = _DECON_N - 1
     shingles_sql = (
@@ -413,6 +429,12 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _BLOOM_EVAL_CACHE.clear()
         _BLOOM_EVAL_CACHE[key] = cached
     sketch_words, bench_hashes = cached
+    if not bench_hashes:
+        # empty eval split: no member shingles → nothing flags (and the
+        # IN-list / bloom conjuncts below would not even parse)
+        return corpus.select(
+            "doc_id", F.lit(False).alias("false_positive")
+        ).limit(0)
 
     # ONE corpus pass computes both flags per shingle — no crossJoin, no
     # broadcast-build rounds, no second scan (each of those cost a
@@ -781,7 +803,14 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCRUB_ORACLE = rf"""
+# Shared oracle CTE chain for the ExactSubstr ACTION family: tokens →
+# positioned 32-bit shingle hashes → df-cap → inverted-index
+# co-occurrences → diagonal islands ≥ min_run → doc_b token intervals →
+# per-doc merged intervals (miv). Byte-identical to _SUBSTR_ORACLE's
+# chain through `cand`, which the driver has proven green
+# (shared_substring_spans, r7); three consumers append different tails
+# below (full scrub, and the two r9 bisecting canaries).
+_MIV_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
   FROM documents
@@ -825,25 +854,44 @@ miv AS (
              THEN 1 ELSE 0 END AS ng
       FROM iv)
   ) GROUP BY doc, grp
-),
-tokpos AS (
-  SELECT doc_id, i AS pos, tk[i] AS tok
-  FROM toks, unnest(range(1, len(tk) + 1)) t(i)
-  WHERE doc_id IN (SELECT doc FROM miv)
+)
+"""
+
+# Scrub tail, rewritten r9 for driver portability (VERDICT r8 item #1):
+# the r7/r8 tail was red in the driver for two consecutive rounds while
+# green in every local configuration, and it was the ONLY oracle in the
+# inventory using a correlated NOT EXISTS, string_agg(... ORDER BY ...),
+# or single-element list indexing tk[i] — the most version-sensitive
+# constructs in play. This tail eliminates all three: per-doc merged
+# intervals collect to a list (order-irrelevant — it is only probed for
+# coverage) and an index-aware list_filter keeps tokens outside every
+# interval, so token order comes from the token array itself, never from
+# an ordered aggregate or a re-sorted explode. It mirrors the Spark plan
+# (operators/dedup.py _scrub_apply: sort_array(collect_list(struct)) +
+# indexed F.filter/F.exists) construct-for-construct. COALESCE because
+# array_to_string([]) is NULL where concat_ws gives '' (fully-scrubbed
+# docs). tests/test_inventory_oracle.py::test_scrub_oracle_rewrite_equiv
+# pins this tail ≡ the legacy r7/r8 tail under local DuckDB.
+_SCRUB_ORACLE = _MIV_CTES + """,
+mivl AS (
+  SELECT doc, list({'s': s, 'e': e}) AS ivs,
+         COUNT(*) AS n_spans, SUM(e - s + 1) AS removed
+  FROM miv GROUP BY doc
 ),
 scrubbed AS (
-  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
-  FROM tokpos tp
-  WHERE NOT EXISTS (SELECT 1 FROM miv m WHERE m.doc = tp.doc_id AND tp.pos BETWEEN m.s AND m.e)
-  GROUP BY tp.doc_id
-),
-spanstats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed FROM miv GROUP BY doc)
+  SELECT t.doc_id,
+         COALESCE(array_to_string(
+           list_filter(t.tk, (x, i) ->
+             len(list_filter(m.ivs, v -> i >= v.s AND i <= v.e)) = 0),
+           ' '), '') AS clean,
+         m.n_spans, m.removed
+  FROM toks t JOIN mivl m ON t.doc_id = m.doc
+)
 SELECT d.doc_id,
-  CASE WHEN ss.doc IS NULL THEN d.text ELSE COALESCE(sc.clean, '') END AS clean_text,
-  COALESCE(ss.n_spans, 0) AS n_spans,
-  COALESCE(ss.removed, 0) AS n_tokens_removed
+  CASE WHEN sc.doc_id IS NULL THEN d.text ELSE sc.clean END AS clean_text,
+  COALESCE(sc.n_spans, 0) AS n_spans,
+  COALESCE(sc.removed, 0) AS n_tokens_removed
 FROM documents d
-LEFT JOIN spanstats ss ON d.doc_id = ss.doc
 LEFT JOIN scrubbed sc ON d.doc_id = sc.doc_id
 """
 
@@ -904,6 +952,79 @@ def incremental_scrub_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
         index=_substr_index(spark, sf_dir),
     )
+
+
+# --- r9 bisecting canaries (VERDICT r8 item #2) -----------------------------
+# scrub_duplicated_spans was hash-red in the driver for two consecutive
+# rounds while green in every local reproduction. These two queries split
+# its output channel so a further red round localizes itself:
+#   meta green + digest green + full red → driver-side canonicalization of
+#     long string values;
+#   meta green + digest red             → text-reconstruction divergence;
+#   meta red                            → interval/window logic divergence
+#     in the driver's DuckDB.
+# The meta oracle uses ONLY constructs the driver has proven green (the
+# shared_substring_spans chain + LEFT JOIN/COALESCE); the digest oracle
+# adds the rewritten reconstruction but hashes a 32-char md5 instead of
+# shipping the full text through the compare.
+
+_SCRUB_META_ORACLE = _MIV_CTES + """,
+spanstats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed FROM miv GROUP BY doc)
+SELECT d.doc_id,
+  COALESCE(ss.n_spans, 0) AS n_spans,
+  COALESCE(ss.removed, 0) AS n_tokens_removed
+FROM documents d
+LEFT JOIN spanstats ss ON d.doc_id = ss.doc
+"""
+
+
+@query(
+    "scrub_spans_meta",
+    ("DD8",),
+    oracle=_SCRUB_META_ORACLE,
+    tags=("dedup",),
+)
+def scrub_spans_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr scrub, intervals only — (doc_id, n_spans,
+    n_tokens_removed) with no text column. Canary A for the
+    scrub_duplicated_spans driver divergence: exercises the full
+    detection + interval-merge pipeline through an oracle built solely
+    from constructs the driver has proven green, so a red row here means
+    the interval logic itself diverges (not text handling)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.scrub_shared_spans(
+        docs, "doc_id", "text",
+        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+        index=_substr_index(spark, sf_dir),
+    ).select("doc_id", "n_spans", "n_tokens_removed")
+
+
+_SCRUB_DIGEST_ORACLE = f"""
+SELECT doc_id, md5(clean_text) AS clean_md5 FROM (
+{_SCRUB_ORACLE}
+)
+"""
+
+
+@query(
+    "scrub_text_digest",
+    ("DD8",),
+    oracle=_SCRUB_DIGEST_ORACLE,
+    tags=("dedup",),
+)
+def scrub_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr scrub, text as digest — (doc_id, md5(clean_text)).
+    Canary B for the scrub_duplicated_spans driver divergence: same
+    reconstruction as the full query, but the value crossing the
+    driver's hash compare is a fixed 32-char hex digest, removing long
+    string canonicalization from the channel. Green here + red on the
+    full query isolates the divergence to value canonicalization."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.scrub_shared_spans(
+        docs, "doc_id", "text",
+        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+        index=_substr_index(spark, sf_dir),
+    ).select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"))
 
 
 _PACK_SEQ_LEN = 2048

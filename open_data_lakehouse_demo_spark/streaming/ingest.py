@@ -113,19 +113,23 @@ def ivf_ingest_stream(
 
 
 def init_scrub_ingest(spark, index_path: str, clean_path: str, like: DataFrame,
-                      id_col: str = "doc_id", text_col: str = "text") -> None:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 4) -> None:
     """Create the two logged tables scrub-at-ingest maintains: the
     positioned-hash index (empty snapshot 0) and the curated clean-docs
     table (scrub output schema). ``like`` supplies the document schema
-    (any DataFrame with id/text columns; no rows are read)."""
+    (any DataFrame with id/text columns; no rows are read). ``k`` is
+    forwarded for symmetry with scrub_ingest_handler — the (doc, pos, h)
+    index schema itself is k-independent, but init and handler should
+    be configured from the same value."""
     from open_data_lakehouse_demo_spark.operators import dedup
     from open_data_lakehouse_demo_spark.sources import table_log as tl
 
     empty = like.limit(0)
-    tl.create(spark, index_path, dedup._positioned_hashes(empty, id_col, text_col, 4))
+    tl.create(spark, index_path, dedup._positioned_hashes(empty, id_col, text_col, k))
     tl.create(
         spark, clean_path,
-        dedup.scrub_batch_incremental(empty, empty, id_col, text_col),
+        dedup.scrub_batch_incremental(empty, empty, id_col, text_col, k=k),
     )
 
 
@@ -152,6 +156,15 @@ def scrub_ingest_handler(spark, index_path: str, clean_path: str,
 
     Wire with ``docs_stream.writeStream.foreachBatch(handler)`` (see
     streaming/job.py run_pipeline for the trigger/checkpoint wiring).
+
+    RETIREMENT CAVEAT: the two appends are separate commits sharing one
+    txn id. A crash BETWEEN them leaves the curated table containing a
+    batch whose hashes are absent from the index — convergence relies on
+    the checkpointed stream actually REPLAYING that micro-batch (the
+    replay's clean append no-ops, the index append completes). A stream
+    retired for good after such a crash permanently misses that batch's
+    spans for future partners; restart the stream (even with no new
+    input) before retiring it.
     """
     from open_data_lakehouse_demo_spark.operators import dedup
     from open_data_lakehouse_demo_spark.sources import table_log as tl

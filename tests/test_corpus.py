@@ -147,3 +147,38 @@ def test_hash_split_stable_under_corpus_growth(spark):
     cnt = Counter(full.values())
     assert set(cnt) == {"train", "val", "test"}
     assert cnt["train"] > cnt["val"] and cnt["train"] > cnt["test"]
+
+
+def test_decontaminate_empty_eval_split(spark, tmp_path):
+    """ADVICE r8: a fixture whose eval split (doc_id % 97 == 0) is empty
+    must return the corpus unchanged, not throw a SQL parse error from
+    an empty IN-list — for both the exact InSet path and the bloom
+    variant's flag query (which correctly flags nothing)."""
+    import open_data_lakehouse_demo_spark.plans.inventory_corpus as ic
+
+    docs = spark.createDataFrame(
+        [(i, "en", "web", "alpha beta gamma delta " * 5) for i in (1, 2, 3, 98)],
+        "doc_id long, lang string, source string, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = QUERIES["benchmark_decontaminate"].spark(spark, sf)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 98]
+    bloom = QUERIES["bloom_decontaminate"].spark(spark, sf)
+    assert bloom.count() == 0
+    ic.clear_decon_eval_cache()
+    ic.clear_bloom_eval_cache()
+
+
+def test_decontaminate_inset_cap_falls_back_to_semi_join(spark, monkeypatch):
+    """Past the job-shippable literal-count cap the exact path must
+    switch to the broadcast semi-join twin — same rows either way."""
+    import open_data_lakehouse_demo_spark.plans.inventory_corpus as ic
+
+    q = QUERIES["benchmark_decontaminate"]
+    want = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    ic.clear_decon_eval_cache()
+    monkeypatch.setattr(ic, "_DECON_INSET_MAX", 1)
+    got = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    ic.clear_decon_eval_cache()
+    assert got == want

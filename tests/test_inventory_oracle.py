@@ -31,6 +31,46 @@ def test_conservation_invariant_is_empty(spark):
     assert QUERIES["hourly_conservation_check"].spark(spark, SF_DIR).count() == 0
 
 
+def test_scrub_oracle_rewrite_equiv(duck):
+    """r9 rewrote the ExactSubstr scrub oracle tail for driver
+    portability (VERDICT r8 item #1: drop the correlated NOT EXISTS,
+    string_agg(ORDER BY), and tk[i] — the constructs unique to the two
+    driver-red rows). This pins the rewritten _SCRUB_ORACLE ≡ the legacy
+    r7/r8 tail under local DuckDB, so the rewrite provably did not move
+    the oracle's semantics."""
+    from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
+
+    legacy = ic._MIV_CTES + """,
+tokpos AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM toks, unnest(range(1, len(tk) + 1)) t(i)
+  WHERE doc_id IN (SELECT doc FROM miv)
+),
+scrubbed AS (
+  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM miv m WHERE m.doc = tp.doc_id AND tp.pos BETWEEN m.s AND m.e)
+  GROUP BY tp.doc_id
+),
+spanstats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed FROM miv GROUP BY doc)
+SELECT d.doc_id,
+  CASE WHEN ss.doc IS NULL THEN d.text ELSE COALESCE(sc.clean, '') END AS clean_text,
+  COALESCE(ss.n_spans, 0) AS n_spans,
+  COALESCE(ss.removed, 0) AS n_tokens_removed
+FROM documents d
+LEFT JOIN spanstats ss ON d.doc_id = ss.doc
+LEFT JOIN scrubbed sc ON d.doc_id = sc.doc_id
+"""
+    old = sorted(duck.execute(legacy).fetchall())
+    new = sorted(duck.execute(ic._SCRUB_ORACLE).fetchall())
+    assert old == new
+    # the incremental variant wraps _SCRUB_ORACLE, so its equivalence
+    # follows; assert anyway (cheap) in case the wrapper ever forks
+    old_incr = [r for r in old if r[0] % 10 == 0]
+    new_incr = sorted(duck.execute(ic._SCRUB_INCR_ORACLE).fetchall())
+    assert old_incr == new_incr
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
