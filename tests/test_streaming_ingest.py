@@ -247,3 +247,87 @@ def test_scrub_ingest_pipeline_exactly_once(spark, tmp_path):
     assert tl._list_snapshots(idx)[-1] == s_idx
     assert tl._list_snapshots(clean)[-1] == s_clean
     assert sorted(tuple(r) for r in tl.read(spark, clean).collect()) == want
+
+
+def test_scrub_ingest_matches_incremental_scrub_per_batch(spark, tmp_path):
+    """VERDICT r8 item #6: tie the T13 scrub-at-ingest handler to the
+    ORACLE-CHECKED surface the way the T2/T3 twins do — each micro-batch's
+    appended clean rows must equal dedup.scrub_batch_incremental (the
+    incremental_scrub_batch query's operator) run with corpus = all
+    earlier batches and batch = this micro-batch, under monotonic ids.
+    Includes an IN-batch partner pair (both sides arriving in one
+    micro-batch) and a cross-batch partner, so both index sources (the
+    logged prior batches + the batch's fresh hashes) are exercised."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.streaming.ingest import (
+        init_scrub_ingest,
+        scrub_ingest_handler,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    span2 = " ".join(f"t{i}" for i in range(9))
+    span3 = " ".join(f"u{i}" for i in range(8))
+    batches = [
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "first wave " + span2 + " no other overlap"),
+        ],
+        [
+            (10, "second wave copy " + span + " trailing tokens"),
+            # in-batch partners: span3 is new this batch and 11 < 12,
+            # so 12 loses its copy to 11 within ONE micro-batch
+            (11, "left partner " + span3 + " tail left"),
+            (12, "right partner " + span3 + " tail right"),
+        ],
+        [
+            (20, "third wave hits both " + span + " and " + span2 + " here"),
+            (21, "nothing shared in the third wave closer"),
+        ],
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}.parquet"
+        )
+
+    idx, clean = str(tmp_path / "idx"), str(tmp_path / "clean")
+    init_scrub_ingest(spark, idx, clean, spark.createDataFrame([], schema))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*.parquet")
+        .writeStream.foreachBatch(scrub_ingest_handler(spark, idx, clean))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # one clean-table snapshot per micro-batch (plus the empty create)
+    snaps = tl._list_snapshots(clean)
+    assert len(snaps) == len(batches) + 1
+    for i, b in enumerate(batches):
+        after = {r[0]: tuple(r) for r in tl.read(spark, clean, snaps[i + 1]).collect()}
+        before = set(tl.read(spark, clean, snaps[i]).select("doc_id").toPandas()["doc_id"])
+        delta = sorted(v for k, v in after.items() if k not in before)
+        corpus = spark.createDataFrame(
+            sum(batches[:i], []) or [], schema
+        )
+        batch = spark.createDataFrame(b, schema)
+        want = sorted(
+            tuple(r)
+            for r in dedup.scrub_batch_incremental(
+                corpus, batch, "doc_id", "text"
+            ).collect()
+        )
+        assert delta == want, f"micro-batch {i} diverged from incremental scrub"
+    # sanity: the in-batch keep-first actually cut something (doc 12),
+    # and the cross-batch partner cut doc 10 and doc 20
+    final = {r["doc_id"]: r["n_tokens_removed"] for r in tl.read(spark, clean).collect()}
+    assert final[12] > 0 and final[11] == 0
+    assert final[10] > 0 and final[20] > 0
