@@ -211,3 +211,134 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {(n, find(n)) for n in parent}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr scrub vs a brute-force reference (r9: the driver-red area
+# gets an oracle that is independent of BOTH engines' SQL dialects)
+# ---------------------------------------------------------------------------
+
+def _brute_scrub(docs: list[tuple[int, str]], k: int, min_run: int,
+                 max_df: int) -> list[tuple[int, str, int, int]]:
+    """Pure-Python reference for operators/dedup.py scrub_shared_spans:
+    positioned k-shingles (string equality, no hashing), df-cap, maximal
+    same-diagonal runs >= min_run, keep-first interval cut from the
+    higher id, merge overlapping/adjacent intervals, token-join clean
+    text (untouched docs keep their ORIGINAL text verbatim)."""
+    toks = {d: t.split() for d, t in docs}
+    sh = {
+        d: [" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)]
+        for d, tk in toks.items() if len(tk) >= k
+    }
+    df_count: dict[str, set] = {}
+    for d, ss in sh.items():
+        for s in ss:
+            df_count.setdefault(s, set()).add(d)
+    ok = {s for s, ds in df_count.items() if len(ds) <= max_df}
+    intervals: dict[int, list[tuple[int, int]]] = {}
+    ids = sorted(sh)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            sa, sb = sh[a], sh[b]
+            for diag in range(-(len(sb) - 1), len(sa)):
+                run = 0
+                for pb in range(len(sb)):
+                    pa = pb + diag
+                    hit = 0 <= pa < len(sa) and sa[pa] == sb[pb] and sa[pa] in ok
+                    if hit:
+                        run += 1
+                    if (not hit or pb == len(sb) - 1) and run >= min_run:
+                        pb0 = (pb if hit else pb - 1) - run + 1
+                        intervals.setdefault(b, []).append(
+                            (pb0, pb0 + run + k - 2)
+                        )
+                    if not hit:
+                        run = 0
+    out = []
+    for d, t in docs:
+        if d not in intervals:
+            out.append((d, t, 0, 0))
+            continue
+        merged: list[list[int]] = []
+        for s, e in sorted(intervals[d]):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        cut = {i for s, e in merged for i in range(s, e + 1)}
+        clean = " ".join(tok for i, tok in enumerate(toks[d]) if i not in cut)
+        out.append((d, clean, len(merged), len(cut)))
+    return sorted(out)
+
+
+@st_.composite
+def _scrub_corpora(draw):
+    """3-6 docs over a tiny alphabet, with a shared span planted into a
+    random subset so the scrub path always has work; plus occasional
+    empty/short docs for the <k-token edge."""
+    words = ["a", "b", "c", "d", "e"]
+    n_docs = draw(st_.integers(3, 6))
+    span_len = draw(st_.integers(7, 10))
+    span = draw(st_.lists(st_.sampled_from(words), min_size=span_len,
+                          max_size=span_len))
+    docs = []
+    for i in range(n_docs):
+        body = draw(st_.lists(st_.sampled_from(words), min_size=0, max_size=12))
+        if draw(st_.booleans()):
+            pos = draw(st_.integers(0, len(body)))
+            body = body[:pos] + span + body[pos:]
+        docs.append((i * 7 + draw(st_.integers(0, 6)) % 7 + i * 100,
+                     " ".join(body)))
+    # distinct ids guaranteed by the i*100 stride
+    max_df = draw(st_.sampled_from([2, 20]))
+    return docs, max_df
+
+
+@given(corpus=_scrub_corpora())
+@settings(max_examples=12, deadline=None)
+def test_scrub_shared_spans_matches_bruteforce(spark, corpus):
+    """scrub_shared_spans (inverted index + diagonal islands + window
+    interval-merge + indexed token filter) must equal the O(n²·len²)
+    brute force on small corpora — the dialect-independent oracle for
+    the ExactSubstr ACTION semantics (Lee et al. 2107.06499 §4
+    keep-first behavior)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import scrub_shared_spans
+
+    docs, max_df = corpus
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in scrub_shared_spans(
+            sdf, "doc_id", "text", k=4, min_run=4, max_df=max_df
+        ).collect()
+    )
+    assert got == _brute_scrub(docs, k=4, min_run=4, max_df=max_df)
+
+
+@given(corpus=_scrub_corpora(), mod=st_.integers(2, 4))
+@settings(max_examples=8, deadline=None)
+def test_incremental_scrub_equals_full_scrub_restricted(spark, corpus, mod):
+    """The incremental scrub's equivalence contract, as a property over
+    ARBITRARY disjoint splits (not just the query's %10): batch rows of
+    scrub_batch_incremental(corpus, batch) == scrub_shared_spans(all)
+    restricted to batch ids — keep-first is id-based, so a batch doc's
+    partners are the same whichever side they arrived on."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        scrub_batch_incremental,
+        scrub_shared_spans,
+    )
+
+    docs, max_df = corpus
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = sdf.filter(f"doc_id % {mod} = 0")
+    rest = sdf.filter(f"doc_id % {mod} != 0")
+    want = sorted(
+        tuple(r) for r in scrub_shared_spans(
+            sdf, "doc_id", "text", k=4, min_run=4, max_df=max_df
+        ).filter(f"doc_id % {mod} = 0").collect()
+    )
+    got = sorted(
+        tuple(r) for r in scrub_batch_incremental(
+            rest, batch, "doc_id", "text", k=4, min_run=4, max_df=max_df
+        ).collect()
+    )
+    assert got == want
