@@ -783,6 +783,31 @@ def scrub_shared_spans(
     generation, so boilerplate beyond the cap is not scrubbed — the
     standard hot-key guard.
     """
+    return apply_scrub_intervals(
+        df,
+        shared_span_intervals(
+            df, id_col, text_col, k=k, min_run=min_run, max_df=max_df,
+            index=index,
+        ),
+        id_col,
+        text_col,
+    )
+
+
+def shared_span_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_run: int = 4,
+    max_df: int = 20,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """The cacheable half of scrub_shared_spans: full-corpus positional
+    co-occurrences → per-doc merged keep-first intervals
+    (scrub_intervals output, span-mass-sized). Callers sharing one scrub
+    pass across several consumers materialize THIS relation — never the
+    reconstructed text (plans/inventory_corpus.py _scrub_result)."""
     shc = (
         positioned_hash_index(df, id_col, text_col, k=k, max_df=max_df)
         if index is None
@@ -799,21 +824,21 @@ def scrub_shared_spans(
             (F.col("x.pos") - F.col("y.pos")).alias("diag"),
         )
     )
-    return _scrub_apply(df, cand, id_col, text_col, k, min_run)
+    return scrub_intervals(cand, k, min_run)
 
 
-def _scrub_apply(
-    target: DataFrame,
-    cand: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    min_run: int,
-) -> DataFrame:
-    """Shared scrub tail: positional co-occurrences (doc_a, doc_b, pa,
-    diag) → diagonal islands → per-doc merged 1-based token intervals →
-    map-side indexed token filter over ``target``. Every ``target`` doc
-    comes back; only docs appearing as doc_b in qualifying runs shrink."""
+def scrub_intervals(cand: DataFrame, k: int, min_run: int) -> DataFrame:
+    """Positional co-occurrences (doc_a, doc_b, pa, diag) → per-doc
+    MERGED 1-based token intervals: diagonal islands ≥ ``min_run``,
+    keep-first cut assigned to doc_b, classic running-max interval
+    merge, collected to one small array row per affected doc —
+    (doc, iv: array<struct<s,e>>, n_spans).
+
+    This relation is span-mass-sized (never corpus-sized: only affected
+    docs appear, with spans-per-doc-sized arrays), which makes it the
+    RIGHT thing to materialize/persist when several consumers share one
+    scrub pass — the document text is deliberately NOT part of it (the
+    same no-text-pinning rule as positioned_hash_index)."""
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = (
         cand.withColumn("island", F.col("pa") - F.row_number().over(w))
@@ -822,7 +847,8 @@ def _scrub_apply(
         .filter(F.col("run_len") >= min_run)
     )
     # posexplode positions are 0-based; intervals are kept 1-based to
-    # match the indexed filter() below (and the DuckDB oracle's unnest)
+    # match the indexed filter() in apply_scrub_intervals (and the
+    # DuckDB oracle's unnest)
     intervals = runs.select(
         F.col("doc_b").alias("doc"),
         (F.col("pa0") - F.col("diag") + 1).alias("s"),
@@ -841,10 +867,20 @@ def _scrub_apply(
     merged = grouped.groupBy("doc", "grp").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
-    per_doc = merged.groupBy("doc").agg(
+    return merged.groupBy("doc").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
         F.count("*").alias("n_spans"),
     )
+
+
+def apply_scrub_intervals(
+    target: DataFrame, per_doc: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Map-side scrub application: join ``target`` to the small per-doc
+    interval relation (AQE broadcasts it when it lands small) and keep
+    tokens outside every interval with an indexed filter(). Every
+    ``target`` doc comes back; untouched docs keep their ORIGINAL text
+    verbatim. One pass over the text, no extra shuffle of target rows."""
     tk = tokenize(F.col(text_col))
     keep = F.filter(
         tk,
@@ -865,6 +901,20 @@ def _scrub_apply(
             .cast("long")
             .alias("n_tokens_removed"),
         )
+    )
+
+
+def _scrub_apply(
+    target: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_run: int,
+) -> DataFrame:
+    """Shared scrub tail: scrub_intervals → apply_scrub_intervals."""
+    return apply_scrub_intervals(
+        target, scrub_intervals(cand, k, min_run), id_col, text_col
     )
 
 

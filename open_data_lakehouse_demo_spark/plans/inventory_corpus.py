@@ -230,17 +230,26 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     bench_hashes = _DECON_EVAL_CACHE.get(key)
     if bench_hashes is None:
-        bench_hashes = sorted(
-            r["h"]
-            for r in docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        bench_sh = (
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
             .select(
                 F.explode(
                     dedup.shingle_hash_set(F.col("text"), _DECON_N)
                 ).alias("h")
             )
             .distinct()
-            .collect()
         )
+        # BOUNDED-EVAL CONTRACT enforced BEFORE any driver-side collect
+        # (the guard would be useless after it): a cap-bounded probe job
+        # decides the path, so an oversized eval split never ships its
+        # hash set to the driver at all — it takes the broadcast
+        # semi-join twin with identical semantics instead.
+        if bench_sh.limit(_DECON_INSET_MAX + 1).count() > _DECON_INSET_MAX:
+            bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+            return dedup.decontaminate(
+                corpus, bench, "doc_id", "text", n=_DECON_N
+            ).select("doc_id", "lang", "source")
+        bench_hashes = sorted(r["h"] for r in bench_sh.collect())
         if len(_DECON_EVAL_CACHE) >= 8:
             _DECON_EVAL_CACHE.clear()
         _DECON_EVAL_CACHE[key] = bench_hashes
@@ -249,14 +258,6 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty eval split (tiny/empty fixture): nothing can be
         # contaminated — and `h IN ()` would be a SQL parse error
         return corpus.select("doc_id", "lang", "source")
-    if len(bench_hashes) > _DECON_INSET_MAX:
-        # BOUNDED-EVAL CONTRACT enforced (the docstring's ≲10^5 limit):
-        # past a job-shippable literal count, fall back to the broadcast
-        # semi-join twin with identical semantics
-        bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        return dedup.decontaminate(
-            corpus, bench, "doc_id", "text", n=_DECON_N
-        ).select("doc_id", "lang", "source")
 
     n_sh = _DECON_N - 1
     shingles_sql = (
@@ -749,7 +750,58 @@ def _substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _SUBSTR_INDEX_CACHE[key]
 
-_SUBSTR_ORACLE = rf"""
+
+# (applicationId, sf_dir, k, min_run, max_df) → the materialized
+# full-corpus MERGED-INTERVAL relation (dedup.shared_span_intervals:
+# doc, iv array, n_spans — span-mass-sized, only affected docs appear),
+# shared by the three consumers that apply it (scrub_duplicated_spans
+# and the two r9 canaries): the islands→merge shuffle work is paid once
+# per session, while each consumer re-runs the MAP-SIDE text
+# reconstruction over the documents scan. The text itself is never
+# pinned — materialize()'s no-fact-rows rule and the index cache's
+# no-text rule both hold; this is exactly the relation a production
+# multi-consumer scrub persists between its detect and apply stages.
+# Sharing also sharpens the canary bisect: all three queries derive
+# from ONE interval computation, so e.g. digest-green + full-red in a
+# driver round can only be the handling of the long clean_text values.
+# Same immutable-fixture contract + register_views clear hook as
+# _SUBSTR_INDEX_CACHE.
+_SCRUB_RESULT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_scrub_result_cache() -> None:
+    _SCRUB_RESULT_CACHE.clear()
+
+
+def _scrub_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus scrub output (doc_id, clean_text, n_spans,
+    n_tokens_removed): map-side application of the session-cached
+    merged-interval relation."""
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir,
+           _SUBSTR_K, _SUBSTR_MIN_RUN, _SUBSTR_DF_CAP)
+    if key not in _SCRUB_RESULT_CACHE:
+        if len(_SCRUB_RESULT_CACHE) >= 8:
+            _SCRUB_RESULT_CACHE.clear()
+        _SCRUB_RESULT_CACHE[key] = materialize(
+            dedup.shared_span_intervals(
+                t(spark, sf_dir, "documents"), "doc_id", "text",
+                k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
+                index=_substr_index(spark, sf_dir),
+            )
+        )
+    return dedup.apply_scrub_intervals(
+        t(spark, sf_dir, "documents"), _SCRUB_RESULT_CACHE[key],
+        "doc_id", "text",
+    )
+
+# The tokens → positioned 32-bit shingle hashes → df-cap →
+# inverted-index co-occurrences chain shared by EVERY ExactSubstr
+# oracle (the report and the whole ACTION family). One constant, so the
+# report's driver-proven-green chain and the scrub family's chain
+# cannot drift apart by a one-sided edit (r9 review finding).
+_SUBSTR_CAND_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
   FROM documents
@@ -766,7 +818,9 @@ cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
   FROM shc a JOIN shc b USING (h)
   WHERE a.doc_id < b.doc_id
-),
+)"""
+
+_SUBSTR_ORACLE = _SUBSTR_CAND_CTES + rf""",
 islands AS (
   SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len FROM (
     SELECT doc_a, doc_b, diag, pa,
@@ -803,31 +857,13 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared oracle CTE chain for the ExactSubstr ACTION family: tokens →
-# positioned 32-bit shingle hashes → df-cap → inverted-index
-# co-occurrences → diagonal islands ≥ min_run → doc_b token intervals →
-# per-doc merged intervals (miv). Byte-identical to _SUBSTR_ORACLE's
-# chain through `cand`, which the driver has proven green
-# (shared_substring_spans, r7); three consumers append different tails
-# below (full scrub, and the two r9 bisecting canaries).
-_MIV_CTES = rf"""
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, i AS pos,
-         CAST(('0x' || substring(md5(array_to_string(tk[i:i+{_SUBSTR_K - 1}], ' ')), 1, 8)) AS BIGINT) AS h
-  FROM toks, unnest(range(1, greatest(len(tk) - {_SUBSTR_K - 1}, 0) + 1)) t(i)
-  WHERE len(tk) >= {_SUBSTR_K}
-),
-dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY h),
-shc AS (SELECT s.* FROM sh s JOIN dfreq USING (h) WHERE dfreq.d <= {_SUBSTR_DF_CAP}),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
-  FROM shc a JOIN shc b USING (h)
-  WHERE a.doc_id < b.doc_id
-),
+# Shared oracle CTE chain for the ExactSubstr ACTION family:
+# _SUBSTR_CAND_CTES (the SAME constant the report's driver-proven-green
+# oracle is built from — shared by construction, no drift possible) →
+# diagonal islands ≥ min_run → doc_b token intervals → per-doc merged
+# intervals (miv). Three consumers append different tails below (full
+# scrub, and the two r9 bisecting canaries).
+_MIV_CTES = _SUBSTR_CAND_CTES + rf""",
 runs AS (
   SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len, MIN(pa) AS pa0 FROM (
     SELECT doc_a, doc_b, diag, pa,
@@ -909,13 +945,13 @@ def scrub_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals cut from the higher-id document, overlapping/adjacent
     intervals merged, docs shrink but never vanish (Lee et al.
     2107.06499 §4's published behavior). Every input doc comes back:
-    (doc_id, clean_text, n_spans, n_tokens_removed)."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.scrub_shared_spans(
-        docs, "doc_id", "text",
-        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
-        index=_substr_index(spark, sf_dir),
-    )
+    (doc_id, clean_text, n_spans, n_tokens_removed).
+
+    r9: reads the session's materialized scrub result (_scrub_result),
+    shared with the scrub_spans_meta / scrub_text_digest canaries —
+    one scrub pass, three consumers (same policy as the positioned-hash
+    index the pass itself consumes)."""
+    return _scrub_result(spark, sf_dir)
 
 
 # Oracle = the full-corpus scrub restricted to the batch: keep-first is
@@ -990,13 +1026,12 @@ def scrub_spans_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub_duplicated_spans driver divergence: exercises the full
     detection + interval-merge pipeline through an oracle built solely
     from constructs the driver has proven green, so a red row here means
-    the interval logic itself diverges (not text handling)."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.scrub_shared_spans(
-        docs, "doc_id", "text",
-        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
-        index=_substr_index(spark, sf_dir),
-    ).select("doc_id", "n_spans", "n_tokens_removed")
+    the interval logic itself diverges (not text handling). Projects the
+    session's shared scrub result — the same rows the full query ships,
+    by construction."""
+    return _scrub_result(spark, sf_dir).select(
+        "doc_id", "n_spans", "n_tokens_removed"
+    )
 
 
 _SCRUB_DIGEST_ORACLE = f"""
@@ -1018,13 +1053,12 @@ def scrub_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction as the full query, but the value crossing the
     driver's hash compare is a fixed 32-char hex digest, removing long
     string canonicalization from the channel. Green here + red on the
-    full query isolates the divergence to value canonicalization."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup.scrub_shared_spans(
-        docs, "doc_id", "text",
-        k=_SUBSTR_K, min_run=_SUBSTR_MIN_RUN, max_df=_SUBSTR_DF_CAP,
-        index=_substr_index(spark, sf_dir),
-    ).select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"))
+    full query isolates the divergence to value canonicalization —
+    sharpened by projecting the session's shared scrub result: the
+    digested rows ARE the full query's rows, one computation."""
+    return _scrub_result(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5")
+    )
 
 
 _PACK_SEQ_LEN = 2048

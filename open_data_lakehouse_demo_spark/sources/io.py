@@ -233,6 +233,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     from open_data_lakehouse_demo_spark.plans.inventory_corpus import (
         clear_bloom_eval_cache,
         clear_decon_eval_cache,
+        clear_scrub_result_cache,
         clear_substr_index_cache,
     )
     from open_data_lakehouse_demo_spark.plans.inventory_vectors import (
@@ -245,6 +246,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     clear_bloom_eval_cache()  # r7: the decontamination eval-set literals
     clear_ivf_index_cache()  # r7: the trained-IVF assignment table
     clear_substr_index_cache()  # r8: the shared ExactSubstr positioned-hash index
+    clear_scrub_result_cache()  # r9: the materialized full-corpus scrub output
     clear_decon_eval_cache()  # r8: the exact-decontamination eval hash literals
     for name in tables:
         read_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)

@@ -251,7 +251,7 @@ def _docs_blowup_linear(spark, copies: int) -> str:
 
     from open_data_lakehouse_demo_spark.sources.io import read_parquet
 
-    dst = f"/tmp/spark-graft-scale{copies}-docs-linear"
+    dst = f"/tmp/spark-graft-scale{copies}-docs-linear2"
     out = f"{dst}/documents.parquet"
     if not os.path.exists(out):
         os.makedirs(dst, exist_ok=True)
@@ -259,6 +259,10 @@ def _docs_blowup_linear(spark, copies: int) -> str:
         span = 10 ** 9
         u = df
         for i in range(1, copies):
+            # 'v{i}_' with the delimiter: prefixes are prefix-FREE, so
+            # two copies can never produce colliding token strings
+            # (plain 'v2'+'1x' would equal 'v21'+'x') — the no-cross-copy
+            # guarantee holds by construction at any copy count
             u = u.unionByName(
                 df.withColumn("doc_id", F.col("doc_id") + i * span)
                 .withColumn(
@@ -266,7 +270,7 @@ def _docs_blowup_linear(spark, copies: int) -> str:
                     F.expr(
                         "array_join(transform("
                         r"filter(split(trim(text), '\\s+'), x -> x != ''),"
-                        f" tok -> concat('v{i}', tok)), ' ')"
+                        f" tok -> concat('v{i}_', tok)), ' ')"
                     ),
                 )
             )
