@@ -52,6 +52,13 @@ def _inventory():
 # tools/driver_sim.py --gate independently asserts the resulting
 # 2-round-union coverage AND that every diff-affected query is in the
 # next artifact before every snapshot.
+#
+# CAPACITY (r9): the inventory stands at 98 queries against a hard
+# 2-round-union ceiling of 100 (two 50-row artifacts). At most TWO more
+# queries can ever be registered without breaking the coverage
+# contract; prefer widening an existing query or adding pytest-only
+# surface, and retire/consolidate a query for each one added beyond
+# that. driver_sim --gate fails loudly if this is violated.
 _FORCE_FRESH: list[str] = [
     # r9: BOTH red r8 driver rows (hash_match false; locally green at
     # sf0.01 AND in the sf0.1 sweep, every round). Their r8-fresh
