@@ -464,3 +464,31 @@ def test_logged_substr_index_scrub_order_independent(spark, tmp_path):
         spark, path, batch2, k=4, min_run=4
     ).collect()}
     assert got2[20]["n_spans"] == 1 and "s0" not in got2[20]["clean_text"]
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    """Degenerate-input hardening (r9): every dedup operator must run on
+    a 0-row corpus and return 0 rows — no window/aggregate/explode path
+    may require at least one row (the first micro-batch of a fresh
+    ingest stream and a filtered-out partition both present exactly
+    this shape)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ops = [
+        dedup.exact_dedup(empty, "doc_id", "text"),
+        dedup.ngram_jaccard_pairs(empty, "doc_id", "text"),
+        dedup.simhash60(empty, "doc_id", "text"),
+        dedup.shared_substring_runs(empty, "doc_id", "text"),
+        dedup.scrub_shared_spans(empty, "doc_id", "text"),
+        dedup.shared_span_intervals(empty, "doc_id", "text"),
+        dedup.scrub_batch_incremental(empty, empty, "doc_id", "text"),
+        dedup.decontaminate(empty, empty, "doc_id", "text"),
+    ]
+    for df in ops:
+        assert df.count() == 0
+    # scrubbing a non-empty batch against an empty corpus passes every
+    # doc through untouched
+    batch = spark.createDataFrame(
+        [(7, "only doc in the whole corpus right now")], "doc_id long, text string"
+    )
+    out = dedup.scrub_batch_incremental(empty, batch, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["n_spans"]) for r in out] == [(7, 0)]

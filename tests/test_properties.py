@@ -342,3 +342,59 @@ def test_incremental_scrub_equals_full_scrub_restricted(spark, corpus, mod):
         ).collect()
     )
     assert got == want
+
+
+def _brute_report(docs: list[tuple[int, str]], k: int, min_run: int,
+                  max_df: int) -> list[tuple[int, int, int, int]]:
+    """Pure-Python reference for shared_substring_runs: per doc pair,
+    the longest same-diagonal run of shared k-shingles (df-capped),
+    reported when >= min_run as (doc_a, doc_b, max_run, span_tokens)."""
+    toks = {d: t.split() for d, t in docs}
+    sh = {
+        d: [" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)]
+        for d, tk in toks.items() if len(tk) >= k
+    }
+    df_count: dict[str, set] = {}
+    for d, ss in sh.items():
+        for s in ss:
+            df_count.setdefault(s, set()).add(d)
+    ok = {s for s, ds in df_count.items() if len(ds) <= max_df}
+    out = []
+    ids = sorted(sh)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            sa, sb = sh[a], sh[b]
+            best = 0
+            for diag in range(-(len(sb) - 1), len(sa)):
+                run = 0
+                for pb in range(len(sb)):
+                    pa = pb + diag
+                    if 0 <= pa < len(sa) and sa[pa] == sb[pb] and sa[pa] in ok:
+                        run += 1
+                        best = max(best, run)
+                    else:
+                        run = 0
+            if best >= min_run:
+                out.append((a, b, best, best + k - 1))
+    return sorted(out)
+
+
+@given(corpus=_scrub_corpora())
+@settings(max_examples=10, deadline=None)
+def test_shared_substring_runs_matches_bruteforce(spark, corpus):
+    """The ExactSubstr REPORT (inverted index + diagonal islands) vs the
+    brute force — completes the dialect-independent oracle pair with
+    test_scrub_shared_spans_matches_bruteforce (same generated corpora,
+    detection side)."""
+    from open_data_lakehouse_demo_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    docs, max_df = corpus
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in shared_substring_runs(
+            sdf, "doc_id", "text", k=4, min_run=4, max_df=max_df
+        ).collect()
+    )
+    assert got == _brute_report(docs, k=4, min_run=4, max_df=max_df)
