@@ -292,6 +292,19 @@ CHECKS = [
         "high-cardinality (pair, diagonal) keys plus two hash aggregates.",
     ),
     (
+        "scrub_duplicated_spans",
+        ["0x:CartesianProduct", "0x:Window", "0x:Generate",
+         "Scan ExistingRDD", "SortMergeJoin|BroadcastHashJoin"],
+        "The ACTION's own plan is the MAP-SIDE apply (r9): one documents "
+        "scan left-joined to the session-materialized merged-interval "
+        "relation (Scan ExistingRDD — span-mass-sized, shared with the "
+        "two canaries), token filtering via HOFs in the projection — no "
+        "window, no generate, no cartesian in the apply; the "
+        "islands/merge windows live in the cached relation's one-time "
+        "build. AQE flips the join to broadcast when the interval side "
+        "lands small.",
+    ),
+    (
         "pii_scrub_profile",
         ["0x:Exchange", "* Project", "0x:BatchEvalPython"],
         "Map-only: every regex pass (detect + redact) is a Column "
