@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.functions.compat import translate_googlesql
 from open_data_lakehouse_demo_spark.sources.io import register_views
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, utc_naive
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -65,8 +65,8 @@ def test_timestamp_add_and_bucket_translate(spark):
            TIMESTAMP_BUCKET(TIMESTAMP '2024-01-01 00:07:21', INTERVAL 5 MINUTE) AS t2
     """
     r = spark.sql(translate_googlesql(gsql)).first()
-    assert r["t1"] == datetime.datetime(2024, 1, 1, 1, 30)
-    assert r["t2"] == datetime.datetime(2024, 1, 1, 0, 5)
+    assert utc_naive(r["t1"]) == datetime.datetime(2024, 1, 1, 1, 30)
+    assert utc_naive(r["t2"]) == datetime.datetime(2024, 1, 1, 0, 5)
 
 
 def test_parse_timestamp_and_offset_translate(spark):
@@ -76,7 +76,7 @@ def test_parse_timestamp_and_offset_translate(spark):
     FROM (SELECT array(10, 20, 30) AS arr)
     """
     r = spark.sql(translate_googlesql(gsql)).first()
-    assert r["ts"] == datetime.datetime(2024, 3, 14, 14, 30)
+    assert utc_naive(r["ts"]) == datetime.datetime(2024, 3, 14, 14, 30)
     assert r["third"] == 30
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark import streaming as st
 from open_data_lakehouse_demo_spark.operators.skew import salted_join
+from tests.conftest import utc_naive
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -116,7 +117,7 @@ def test_windowed_boardings_stream(spark, tmp_path):
     finally:
         q.stop()
     rows = {
-        (r["window_start"].isoformat(), r["bus_line_id"]): (r["boardings"], r["n_updates"])
+        (utc_naive(r["window_start"]).isoformat(), r["bus_line_id"]): (r["boardings"], r["n_updates"])
         for r in spark.read.parquet(out).collect()
     }
     assert rows[("2025-01-01T10:00:00", 1)] == (15, 2)  # 10:01 + 10:03

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark import streaming as st
 from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, utc_naive, utc_str
 from tests.oracle_utils import assert_matches_oracle
 
 
@@ -200,7 +200,7 @@ def test_replay_emission_schedule_rate_contract(spark):
         (b["emit_at"] - a["emit_at"]).total_seconds() for a, b in zip(rows, rows[1:])
     }
     assert deltas == {1.0}  # exactly 1 msg/s, no wall clock involved
-    assert rows[0]["emit_at"].isoformat().startswith("2025-06-02T09:00:00")
+    assert utc_naive(rows[0]["emit_at"]).isoformat().startswith("2025-06-02T09:00:00")
     # emit order is the (timestamp, id) total order; the shifted payload
     # timestamps are monotone along the schedule
     assert [r["id"] for r in rows] == sorted(
@@ -431,7 +431,7 @@ def test_session_window_boardings(spark, dirs, tmp_path):
     finally:
         q.stop()
     rows = {
-        (str(r["session_start"]), r["boardings"], r["n_updates"])
+        (utc_str(r["session_start"]), r["boardings"], r["n_updates"])
         for r in spark.read.parquet(out).collect()
     }
     assert ("2025-01-01 10:00:00", 12, 3) in rows
