@@ -105,6 +105,22 @@ def _read_manifest(path: str, snapshot: int) -> dict:
         return json.load(f)
 
 
+def _epoch_micros(v) -> int:
+    """Epoch microseconds of a datetime — the ONE conversion shared by
+    stats collection, pruning, and literal rendering, so no two sides
+    can disagree. Aware values anchor at the UTC epoch (anchoring at
+    1970-01-01 in the VALUE'S offset — the pre-r9 formula — shifted
+    every non-UTC instant by its own offset); naive values are treated
+    as UTC wall time."""
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    else:
+        epoch = _dt.datetime(1970, 1, 1)
+    return int((v - epoch).total_seconds() * 1_000_000)
+
+
 def _file_column_stats(abs_path: str) -> dict:
     """Per-column (min, max, null_count) from the parquet FOOTER — O(1)
     per file, no column data read. Only flat primitive columns with
@@ -126,11 +142,17 @@ def _file_column_stats(abs_path: str) -> dict:
         min/max and predicate comparison stay plain integer arithmetic —
         event-time predicates are THE common pruning case at scale).
         Returns (value, type_tag) or (None, None) when unsupported."""
+        if isinstance(v, float) and v != v:
+            # NaN bound: unusable, and it must POISON the whole column —
+            # Python's min/max are order-dependent with NaN, so letting
+            # it reach the cross-row-group aggregation below would yield
+            # finite file bounds for a NaN-containing file and wrongly
+            # prune it (Spark orders NaN above every number)
+            return None, None
         if isinstance(v, bool) or isinstance(v, (int, float, str)):
             return v, ""
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return int((v - epoch).total_seconds() * 1_000_000), "ts"
+            return _epoch_micros(v), "ts"
         if isinstance(v, _dt.date):
             return v.toordinal(), "date"
         return None, None
@@ -204,9 +226,36 @@ def _write_data_files(df: DataFrame, path: str, partition_by: list[str] | None) 
     return sorted(rel_files)
 
 
+def _unescape_path_name(s: str) -> str:
+    """Invert Spark's hive-path escaping (ExternalCatalogUtils
+    escapePathName percent-encodes ':', '=', '%', '#', … as %XX):
+    partition VALUES must be compared unescaped, or a predicate on a
+    value containing any escaped char wrongly prunes its own files."""
+    if "%" not in s:
+        return s
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def _coerce_partition_value(v: str):
-    """Hive path segments are strings; coerce numerics so partition
-    'stats' compare correctly against typed predicate values."""
+    """Hive path segments are strings; unescape Spark's path encoding,
+    then coerce numerics so partition 'stats' compare correctly against
+    typed predicate values. Returns None for the NULL-partition marker
+    (no usable bound — pruning must keep the file conservative)."""
+    v = _unescape_path_name(v)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
     for cast in (int, float):
         try:
             return cast(v)
@@ -227,6 +276,9 @@ def _collect_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
             if "=" in seg:
                 k, v = seg.split("=", 1)
                 pv = _coerce_partition_value(v)
+                if pv is None:  # NULL partition: no usable bound
+                    stats.pop(k, None)
+                    continue
                 stats[k] = [pv, pv, 0]
         out[f] = stats
     return out
@@ -260,6 +312,15 @@ class PosixLinkCommit(CommitProtocol):
             os.fsync(f.fileno())
         try:
             os.link(tmp, final_path)
+            # fsync the DIRECTORY too: link(2) creates an entry whose
+            # durability needs the dir synced — without it a power loss
+            # after publish() returns can erase a commit a streaming
+            # checkpoint already recorded as done (lost micro-batch)
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         except FileExistsError as exc:
             raise CommitConflict(f"{final_path} already committed") from exc
         finally:
@@ -742,10 +803,16 @@ def _may_match(stats: dict | None, where: list[tuple]) -> bool:
         # nearly all of its effect, and the row-level filter enforces
         # exactness on whatever survives.
         if tag == "ts" and isinstance(val, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=val.tzinfo)
-            val = int((val - epoch).total_seconds() * 1_000_000)
+            val = _epoch_micros(val)
             pad = 26 * 3600 * 1_000_000
             lo, hi = lo - pad, hi + pad
+        elif tag == "date" and isinstance(val, _dt.datetime):
+            # datetime IS a date subclass, but truncating it to the date
+            # ordinal makes '<'/'>' pruning unsound when the predicate
+            # carries a time-of-day (Spark casts the DATE column up to a
+            # midnight timestamp, which can satisfy '< 05:00' while the
+            # ordinal check says otherwise) — keep the file
+            continue
         elif tag == "date" and isinstance(val, _dt.date):
             val = val.toordinal()
         elif tag:
@@ -771,13 +838,18 @@ def _where_sql(where: list[tuple]) -> str:
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r} (use one of {_OPS})")
         if isinstance(val, _dt.datetime):
-            # strftime drops the UTC offset of a tz-aware value, and the
-            # naive literal would then be read in the session TZ (pinned
-            # UTC here) — normalize to UTC-naive first so the row-level
-            # filter selects the same instant _may_match pruned by.
             if val.tzinfo is not None:
-                val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            lit = f"TIMESTAMP '{val.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+                # a tz-aware value names an INSTANT: render it as epoch
+                # micros (timestamp_micros is session-TZ-independent) so
+                # the row filter selects that exact instant under ANY
+                # spark.sql.session.timeZone — a naive literal would be
+                # re-interpreted in the session zone (r9 review finding).
+                lit = f"timestamp_micros({_epoch_micros(val)})"
+            else:
+                # a naive value names a session-zone WALL TIME — exactly
+                # what a TIMESTAMP literal means to Spark, matching
+                # read().filter() semantics by construction.
+                lit = f"TIMESTAMP '{val.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
         elif isinstance(val, _dt.date):
             lit = f"DATE '{val.isoformat()}'"
         elif isinstance(val, str):
@@ -786,6 +858,26 @@ def _where_sql(where: list[tuple]) -> str:
             lit = repr(val)
         parts.append(f"(`{col}` {op} {lit})")
     return " AND ".join(parts) or "TRUE"
+
+
+def _ensure_predicate_columns(df: DataFrame, schema_json: str,
+                              where: list[tuple]) -> DataFrame:
+    """Predicate columns the scanned files don't carry (schema evolution:
+    every candidate/touched file predates the column) resolve to typed
+    NULLs from the COMMITTED schema instead of an AnalysisException —
+    matching read().filter() semantics, where mergeSchema over the full
+    file set would have supplied the column (r9 review finding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    missing = {c for c, _op, _v in where} - set(df.columns)
+    if not missing:
+        return df
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    for f in schema.fields:
+        if f.name in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def plan_scan(
@@ -820,19 +912,22 @@ def read_where(
     to ``read().filter(...)`` by construction — tests assert it — but
     skipped files never reach the engine at all, on top of whatever
     row-group pushdown the parquet reader does inside candidates."""
-    keep, _skip = plan_scan(path, where, snapshot)
-    sql = _where_sql(where)
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
+    stats_map = m.get("file_stats", {})
+    keep = [f for f in m["files"] if _may_match(stats_map.get(f), where)]
     if not keep:
-        m = _read_manifest(path, _list_snapshots(path)[-1] if snapshot is None else snapshot)
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
-    return (
+    src = (
         spark.read.option("basePath", _data_dir(path))
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(path, f) for f in keep])
-        .filter(sql)
     )
+    return _ensure_predicate_columns(src, m["schema"], where).filter(_where_sql(where))
 
 
 def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
@@ -859,6 +954,7 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(path, f) for f in touched])
     )
+    src = _ensure_predicate_columns(src, prev["schema"], where)
     # DELETE semantics: NULL-predicate rows survive (see delete_where)
     kept_rows = src.filter(f"NOT coalesce(({_where_sql(where)}), false)")
     new_files = _write_data_files(kept_rows, path, partition_by)
@@ -897,7 +993,8 @@ def history(path: str) -> list[dict]:
             "n_files": len(m["files"]),
         }
         for k in ("predicate", "restored_snapshot", "schema_evolved", "merge_on",
-                  "txn_app", "txn_version", "rewritten_files", "skipped_files"):
+                  "txn_app", "txn_version", "rewritten_files", "skipped_files",
+                  "compacted_from", "zorder_by"):
             if k in m:
                 entry[k] = m[k]
         out.append(entry)
@@ -981,12 +1078,16 @@ def vacuum(
     than the last ``keep_last`` (which stop being time-travelable —
     the explicit retention trade every log-structured format has).
     Also sweeps crashed-writer garbage: leftover ``_staging/`` write
-    dirs and orphaned ``_log/.tmp-*.json`` manifests — but only ones
-    whose mtime is older than ``orphan_retention_ms`` (Delta's vacuum
-    retention rule): an IN-FLIGHT writer's staging dir or tmp manifest
-    is indistinguishable from a crashed one except by age, so sweeping
+    dirs, orphaned ``_log/.tmp-*.json`` manifests, AND unreferenced
+    ``data/`` files (renamed into place by a writer that then lost every
+    commit race, crashed pre-commit, or replayed an already-committed
+    txn — files no manifest will ever reference; Iceberg's
+    remove_orphan_files). All three sweeps apply only to entries whose
+    mtime is older than ``orphan_retention_ms`` (Delta's vacuum
+    retention rule): an IN-FLIGHT writer's artifacts are
+    indistinguishable from a crashed one's except by age, so sweeping
     young ones would corrupt a live write. Returns the deleted
-    data-file paths (relative)."""
+    data-file paths (relative), orphans included."""
     snaps = _list_snapshots(path)
     keep = snaps[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
@@ -1004,6 +1105,27 @@ def vacuum(
         if s not in keep:
             os.unlink(_manifest_path(path, s))
     cutoff = time.time() - orphan_retention_ms / 1000.0
+    # Orphaned data files: present under data/ but referenced by NO
+    # manifest (every retained snapshot checked; dead-snapshot files
+    # were handled above). Age-gated like the staging sweep — a young
+    # unreferenced file may belong to a writer between its rename and
+    # its commit.
+    referenced = set(live) | dead
+    data_root = _data_dir(path)
+    orphans: list[str] = []
+    if os.path.isdir(data_root):
+        for root, _dirs, files in os.walk(data_root):
+            for f in files:
+                fp = os.path.join(root, f)
+                rel = os.path.relpath(fp, path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.stat(fp).st_mtime < cutoff:
+                        os.unlink(fp)
+                        orphans.append(rel)
+                except FileNotFoundError:
+                    pass  # a concurrent vacuum/writer raced us
     staging_root = os.path.join(path, "_staging")
     if os.path.isdir(staging_root):
         for d in os.listdir(staging_root):
@@ -1013,8 +1135,14 @@ def vacuum(
                     shutil.rmtree(dp, ignore_errors=True)
             except FileNotFoundError:
                 pass  # writer finished (moved its files) mid-scan
-        if not os.listdir(staging_root):
-            shutil.rmtree(staging_root, ignore_errors=True)
+        try:
+            # rmdir, NOT rmtree: atomic — fails (harmlessly) if a
+            # concurrent writer created a staging dir between the
+            # emptiness check and the removal, where rmtree would
+            # recursively delete the live writer's files (TOCTOU)
+            os.rmdir(staging_root)
+        except OSError:
+            pass
     log_d = _log_dir(path)
     for f in os.listdir(log_d):
         if f.startswith(".tmp-"):
@@ -1024,4 +1152,4 @@ def vacuum(
                     os.unlink(fp)
             except FileNotFoundError:
                 pass  # the committing writer unlinked it mid-scan
-    return sorted(dead)
+    return sorted(dead | set(orphans))

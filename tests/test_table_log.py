@@ -727,10 +727,16 @@ def test_nan_bounds_never_prune(spark, tmp_path):
     tl.create(spark, path, clean.coalesce(1))
     tl.append(spark, path, dirty.coalesce(1))
     stats = tl._read_manifest(path, 1)["file_stats"]
-    assert any(
-        s.get("x") and (s["x"][0] != s["x"][0] or s["x"][1] != s["x"][1])
-        for s in stats.values()
-    ), "fixture must actually produce NaN bounds, else the test is vacuous"
+    # r9: NaN now poisons the column at COLLECTION time (it must — NaN
+    # surviving into the cross-row-group min/max aggregation yields
+    # finite file bounds that wrongly prune), so the dirty file carries
+    # NO x stats at all; the clean file still does.
+    per_file_has_x = sorted(bool(s.get("x")) for s in stats.values())
+    assert per_file_has_x == [False, True], stats
+    # legacy manifests written before the poisoning fix can still carry
+    # NaN bounds — the _may_match guard must keep such files too
+    assert tl._may_match({"x": [float("nan"), float("nan"), 0]},
+                         [("x", ">=", 10.0)]) is True
     # all 3 dirty rows match x >= 10 row-level: Spark SQL orders NaN
     # GREATER than every double (unlike the Java min/max that wrote the
     # stats) — one more reason the metadata layer must not trust NaN
@@ -770,3 +776,130 @@ def test_tz_aware_predicate_literal_is_utc_normalized(spark, tmp_path):
     # delete path goes through the same literal
     tl.delete_rows(spark, path, [("ts", ">=", cut_aware)])
     assert tl.read(spark, path).count() == 8
+
+
+# --- r9 review-finding regressions (scan-planning soundness + vacuum) ------
+
+
+def test_predicate_on_column_absent_from_candidate_files(spark, tmp_path):
+    """Schema evolution + pruning: when every candidate/touched file
+    predates the predicate column, read_where/delete_rows must treat the
+    predicate as NULL (rows survive a DELETE, match nothing on read) —
+    not crash with UNRESOLVED_COLUMN."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.createDataFrame([(1,), (2,)], "id long"))
+    tl.append(
+        spark, path,
+        spark.createDataFrame([(3, 15.0), (4, 12.0)], "id long, x double"),
+    )
+    # x in the only x-bearing files is >= 12, so bounds prune them for
+    # x < 5 and the touched set is exactly the legacy no-x file
+    got = tl.read_where(spark, path, [("x", "<", 5.0)])
+    want = tl.read(spark, path).filter("x < 5.0")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    snap = tl.delete_rows(spark, path, [("x", "<", 5.0)])
+    assert {r["id"] for r in tl.read(spark, path, snap).collect()} == {1, 2, 3, 4}
+
+
+def test_nan_in_later_row_group_poisons_file_bounds(spark, tmp_path):
+    """Cross-row-group stats aggregation must treat a NaN bound in ANY
+    row group as poisoning the whole column (Python min/max are
+    order-dependent with NaN): finite aggregated bounds would wrongly
+    prune a file whose NaN rows satisfy x >= 10 under Spark's ordering.
+    Forces a multi-row-group file with NaN only in a LATE group via a
+    tiny parquet block size."""
+    out = str(tmp_path / "multi_rg")
+    n = 200_000
+    (
+        spark.range(n)
+        .select(
+            "id",
+            F.when(F.col("id") == n - 1, F.lit(float("nan")))
+            .otherwise(F.col("id") * 1.0)
+            .alias("x"),
+        )
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(out)
+    )
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    fp = _glob.glob(f"{out}/part-*.parquet")[0]
+    meta = pq.ParquetFile(fp).metadata
+    assert meta.num_row_groups > 1, "fixture must span multiple row groups"
+    # NaN must land in the LAST group only (ids are written in order)
+    stats = tl._file_column_stats(fp)
+    assert "x" not in stats  # poisoned despite earlier finite groups
+    assert "id" in stats  # untouched columns keep their bounds
+    assert tl._may_match(stats, [("x", ">=", float(n))]) is True
+
+
+def test_partition_value_with_escaped_chars_not_pruned(spark, tmp_path):
+    """Spark hive-escapes ':' (and '=', '%', …) in partition path
+    segments; partition 'stats' must compare UNESCAPED values or an
+    equality predicate on such a value prunes its own files."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("12:30", 1), ("13:45", 2)], "slot string, v int"
+    )
+    tl.create(spark, path, df, partition_by=["slot"])
+    got = tl.read_where(spark, path, [("slot", "=", "12:30")])
+    assert [r["v"] for r in got.collect()] == [1]
+    keep, skip = tl.plan_scan(path, [("slot", "=", "12:30")])
+    assert keep and skip  # the other partition IS pruned
+
+
+def test_datetime_predicate_on_date_column_is_sound(spark, tmp_path):
+    """datetime is a date subclass: truncating a datetime predicate to a
+    date ordinal made '<' pruning drop rows Spark's row-level cast
+    semantics keep (DATE column casts to midnight TIMESTAMP)."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 16), 1), (dt.date(2024, 1, 20), 2)], "d date, v int"
+    )
+    tl.create(spark, path, df)
+    cut = dt.datetime(2024, 1, 16, 5, 0)
+    got = tl.read_where(spark, path, [("d", "<", cut)])
+    want = tl.read(spark, path).filter(F.col("d") < F.lit(cut))
+    assert sorted(r["v"] for r in got.collect()) == sorted(
+        r["v"] for r in want.collect()
+    ) == [1]
+
+
+def test_tz_aware_literal_is_session_zone_independent():
+    """A tz-aware predicate names an instant: the rendered literal must
+    be epoch-based (timestamp_micros), not a naive wall string the
+    session zone would re-interpret."""
+    import datetime as dt
+
+    aware = dt.datetime(2024, 1, 1, 12, 0, tzinfo=dt.timezone.utc)
+    sql = tl._where_sql([("ts", "<", aware)])
+    assert "timestamp_micros(1704110400000000)" in sql
+    naive = dt.datetime(2024, 1, 1, 12, 0)
+    assert "TIMESTAMP '2024-01-01 12:00:00" in tl._where_sql([("ts", "<", naive)])
+
+
+def test_vacuum_sweeps_aged_orphan_data_files(spark, tmp_path):
+    """Data files renamed into data/ by a writer that never committed
+    (lost every commit race / crashed pre-commit) must eventually be
+    reclaimed — age-gated so a live writer's just-renamed files are
+    never touched."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.createDataFrame([(1,)], "id long"))
+    tl.append(spark, path, spark.createDataFrame([(2,)], "id long"))
+    old_orphan = os.path.join(tl._data_dir(path), "deadbeef-orphan.parquet")
+    young_orphan = os.path.join(tl._data_dir(path), "cafebabe-orphan.parquet")
+    for p in (old_orphan, young_orphan):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    os.utime(old_orphan, (time.time() - 90000, time.time() - 90000))  # >24h old
+    deleted = tl.vacuum(spark, path, keep_last=1)
+    assert os.path.relpath(old_orphan, path) in deleted
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(young_orphan)  # in-flight writer protected
+    # referenced files untouched, table still reads
+    assert tl.read(spark, path).count() == 2
