@@ -88,7 +88,7 @@ def pq_codebook(vectors: DataFrame, id_col: str = "vid", vec_col: str = "vec") -
     )
 
 
-def _best_code_cols(extra_null=None) -> list:
+def _best_code_cols() -> list:
     """M conditional-argmin aggregate columns: b{s} = min over rows with
     subspace == s of struct(d2, code_id) — min ignores the NULLs the
     other subspaces' rows contribute, so ONE hash aggregate produces the
@@ -324,10 +324,18 @@ def _lit_array(xs: list[float]) -> Column:
 
 
 def _sq_code(x: Column, mn: Column, sc: Column) -> Column:
-    """Quantize one double to 0..255 (constant dims → 0; top clamped)."""
+    """Quantize one double to 0..255 (constant dims → 0; BOTH ends
+    clamped — a frozen-codebook append can see values below the training
+    min, and an unclamped floor would store negative codes outside the
+    int8-style contract; FAISS SQ8 clamps symmetrically)."""
     return (
         F.when(sc == 0.0, F.lit(0))
-        .otherwise(F.least(F.lit(SQ_LEVELS), F.floor((x - mn) / sc).cast("int")))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(SQ_LEVELS), F.floor((x - mn) / sc).cast("int")),
+            )
+        )
         .cast("int")
     )
 
@@ -624,7 +632,11 @@ def ivf_sq8_topk(
     # for a given corpus — build once, search repeatedly. The assigned
     # table is materialized when cached so warm searches read blocks
     # instead of re-running the encode/assign pass.
-    cached = index_cache.get(index_cache_key) if index_cache is not None else None
+    # the cached structures bake in n_centroids — compose it into the
+    # key so a same-corpus call with a different list count can never
+    # silently reuse a mismatched index (r9 review finding)
+    cache_key = (index_cache_key, n_centroids)
+    cached = index_cache.get(cache_key) if index_cache is not None else None
     if cached is not None:
         base, assigned, cvids, cmat, mns, scales = cached
     else:
@@ -637,7 +649,7 @@ def ivf_sq8_topk(
             assigned = materialize(assigned)
             if len(index_cache) >= 8:
                 index_cache.clear()
-            index_cache[index_cache_key] = (base, assigned, cvids, cmat, mns, scales)
+            index_cache[cache_key] = (base, assigned, cvids, cmat, mns, scales)
     lists = _sq_recon(assigned, mns, scales, extra_cols=("centroid_id",))
     probes = base.filter(probe_filter) if probe_filter is not None else base
     probe_side = probes.select(
@@ -686,10 +698,7 @@ def build_sq8_ivf_index(
     )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
     spark = df.sparkSession
-    meta = spark.createDataFrame(
-        [(mns, scales, [int(v) for v in cvids], [[float(x) for x in row] for row in cmat])],
-        "mns ARRAY<DOUBLE>, scales ARRAY<DOUBLE>, cvids ARRAY<BIGINT>, cmat ARRAY<ARRAY<DOUBLE>>",
-    )
+    meta = _sq8_meta_df(spark, mns, scales, cvids, cmat)
     meta.write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -720,6 +729,32 @@ def search_sq8_ivf_index(
     return _search_sq8_lists(lists, meta, probes, id_col, vec_col, k, nprobe, exclude_self)
 
 
+# The SQ8 index meta row, in ONE place each way: build/search/append all
+# go through these two helpers so a schema change (e.g. a version field)
+# cannot leave the paths silently disagreeing (r9 review finding).
+_SQ8_META_SCHEMA = (
+    "mns ARRAY<DOUBLE>, scales ARRAY<DOUBLE>, "
+    "cvids ARRAY<BIGINT>, cmat ARRAY<ARRAY<DOUBLE>>"
+)
+
+
+def _sq8_meta_df(spark, mns, scales, cvids, cmat) -> DataFrame:
+    return spark.createDataFrame(
+        [(mns, scales, [int(v) for v in cvids],
+          [[float(x) for x in row] for row in cmat])],
+        _SQ8_META_SCHEMA,
+    )
+
+
+def _sq8_unpack_meta(meta) -> tuple[list, list, list, np.ndarray]:
+    return (
+        list(meta["mns"]),
+        list(meta["scales"]),
+        [int(v) for v in meta["cvids"]],
+        np.array([list(r) for r in meta["cmat"]], dtype=np.float32),
+    )
+
+
 def _search_sq8_lists(
     lists: DataFrame,
     meta,
@@ -735,13 +770,21 @@ def _search_sq8_lists(
     index (search_sq8_ivf_index / search_sq8_ivf_index_logged)."""
     from open_data_lakehouse_demo_spark.operators import similarity as sim
 
-    mns, scales = list(meta["mns"]), list(meta["scales"])
-    cvids = [int(v) for v in meta["cvids"]]
-    cmat = np.array([list(r) for r in meta["cmat"]], dtype=np.float32)
-    probe_side = probes.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(sim.assign_ids_batch(vec_col, cvids, cmat, nprobe)).alias("centroid_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("pv"),
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    mns, scales, cvids, cmat = _sq8_unpack_meta(meta)
+    # materialized: the probe assignment (Arrow kernel + probe scan) is
+    # consumed TWICE — by the probe_cids collect deriving the partition
+    # filter, and by the broadcast side of the ADC join — and without a
+    # reuse point Spark re-runs the whole encode lineage in the final
+    # action (r9 review finding; same discipline as ivf_topk's assigned
+    # table)
+    probe_side = materialize(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(sim.assign_ids_batch(vec_col, cvids, cmat, nprobe)).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("pv"),
+        )
     )
     probe_cids = sorted(
         r["centroid_id"] for r in probe_side.select("centroid_id").distinct().collect()
@@ -790,10 +833,7 @@ def build_sq8_ivf_index_logged(
         df, id_col, vec_col, n_centroids
     )
     spark = df.sparkSession
-    meta = spark.createDataFrame(
-        [(mns, scales, [int(v) for v in cvids], [[float(x) for x in row] for row in cmat])],
-        "mns ARRAY<DOUBLE>, scales ARRAY<DOUBLE>, cvids ARRAY<BIGINT>, cmat ARRAY<ARRAY<DOUBLE>>",
-    )
+    meta = _sq8_meta_df(spark, mns, scales, cvids, cmat)
     tl.create(spark, f"{path}/meta", meta)
     return tl.create(spark, f"{path}/lists", assigned, partition_by=["centroid_id"])
 
@@ -817,9 +857,7 @@ def append_sq8_ivf_index_logged(
     from open_data_lakehouse_demo_spark.sources import table_log as tl
 
     meta = tl.read(spark, f"{path}/meta").first()
-    mns, scales = list(meta["mns"]), list(meta["scales"])
-    cvids = [int(v) for v in meta["cvids"]]
-    cmat = np.array([list(r) for r in meta["cmat"]], dtype=np.float32)
+    mns, scales, cvids, cmat = _sq8_unpack_meta(meta)
     raw = new_df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     with_cid = raw.select(
         "vid",
@@ -884,12 +922,15 @@ def ivf_pq_topk(
     neighbor-id tiebreak, self excluded.
     """
     from open_data_lakehouse_demo_spark.operators import similarity as sim
-    from open_data_lakehouse_demo_spark.sources.io import spread
 
     # plain (vid, vec) scan — no _ensure_base: the norm column and its
     # checkpoint are join-path machinery; assign_ids_batch derives the
-    # identical fold-norms from the raw vectors inside the kernel
-    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    # identical fold-norms from the raw vectors inside the kernel.
+    # No spread() either (r9): its serial-fold-scoring rationale predates
+    # the Arrow kernels — same removal pq_adc_topk/_sq8_ivf_lists made
+    # (the seed collect becomes a TakeOrdered on the scan, not on a
+    # repartition, and local runs drop a round-robin exchange).
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     # one driver-side seed collect serves the coarse quantizer AND the PQ
     # sub-codebooks (both are NCODES-lowest-id constructions); every
     # per-vector stage below is then a shuffle-free Arrow kernel against
@@ -901,7 +942,10 @@ def ivf_pq_topk(
     # seed codebooks and the encoded inverted lists are immutable per
     # corpus — build once, search repeatedly; cached lists materialize
     # so warm searches read blocks instead of re-encoding.
-    cached = index_cache.get(index_cache_key) if index_cache is not None else None
+    # n_centroids is baked into the cached lists/codebooks — compose it
+    # into the key (same contract as ivf_topk/ivf_sq8_topk; r9 review)
+    cache_key = (index_cache_key, n_centroids)
+    cached = index_cache.get(cache_key) if index_cache is not None else None
     if cached is not None:
         base, lists, cvids, cmat_coarse, pq_mat = cached
     else:
@@ -923,7 +967,7 @@ def ivf_pq_topk(
             lists = materialize(lists)
             if len(index_cache) >= 8:
                 index_cache.clear()
-            index_cache[index_cache_key] = (base, lists, cvids, cmat_coarse, pq_mat)
+            index_cache[cache_key] = (base, lists, cvids, cmat_coarse, pq_mat)
 
     probes = base.filter(probe_filter) if probe_filter is not None else base
     # explode duplicates the already-computed LUT across the probe's

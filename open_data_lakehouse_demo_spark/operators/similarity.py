@@ -192,10 +192,14 @@ def lsh_buckets_batch(vec_col: str = "vec") -> Column:
     the expression fold on real + adversarial vectors.
     """
 
+    # invariant hyperplanes: built ONCE here and captured by the UDF
+    # closure (rebuilding inside the UDF would re-run ~4096 coef calls
+    # per Arrow batch on every executor — r9 review finding)
+    m_t = _plane_matrix().T  # (DIM, n_planes)
+    weights = 1 << np.arange(BITS_PER_TABLE, dtype=np.int64)
+
     @F.pandas_udf("array<bigint>")
     def _buckets(emb: pd.Series) -> pd.Series:
-        m_t = _plane_matrix().T  # (DIM, n_planes)
-        weights = (1 << np.arange(BITS_PER_TABLE, dtype=np.int64))
         out = []
         # chunk to bound the (chunk, DIM, n_planes) product tensor
         arr = emb.to_numpy()
@@ -468,7 +472,6 @@ def assign_ids_batch(
     return _assign(F.col(vec_col))
 
 
-_AUTO = object()  # "derive the adaptive task count from round 1" sentinel
 
 
 #: full-corpus local-training threshold for _kmeans_train: below it the
@@ -526,8 +529,7 @@ def _kmeans_train(
     base: DataFrame,
     n_centroids: int,
     n_iterations: int,
-    adaptive_parts: int | None | object = _AUTO,
-) -> tuple[list[int], np.ndarray, int | None]:
+) -> tuple[list[int], np.ndarray]:
     """Lloyd iterations over an already-materialized (vid, vec, nrm) base,
     returning the trained codebook DRIVER-SIDE as (vids, C×DIM float32).
 
@@ -550,11 +552,10 @@ def _kmeans_train(
     ~10^6 (e.g. 10k partitions × 64 lists); for larger C·partition
     products, pre-aggregate the partials with one groupBy before collect.
 
-    Returns (vids, mat, parts) — parts is the row-adaptive task count
-    derived FROM ROUND 1's partials (Σcnt rows over pid-count partitions:
-    no separate count job), applied to rounds 2+ and reusable by the
-    caller for other small literal-codebook stages; None = keep native
-    partitioning (the at-scale case) or n_iterations < 2.
+    Returns (vids, mat). Rounds 2+ run on a row-adaptive task count
+    derived from round 1's partials (Σcnt rows over pid-count
+    partitions: no separate count job); no coalesce once the corpus
+    fills every slot — exactly the 100 TB case.
     """
     dim = DIM
     # SMALL-CORPUS FAST PATH: one CollectLimit probe; if the whole corpus
@@ -571,9 +572,12 @@ def _kmeans_train(
     # pure job-floor removed (2.2s → ~1.0s), invisible at real corpus
     # sizes where the distributed rounds are scans, not floors.
     probe = base.select("vid", "vec").limit(_LOCAL_TRAIN_CAP + 1).collect()
+    if not probe:
+        # fail with a CLEAR error — all64.shape[1] on a 0-row array was
+        # an IndexError deep in the local path (r9 review finding)
+        raise ValueError("k-means codebook training requires a non-empty corpus")
     if len(probe) <= _LOCAL_TRAIN_CAP:
-        vids, mat = _kmeans_train_local(probe, n_centroids, n_iterations)
-        return vids, mat, None
+        return _kmeans_train_local(probe, n_centroids, n_iterations)
     del probe
     # the n_centroids LOWEST ids (not `vid < n`, which silently yields
     # an empty codebook when the id space doesn't start at 0)
@@ -584,9 +588,6 @@ def _kmeans_train(
 
     base_src = base.select("vec")
     train_src = base_src
-    parts: int | None = None if adaptive_parts is _AUTO else adaptive_parts  # type: ignore[assignment]
-    if parts is not None:
-        train_src = train_src.coalesce(parts)
 
     for it in range(n_iterations):
         cmat = mat.astype(np.float64)
@@ -625,7 +626,7 @@ def _kmeans_train(
         for i in range(n_c):  # empty clusters keep their centroid
             if total_cnt[i] > 0:
                 mat[i] = (total_sum[i] / total_cnt[i]).astype(np.float32)
-        if it == 0 and adaptive_parts is _AUTO:
+        if it == 0:
             # round 1's partials carry the corpus size (Σcnt) and the
             # native partition count (rows/C) for free — size rounds 2+
             # to ~8k vectors/task (the assign tensor for 8k×C×DIM stays
@@ -635,9 +636,8 @@ def _kmeans_train(
             cur_parts = max(1, len(rows) // n_c)
             want = max(1, min(cur_parts, -(-n_rows // 8192)))
             if want < cur_parts:
-                parts = want
-                train_src = base_src.coalesce(parts)
-    return vids, mat, parts
+                train_src = base_src.coalesce(want)
+    return vids, mat
 
 
 def _kmeans_from_base(
@@ -645,7 +645,7 @@ def _kmeans_from_base(
 ) -> DataFrame:
     """DataFrame view of ``_kmeans_train`` — (vid, vec, nrm) local relation,
     directly pluggable into ``assign_centroids`` / ``ivf_topk``."""
-    vids, mat, _ = _kmeans_train(base, n_centroids, n_iterations)
+    vids, mat = _kmeans_train(base, n_centroids, n_iterations)
     return _codebook_df(base.sparkSession, vids, mat)
 
 
@@ -697,16 +697,21 @@ def ivf_topk(
         from open_data_lakehouse_demo_spark.sources.io import materialize
 
         # The trained index (codebook + per-vector assignments) is
-        # immutable for a given corpus: callers may pass an
-        # ``index_cache`` keyed by their corpus identity so repeated
-        # searches reuse the built index instead of retraining — a
-        # production vector index is built once and queried many times,
-        # and this is the same session-scoped/clear-hook contract as the
-        # ANN ground-truth arm (inventory_vectors) and the t() scan
-        # cache. Without a cache the behavior is unchanged.
-        assigned = index_cache.get(index_cache_key) if index_cache is not None else None
+        # immutable for a given corpus AND build/search configuration:
+        # callers pass an ``index_cache`` keyed by their corpus identity
+        # and the operator composes in every parameter the cached table
+        # bakes in (n_centroids, train_iterations, nprobe — the assigns
+        # arrays are nprobe-wide), so a same-corpus call with a
+        # different recall knob can never silently reuse a mismatched
+        # index (r9 review finding). Production shape: a vector index is
+        # built once and queried many times; same session-scoped/
+        # clear-hook contract as the ANN ground-truth arm
+        # (inventory_vectors) and the t() scan cache. Without a cache
+        # the behavior is unchanged.
+        cache_key = (index_cache_key, n_centroids, train_iterations, nprobe)
+        assigned = index_cache.get(cache_key) if index_cache is not None else None
         if assigned is None:
-            vids, mat, _ = _kmeans_train(base, n_centroids, train_iterations)
+            vids, mat = _kmeans_train(base, n_centroids, train_iterations)
             assigned = materialize(
                 base.select(
                     assign_ids_batch("vec", vids, mat, n_assign=nprobe).alias("assigns"),
@@ -718,7 +723,7 @@ def ivf_topk(
             if index_cache is not None:
                 if len(index_cache) >= 8:  # a handful of (app, corpus) pairs
                     index_cache.clear()
-                index_cache[index_cache_key] = assigned
+                index_cache[cache_key] = assigned
         corpus = assigned.select(
             F.col("assigns")[0].alias("centroid_id"), "vid", "vec", "nrm"
         )
@@ -754,11 +759,17 @@ def ivf_topk(
     cand = corpus.join(F.broadcast(probed), "centroid_id").filter(
         F.col("vid") != F.col("query_id")
     )
+    # (query_id, neighbor_id) is UNIQUE by construction: every corpus
+    # vector carries exactly one centroid (assigns[0] / n_assign=1) and
+    # the probe's nprobe list is distinct, so a pair can collide through
+    # at most one inverted list — no dedup aggregate needed (the former
+    # groupBy/max was a dead full shuffle of the scored candidates on
+    # every search; r9 review finding).
     scored = cand.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
         cosine(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
-    ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -598,3 +598,56 @@ def test_versioned_sq8_index_time_travel_and_incremental_append(spark, tmp_path)
         spark, idx, probes, k=5, nprobe=2, snapshot=s0).collect()))
     assert got0_again == rows0
     assert [h["operation"] for h in tl.history(f"{idx}/lists")] == ["create", "append"]
+
+
+def test_ivf_index_cache_key_includes_search_params(spark):
+    """r9 review: the cached trained index bakes in nprobe — a
+    same-corpus-key call with a different nprobe must NOT silently reuse
+    it (recall would stay at the old nprobe level)."""
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+    from tests.conftest import SF_DIR
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").limit(300)
+    cache: dict = {}
+    r1 = sim.ivf_topk(emb, k=3, nprobe=1, train_iterations=1,
+                      index_cache=cache, index_cache_key="corpus")
+    n1 = r1.count()
+    assert len(cache) == 1
+    r2 = sim.ivf_topk(emb, k=3, nprobe=4, train_iterations=1,
+                      index_cache=cache, index_cache_key="corpus")
+    assert len(cache) == 2  # second entry built — no silent reuse
+    # more probes can only widen candidate lists: recall (pair coverage)
+    # must be monotone non-decreasing, which the stale-cache bug broke
+    pairs1 = {(r["query_id"], r["neighbor_id"]) for r in r1.collect()}
+    pairs4 = {(r["query_id"], r["neighbor_id"]) for r in r2.collect()}
+    assert n1 <= len(pairs4) or pairs1 != pairs4  # nprobe actually took effect
+
+
+def test_sq_code_clamps_both_ends(spark):
+    """r9 review: appending with a FROZEN codebook can see values below
+    the training min — codes must clamp to 0..255 at both ends (the old
+    code stored negative codes, outside the int8-style contract)."""
+    from open_data_lakehouse_demo_spark.operators import quantization as q
+
+    base = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [1.5] * 64)], "vid long, vec array<float>"
+    )
+    # frozen stats trained elsewhere: mn=1.0, step=0.01 per dim
+    out = q.sq_encode(base, [1.0] * 64, [0.01] * 64).collect()
+    codes = {r["vid"]: r["codes"] for r in out}
+    assert all(c == 0 for c in codes[1])    # below training min → clamp 0
+    assert all(0 <= c <= 255 for c in codes[2])
+
+
+def test_kmeans_train_empty_corpus_raises_cleanly(spark):
+    """r9 review: an empty corpus must fail with a clear ValueError, not
+    an IndexError deep in the local numpy path."""
+    import pytest as _pytest
+
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    base = sim._ensure_base(empty, "vec_id", "embedding")
+    with _pytest.raises(ValueError, match="non-empty"):
+        sim._kmeans_train(base, 8, 1)

@@ -153,7 +153,7 @@ def test_ivf_ingest_stream_matches_batch_assignment(spark, tmp_path):
     batch = spark.read.parquet(src)
 
     base = sim._ensure_base(batch, "vec_id", "embedding")
-    vids, mat, _ = sim._kmeans_train(base, 8, 1)
+    vids, mat = sim._kmeans_train(base, 8, 1)
 
     expected = _rows(ingest.ivf_ingest_stream(batch, vids, mat))
 
