@@ -68,8 +68,16 @@ _FORCE_FRESH: list[str] = [
     # (inventory_corpus.py _SCRUB_ORACLE) and added the scrub_spans_meta
     # / scrub_text_digest canaries (never-recorded → auto-prioritized)
     # so a further red round bisects itself.
+    # r10: all four scrub-family queries pinned until a green driver row
+    # lands (VERDICT r9 item #1). Root cause isolated to the oracles'
+    # uncast SUM(e-s+1) — DuckDB SUM(BIGINT) returns HUGEINT (INT128),
+    # whose pandas conversion differs across DuckDB versions. Fixed r10:
+    # CAST(... AS BIGINT) on every column the scrub oracles ship
+    # (inventory_corpus.py _SCRUB_ORACLE / _SCRUB_META_ORACLE).
     "scrub_duplicated_spans",
     "incremental_scrub_batch",
+    "scrub_spans_meta",
+    "scrub_text_digest",
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

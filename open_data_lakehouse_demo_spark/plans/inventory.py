@@ -619,7 +619,8 @@ def minute_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH minutely AS ({_MINUTE_FANOUT_ORACLE}),
 re_agg AS (
-  SELECT user_id, date_trunc('hour', minute_ts) AS hour_ts, SUM(n_minute) AS n_re
+  SELECT user_id, date_trunc('hour', minute_ts) AS hour_ts,
+         CAST(SUM(n_minute) AS BIGINT) AS n_re
   FROM minutely GROUP BY 1, 2
 ),
 hourly AS (

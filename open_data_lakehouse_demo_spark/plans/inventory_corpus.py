@@ -911,7 +911,8 @@ miv AS (
 _SCRUB_ORACLE = _MIV_CTES + """,
 mivl AS (
   SELECT doc, list({'s': s, 'e': e}) AS ivs,
-         COUNT(*) AS n_spans, SUM(e - s + 1) AS removed
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS removed
   FROM miv GROUP BY doc
 ),
 scrubbed AS (
@@ -925,8 +926,8 @@ scrubbed AS (
 )
 SELECT d.doc_id,
   CASE WHEN sc.doc_id IS NULL THEN d.text ELSE sc.clean END AS clean_text,
-  COALESCE(sc.n_spans, 0) AS n_spans,
-  COALESCE(sc.removed, 0) AS n_tokens_removed
+  CAST(COALESCE(sc.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(sc.removed, 0) AS BIGINT) AS n_tokens_removed
 FROM documents d
 LEFT JOIN scrubbed sc ON d.doc_id = sc.doc_id
 """
@@ -1005,10 +1006,12 @@ def incremental_scrub_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipping the full text through the compare.
 
 _SCRUB_META_ORACLE = _MIV_CTES + """,
-spanstats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed FROM miv GROUP BY doc)
+spanstats AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(SUM(e - s + 1) AS BIGINT) AS removed
+              FROM miv GROUP BY doc)
 SELECT d.doc_id,
-  COALESCE(ss.n_spans, 0) AS n_spans,
-  COALESCE(ss.removed, 0) AS n_tokens_removed
+  CAST(COALESCE(ss.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(ss.removed, 0) AS BIGINT) AS n_tokens_removed
 FROM documents d
 LEFT JOIN spanstats ss ON d.doc_id = ss.doc
 """

@@ -85,9 +85,51 @@ def check_change_freshness() -> tuple[list[str], bool]:
     return missing, bool(missing) and fits
 
 
+def check_oracle_types() -> list[str]:
+    """Oracles shipping a version-fragile column type — must be empty.
+
+    The three-round scrub-family driver red (r7-r9) came down to ONE
+    construct: an uncast SUM(BIGINT) in the oracle's final SELECT.
+    DuckDB's SUM(BIGINT) returns HUGEINT (INT128), whose python/pandas
+    conversion differs across DuckDB versions (int vs float64 vs object)
+    — a value-hash divergence that is invisible locally (one DuckDB
+    version) and red in the driver (another). Rule (VERDICT r9 item #2):
+    every numeric column an oracle SHIPS must carry an explicit CAST to
+    BIGINT/DOUBLE/DECIMAL.
+
+    Enforced semantically rather than by regex: DESCRIBE each
+    oracle_sql() against the sf0.01 views (no execution) and flag any
+    shipped HUGEINT/UHUGEINT column. This catches aggregates hidden
+    behind COALESCE/CASE (exactly how the scrub rows slipped past a
+    final-SELECT grep: the SUM lived in a CTE, the final SELECT shipped
+    COALESCE(sum_col, 0), and COALESCE preserves HUGEINT)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    bad: list[str] = []
+    for name, sql in e.oracle_sql().items():
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # noqa: BLE001 — a non-describable oracle is itself a finding
+            bad.append(f"{name} (DESCRIBE failed: {type(exc).__name__})")
+            continue
+        fragile = [c[0] for c in cols if "HUGEINT" in (c[1] or "").upper()]
+        if fragile:
+            bad.append(f"{name} ships {fragile}")
+    con.close()
+    return bad
+
+
 def run_gate() -> int:
     """Checklist gate: rotation coverage + change-driven freshness +
-    green pytest (+ advisory noise report). Exit code 0/1."""
+    oracle-type audit + green pytest (+ advisory noise report).
+    Exit code 0/1."""
     missing = check_rotation()
     if missing:
         print(f"GATE FAIL: {len(missing)} queries with no row in "
@@ -107,6 +149,14 @@ def run_gate() -> int:
     else:
         print("GATE OK: every query touched by this round's diff is in the "
               "next artifact")
+    fragile = check_oracle_types()
+    if fragile:
+        print(f"GATE FAIL: {len(fragile)} oracles ship HUGEINT columns "
+              f"(cast every shipped aggregate — see check_oracle_types "
+              f"docstring): {fragile}")
+        missing = missing or fragile
+    else:
+        print("GATE OK: no oracle ships a HUGEINT/version-fragile column")
     # Advisory: surface bench rows whose own artifact flags them as
     # load-noise so nobody re-litigates phantom regressions.
     bq = os.path.join(_REPO, "BENCH_QUERIES.json")
