@@ -118,7 +118,10 @@ def _epoch_micros(v) -> int:
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
     else:
         epoch = _dt.datetime(1970, 1, 1)
-    return int((v - epoch).total_seconds() * 1_000_000)
+    # Exact integer arithmetic: total_seconds() routes through a float,
+    # whose ulp near 2^31 seconds (~0.48us) can misname the neighboring
+    # microsecond — and the row-level filter, unlike pruning, has no pad.
+    return (v - epoch) // _dt.timedelta(microseconds=1)
 
 
 def _file_column_stats(abs_path: str) -> dict:
@@ -880,6 +883,24 @@ def _ensure_predicate_columns(df: DataFrame, schema_json: str,
     return df
 
 
+def _plan(
+    path: str, where: list[tuple], snapshot: int | None
+) -> tuple[dict, list[str], list[str]]:
+    """(manifest, candidates, skipped) for a snapshot + predicate — the
+    ONE manifest-read + bounds-pruning implementation behind plan_scan
+    and read_where, so the documented planning entry point and the
+    reading path can never drift (r9 review finding)."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
+    stats_map = m.get("file_stats", {})
+    keep, skip = [], []
+    for f in m["files"]:
+        (keep if _may_match(stats_map.get(f), where) else skip).append(f)
+    return m, keep, skip
+
+
 def plan_scan(
     path: str, where: list[tuple], snapshot: int | None = None
 ) -> tuple[list[str], list[str]]:
@@ -889,14 +910,7 @@ def plan_scan(
     step Iceberg/Delta run before handing splits to the engine. At
     100 TB this is the difference between a metadata operation and a
     full scan when the predicate hits a clustered/partitioned column."""
-    snaps = _list_snapshots(path)
-    if not snaps:
-        raise ValueError(f"no table at {path}")
-    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
-    stats_map = m.get("file_stats", {})
-    keep, skip = [], []
-    for f in m["files"]:
-        (keep if _may_match(stats_map.get(f), where) else skip).append(f)
+    _m, keep, skip = _plan(path, where, snapshot)
     return keep, skip
 
 
@@ -912,12 +926,7 @@ def read_where(
     to ``read().filter(...)`` by construction — tests assert it — but
     skipped files never reach the engine at all, on top of whatever
     row-group pushdown the parquet reader does inside candidates."""
-    snaps = _list_snapshots(path)
-    if not snaps:
-        raise ValueError(f"no table at {path}")
-    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
-    stats_map = m.get("file_stats", {})
-    keep = [f for f in m["files"] if _may_match(stats_map.get(f), where)]
+    m, keep, _skip = _plan(path, where, snapshot)
     if not keep:
         from pyspark.sql import types as T
 

@@ -180,5 +180,11 @@ def test_decontaminate_inset_cap_falls_back_to_semi_join(spark, monkeypatch):
     ic.clear_decon_eval_cache()
     monkeypatch.setattr(ic, "_DECON_INSET_MAX", 1)
     got = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
+    # the oversized verdict memoizes (None sentinel, r9 ADVICE): the
+    # expensive cap-probe job must not re-run on every invocation
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    assert key in ic._DECON_EVAL_CACHE and ic._DECON_EVAL_CACHE[key] is None
+    again = sorted(tuple(r) for r in q.spark(spark, SF_DIR).collect())
     ic.clear_decon_eval_cache()
     assert got == want
+    assert again == want  # sentinel-hit path returns the same semi-join rows

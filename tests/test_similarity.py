@@ -617,11 +617,22 @@ def test_ivf_index_cache_key_includes_search_params(spark):
     r2 = sim.ivf_topk(emb, k=3, nprobe=4, train_iterations=1,
                       index_cache=cache, index_cache_key="corpus")
     assert len(cache) == 2  # second entry built — no silent reuse
-    # more probes can only widen candidate lists: recall (pair coverage)
-    # must be monotone non-decreasing, which the stale-cache bug broke
+    assert n1 <= r2.count()  # more probes never shrink the result
+    # Direct proof nprobe took effect (r9 ADVICE: the old disjunction was
+    # satisfied by monotone counts alone): probing EVERY list (nprobe =
+    # n_centroids) is exhaustive, so it must equal brute force exactly —
+    # a silently-reused nprobe=1 index here would miss every cross-list
+    # neighbor. Deterministic data + deterministic training make the
+    # strict pairs1 != pairs_all gap stable.
+    r_all = sim.ivf_topk(emb, k=3, nprobe=16, train_iterations=1,
+                         index_cache=cache, index_cache_key="corpus")
+    assert len(cache) == 3
+    pairs_all = {(r["query_id"], r["neighbor_id"]) for r in r_all.collect()}
+    bf = sim.brute_force_topk(emb, emb, k=3)
+    pairs_bf = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert pairs_all == pairs_bf
     pairs1 = {(r["query_id"], r["neighbor_id"]) for r in r1.collect()}
-    pairs4 = {(r["query_id"], r["neighbor_id"]) for r in r2.collect()}
-    assert n1 <= len(pairs4) or pairs1 != pairs4  # nprobe actually took effect
+    assert pairs1 != pairs_all  # 1-probe search provably missed neighbors
 
 
 def test_sq_code_clamps_both_ends(spark):

