@@ -59,6 +59,18 @@ def _inventory():
 # contract; prefer widening an existing query or adding pytest-only
 # surface, and retire/consolidate a query for each one added beyond
 # that. driver_sim --gate fails loudly if this is violated.
+#
+# ENDGAME POLICY (r10, VERDICT r9 item #3): the inventory is FROZEN at
+# 98. The two r9 bisecting canaries (scrub_spans_meta /
+# scrub_text_digest) stay registered through round 10 so the HUGEINT
+# cast fix lands green driver rows for the whole scrub family in one
+# artifact. Once CORRECTNESS_r10 shows all four scrub-family rows
+# hash-green, round 11 retires BOTH canaries from the registry — their
+# logic is already session-shared with scrub_duplicated_spans and each
+# has a pytest twin (tests/test_inventory_oracle.py scrub-equivalence
+# suite) — restoring headroom to 96/100. If r10 is somehow still red,
+# the canaries stay (their bisection is the diagnostic) and all new
+# coverage routes through widened queries / pytest machinery instead.
 _FORCE_FRESH: list[str] = [
     # r9: BOTH red r8 driver rows (hash_match false; locally green at
     # sf0.01 AND in the sf0.1 sweep, every round). Their r8-fresh

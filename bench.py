@@ -90,6 +90,29 @@ def main() -> None:
         # suite vs standalone runs).
         gc.collect()
 
+    # Cache-backed rows (r9 VERDICT item #6): the warm medians above
+    # reuse session-cached structures (trained ANN indexes, the
+    # ExactSubstr positioned-hash index + merged-interval relation, eval
+    # literal sets). Record what ONE session pays before those warm
+    # numbers apply — a single cold run per row with exactly that cache
+    # cleared (scan cache warm) — so this artifact is self-describing
+    # instead of deferring to BENCH_VS_DUCK.md's appendix. NOT added to
+    # the headline: steady-state throughput is the bench policy; cold_s
+    # is the disclosed one-time build cost.
+    from open_data_lakehouse_demo_spark.plans.cache_registry import cold_specs
+
+    cold_s: dict[str, float] = {}
+    cached_structure: dict[str, str] = {}
+    for name, clear, what in cold_specs():
+        if name not in QUERIES:
+            continue
+        clear()
+        t0 = time.perf_counter()
+        execute(QUERIES[name].spark(spark, sf_dir))
+        cold_s[name] = round(time.perf_counter() - t0, 4)
+        cached_structure[name] = what
+        gc.collect()
+
     total = round(sum(per_query.values()), 4)
     base = {
         "metric": "inventory_suite_seconds",
@@ -113,6 +136,13 @@ def main() -> None:
             {**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus,
              "loadavg_after": [load1, load5, load15],
              "query_loadavg1": query_load,
+             "cold_s": cold_s,
+             "cached_structure": cached_structure,
+             "cold_rule": "queries listed in cold_s reuse a session-cached "
+                          "structure; their warm medians exclude its build. "
+                          "cold_s = ONE run with that cache cleared (scan "
+                          "cache warm) — the one-time per-session cost "
+                          "before the warm numbers apply.",
              "noisy": sorted(noisy),
              "noisy_rule": "loadavg1 > cpus/2 at measurement, or > 2x the "
                            "5-run warm median in BENCH_VS_DUCK.md — treat "

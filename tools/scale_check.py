@@ -372,6 +372,47 @@ def audit_candidate_ratio(spark) -> None:
         )
         return n_cand, int(matched or 0)
 
+    def substr_incr_counts(sf_dir: str) -> tuple[int, int]:
+        """Incremental scrub shape (scrub_batch_incremental, the
+        steady-state ingest path): candidates = the ONE-SIDED positional
+        join's rows — x-side the full df-capped index, y-side only the
+        batch's positions, keep-first filter x.doc < y.doc — and emitted
+        = Σ run_len of the batch side's qualifying islands (its true
+        removed-span mass). Runs the production FIXED cap on the linear
+        fixture (batch residues survive the copy shift: 10^9 % 10 = 0,
+        so every copy contributes 10% batch docs)."""
+        from pyspark.sql import Window
+
+        from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
+
+        docs = t(spark, sf_dir, "documents")
+        shc = dedup.positioned_hash_index(
+            docs, "doc_id", "text", k=ic._SUBSTR_K, max_df=ic._SUBSTR_DF_CAP,
+        )
+        batch_shc = shc.filter(F.col("doc") % 10 == 0)
+        cand = (
+            shc.alias("x")
+            .join(batch_shc.alias("y"), "h")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.col("y.pos").alias("pb"),
+                (F.col("y.pos") - F.col("x.pos")).alias("diag"),
+            )
+        )
+        n_cand = cand.count()
+        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
+        matched = (
+            cand.withColumn("island", F.col("pb") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "island")
+            .agg(F.count("*").alias("run_len"))
+            .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
+            .agg(F.sum("run_len"))
+            .collect()[0][0]
+        )
+        return n_cand, int(matched or 0)
+
     # docs-only blow-ups: self-contained (the audit can run standalone
     # via `python -c "...audit_candidate_ratio(spark)"` without the full
     # SLICE build)
@@ -406,6 +447,21 @@ def audit_candidate_ratio(spark) -> None:
         lin_mass.append(o)
         print(f"| exact_substr (linear fixture, fixed cap) | {label} | {c} | {o} "
               f"| {c / max(o, 1):.2f} |")
+    # incremental (steady-state ingest) variant on the same linear
+    # fixture (r10, VERDICT r9 item #4) — the per-micro-batch
+    # scrub-at-ingest twin is pytest-pinned ≡ this batch path
+    # (tests/test_streaming_ingest.py), so these rows price both
+    incr_mass = []
+    for label, d in dirs_lin:
+        c, o = substr_incr_counts(d)
+        incr_mass.append(o)
+        print(f"| exact_substr incremental (linear fixture) | {label} | {c} | {o} "
+              f"| {c / max(o, 1):.2f} |")
+    print(f"\nincremental-scrub emitted span mass (linear fixture): "
+          f"{incr_mass[0]} → {incr_mass[1]} "
+          f"({incr_mass[1] / max(incr_mass[0], 1):.1f}×@{COPIES}×) → {incr_mass[2]} "
+          f"({incr_mass[2] / max(incr_mass[0], 1):.1f}×@30×) — ~linear, and the "
+          "one-sided join keeps candidates batch-mass-bounded.")
     print(f"\nlinear-fixture emitted span mass: {lin_mass[0]} → {lin_mass[1]} "
           f"({lin_mass[1] / max(lin_mass[0], 1):.1f}×@{COPIES}×) → {lin_mass[2]} "
           f"({lin_mass[2] / max(lin_mass[0], 1):.1f}×@30×) — ~linear in copies "
@@ -478,6 +534,20 @@ scaling claim proper: near-linear data ⇒ near-linear time.""")
             max_df=ic._SUBSTR_DF_CAP,
         )
 
+    def _substr_incr(sf_dir, copies):
+        # the steady-state ingest shape: scrub the 10% batch against the
+        # full corpus, production fixed cap, index built inside the
+        # (cold) window — the dominant full-corpus term a cluster
+        # parallelizes
+        docs = t(spark, sf_dir, "documents")
+        return dedup.scrub_batch_incremental(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            "doc_id", "text",
+            k=ic._SUBSTR_K, min_run=ic._SUBSTR_MIN_RUN,
+            max_df=ic._SUBSTR_DF_CAP,
+        )
+
     scale_dirs = [SRC, dirs[1][1], dirs[2][1]]
     lin_dirs = [SRC, dirs_lin[1][1], dirs_lin[2][1]]
     cold_rows = [
@@ -487,6 +557,7 @@ scaling claim proper: near-linear data ⇒ near-linear time.""")
         ("scrub_duplicated_spans (cap 20c)", _substr(dedup.scrub_shared_spans), scale_dirs),
         ("shared_substring_spans (linear fixture)", _substr_fixed(dedup.shared_substring_runs), lin_dirs),
         ("scrub_duplicated_spans (linear fixture)", _substr_fixed(dedup.scrub_shared_spans), lin_dirs),
+        ("incremental_scrub_batch (linear fixture)", _substr_incr, lin_dirs),
     ]
     print("\n## Banded dedups: three-decade cold timing\n")
     print("Fully-cold runs (caches cleared, clock spans plan construction,")
