@@ -79,3 +79,27 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) == len(QUERIES)
+
+
+def test_no_oracle_ships_hugeint_columns():
+    """The r7-r9 scrub saga's class-level guarantee (VERDICT r9 item #2):
+    DuckDB SUM(BIGINT) returns HUGEINT, whose pandas conversion is
+    version-dependent — a driver-only hash divergence. The gate's
+    type-audit (driver_sim.check_oracle_types) must find ZERO oracles
+    shipping a HUGEINT column, and must be able to catch one (sanity:
+    an uncast SUM behind COALESCE — exactly how the scrub rows hid from
+    a final-SELECT grep — still DESCRIBEs as HUGEINT)."""
+    import duckdb
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from driver_sim import check_oracle_types
+
+    assert check_oracle_types() == []
+    # the detector sees through COALESCE
+    con = duckdb.connect()
+    desc = con.execute(
+        "DESCRIBE SELECT COALESCE(s, 0) AS v FROM "
+        "(SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x))"
+    ).fetchall()
+    assert any("HUGEINT" in (c[1] or "").upper() for c in desc)

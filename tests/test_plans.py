@@ -27,3 +27,17 @@ def test_plan_keeps_required_properties(spark, name, fragments):
         f"{name} lost plan properties {missing}; operator tree:\n"
         + plan.split("\n\n")[0]
     )
+
+
+def test_cache_registry_names_are_inventory_queries():
+    """Every cold-spec row names a registered query (a rename would
+    silently drop its cold_s disclosure from BENCH_QUERIES.json and the
+    BENCH_VS_DUCK appendix), and every clear-fn is callable."""
+    from open_data_lakehouse_demo_spark.plans.cache_registry import cold_specs
+    from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
+
+    specs = cold_specs()
+    assert len(specs) == len({n for n, _, _ in specs})  # no dup rows
+    for name, clear, what in specs:
+        assert name in QUERIES, f"cold spec {name!r} is not a registered query"
+        assert callable(clear) and isinstance(what, str) and what
