@@ -20,10 +20,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# r10: TX10's bpe_merges is DEMOTED to pytest-only coverage to free the
+# artifact slot the third red scrub pin needs: the 2-round-union
+# contract forces the 48 r8-recorded queries into r10's 50 rows, leaving
+# two slots for THREE red-row pins. bpe_merges was the weakest driver
+# row in the forced set — rows-only by design (no SQL oracle), while its
+# pytest evidence (python-reference BPE equivalence,
+# tests/test_text.py::test_bpe_merges_match_python_reference) is
+# strictly stronger than a row-count check. The machinery and its
+# plans.inventory registration are unchanged — tests and direct callers
+# still reach it; only the driver-facing queries()/oracle_sql() surface
+# excludes it.
+_DRIVER_EXCLUDE = {"bpe_merges"}
+
+
 def _inventory():
     from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
 
-    return QUERIES
+    return {n: q for n, q in QUERIES.items() if n not in _DRIVER_EXCLUDE}
 
 
 # The driver's correctness artifact records at most ~50 queries in
@@ -60,17 +74,20 @@ def _inventory():
 # surface, and retire/consolidate a query for each one added beyond
 # that. driver_sim --gate fails loudly if this is violated.
 #
-# ENDGAME POLICY (r10, VERDICT r9 item #3): the inventory is FROZEN at
-# 98. The two r9 bisecting canaries (scrub_spans_meta /
-# scrub_text_digest) stay registered through round 10 so the HUGEINT
-# cast fix lands green driver rows for the whole scrub family in one
-# artifact. Once CORRECTNESS_r10 shows all four scrub-family rows
-# hash-green, round 11 retires BOTH canaries from the registry — their
-# logic is already session-shared with scrub_duplicated_spans and each
-# has a pytest twin (tests/test_inventory_oracle.py scrub-equivalence
-# suite) — restoring headroom to 96/100. If r10 is somehow still red,
-# the canaries stay (their bisection is the diagnostic) and all new
-# coverage routes through widened queries / pytest machinery instead.
+# ENDGAME POLICY (r10, VERDICT r9 item #3): the driver inventory is
+# FROZEN at 97 (98 registered minus the bpe_merges demotion at
+# _DRIVER_EXCLUDE). The three red rows (scrub_duplicated_spans,
+# incremental_scrub_batch, scrub_spans_meta) are pinned so the HUGEINT
+# cast fix lands green driver rows in CORRECTNESS_r10; they take
+# exactly the three slots the 47 forced r8-rows leave open.
+# scrub_text_digest needs no pin — its r9 row is GREEN and the cast fix
+# does not change its shipped values (doc_id + md5 only). Once r10
+# shows the family green, round 11 retires both canaries
+# (scrub_spans_meta, scrub_text_digest) from the registry — their logic
+# is session-shared with scrub_duplicated_spans and each has a pytest
+# twin — restoring headroom to 95/100. If r10 is somehow still red, the
+# canaries stay (their bisection is the diagnostic) and new coverage
+# routes through widened queries / pytest machinery instead.
 _FORCE_FRESH: list[str] = [
     # r9: BOTH red r8 driver rows (hash_match false; locally green at
     # sf0.01 AND in the sf0.1 sweep, every round). Their r8-fresh
@@ -80,16 +97,18 @@ _FORCE_FRESH: list[str] = [
     # (inventory_corpus.py _SCRUB_ORACLE) and added the scrub_spans_meta
     # / scrub_text_digest canaries (never-recorded → auto-prioritized)
     # so a further red round bisects itself.
-    # r10: all four scrub-family queries pinned until a green driver row
+    # r10: the three RED scrub rows pinned until a green driver row
     # lands (VERDICT r9 item #1). Root cause isolated to the oracles'
     # uncast SUM(e-s+1) — DuckDB SUM(BIGINT) returns HUGEINT (INT128),
     # whose pandas conversion differs across DuckDB versions. Fixed r10:
     # CAST(... AS BIGINT) on every column the scrub oracles ship
     # (inventory_corpus.py _SCRUB_ORACLE / _SCRUB_META_ORACLE).
+    # scrub_text_digest is NOT pinned: its r9 row is green, the cast fix
+    # leaves its shipped values unchanged, and the artifact has exactly
+    # three free slots (see ENDGAME POLICY).
     "scrub_duplicated_spans",
     "incremental_scrub_batch",
     "scrub_spans_meta",
-    "scrub_text_digest",
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
