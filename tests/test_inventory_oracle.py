@@ -78,7 +78,11 @@ def test_entry_contract(spark):
     assert df.count() > 0
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
-    assert len(qs) == len(QUERIES)
+    # the driver surface is the registry minus the pytest-only demotions
+    # (ENDGAME POLICY in __spark_entry__); every excluded name must still
+    # be a registered query so tests and direct callers keep reaching it
+    assert set(e._DRIVER_EXCLUDE) <= set(QUERIES)
+    assert set(qs) == set(QUERIES) - set(e._DRIVER_EXCLUDE)
 
 
 def test_no_oracle_ships_hugeint_columns():
