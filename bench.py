@@ -90,6 +90,15 @@ def main() -> None:
         # suite vs standalone runs).
         gc.collect()
 
+    # Capture the warm suite's load triple BEFORE the cold block below
+    # (r10 review): the ~13 cold runs are multi-second Spark jobs that
+    # would inflate load1 right at measurement, making a clean warm run
+    # read as load-noisy to whoever compares artifacts across rounds.
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = None
+
     # Cache-backed rows (r9 VERDICT item #6): the warm medians above
     # reuse session-cached structures (trained ANN indexes, the
     # ExactSubstr positioned-hash index + merged-interval relation, eval
@@ -125,11 +134,8 @@ def main() -> None:
     # recorded because this box is a shared-CPU VM: a neighbor burst can
     # inflate individual rows 2-4x (BENCH_VS_DUCK.md caveat), and the
     # 1/5/15-minute load triple is the cheapest honest context for
-    # whoever compares artifacts across rounds.
-    try:
-        load1, load5, load15 = os.getloadavg()
-    except OSError:
-        load1 = load5 = load15 = None
+    # whoever compares artifacts across rounds. (Captured above, before
+    # the cold block, so it reflects the warm suite it contextualizes.)
     queries_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
     with open(queries_path, "w") as f:
         json.dump(

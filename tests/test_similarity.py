@@ -610,21 +610,23 @@ def test_ivf_index_cache_key_includes_search_params(spark):
 
     emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").limit(300)
     cache: dict = {}
-    r1 = sim.ivf_topk(emb, k=3, nprobe=1, train_iterations=1,
+    r1 = sim.ivf_topk(emb, k=3, n_centroids=16, nprobe=1, train_iterations=1,
                       index_cache=cache, index_cache_key="corpus")
     n1 = r1.count()
     assert len(cache) == 1
-    r2 = sim.ivf_topk(emb, k=3, nprobe=4, train_iterations=1,
+    r2 = sim.ivf_topk(emb, k=3, n_centroids=16, nprobe=4, train_iterations=1,
                       index_cache=cache, index_cache_key="corpus")
     assert len(cache) == 2  # second entry built — no silent reuse
     assert n1 <= r2.count()  # more probes never shrink the result
     # Direct proof nprobe took effect (r9 ADVICE: the old disjunction was
     # satisfied by monotone counts alone): probing EVERY list (nprobe =
-    # n_centroids) is exhaustive, so it must equal brute force exactly —
-    # a silently-reused nprobe=1 index here would miss every cross-list
-    # neighbor. Deterministic data + deterministic training make the
-    # strict pairs1 != pairs_all gap stable.
-    r_all = sim.ivf_topk(emb, k=3, nprobe=16, train_iterations=1,
+    # n_centroids, BOTH pinned to 16 here so the premise can't silently
+    # break if the default changes — r10 review) is exhaustive, so it
+    # must equal brute force exactly — a silently-reused nprobe=1 index
+    # here would miss every cross-list neighbor. Deterministic data +
+    # deterministic training make the strict pairs1 != pairs_all gap
+    # stable.
+    r_all = sim.ivf_topk(emb, k=3, n_centroids=16, nprobe=16, train_iterations=1,
                          index_cache=cache, index_cache_key="corpus")
     assert len(cache) == 3
     pairs_all = {(r["query_id"], r["neighbor_id"]) for r in r_all.collect()}

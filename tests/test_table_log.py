@@ -43,18 +43,26 @@ class _FakeObjectStore:
         self._lock = threading.Lock()
 
     def put_if_absent(self, path: str, payload: str) -> bool:
+        # The filesystem mirror must become readable BEFORE the claim is
+        # droppable by a competitor's rebase: a real conditional PUT is
+        # one atomic operation (loser's failed PUT implies the winner's
+        # object is already readable), and append()'s rebase-and-retry
+        # loop depends on exactly that — a loser that rebases while the
+        # winner's manifest is claimed-but-invisible would retry the same
+        # snapshot id and could exhaust its retries. Hold the lock across
+        # claim + write + rename so claim and visibility are inseparable.
+        import uuid
+
         with self._lock:
             if path in self.objects:
                 return False
             self.objects[path] = payload
-        import uuid
-
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".put-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, path)
+            d = os.path.dirname(path)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".put-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
         return True
 
 

@@ -41,6 +41,19 @@ from _oracle_hash import hash_rows as _hash_rows  # noqa: E402
 _ARTIFACT_CAP = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The ONE oracle-view bootstrap shared by the type-audit and the full
+# sweep (r10 review: two hand-maintained copies of the table list would
+# drift the first time an oracle references a new testdata table — the
+# gate would then fail with a misleading DESCRIBE error while the sweep
+# passes, or vice versa).
+ORACLE_TABLES = ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split()
+
+
+def create_oracle_views(con, sf_dir: str) -> None:
+    for t in ORACLE_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
 
 def check_rotation() -> list[str]:
     """Names that would be missing from (previous artifact) ∪ (the next
@@ -109,9 +122,7 @@ def check_oracle_types() -> list[str]:
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    create_oracle_views(con, sf)
     bad: list[str] = []
     for name, sql in e.oracle_sql().items():
         try:
@@ -226,9 +237,7 @@ def main() -> None:
     print("entry rows:", len(e.entry(spark).collect()))
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    create_oracle_views(con, sf_dir)
 
     failures = []
     for name, fn in qs.items():

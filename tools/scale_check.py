@@ -326,22 +326,57 @@ def audit_candidate_ratio(spark) -> None:
             )
         return cands.count(), QUERIES[name].spark(spark, sf_dir).count()
 
-    def substr_counts(sf_dir: str, copies: int) -> tuple[int, int]:
-        """ExactSubstr machinery (shared by report + scrub, which differ
-        only downstream of the islands): candidates = positional
-        co-occurrence rows after the df-cap; matched = co-occurrence
-        rows inside qualifying (run ≥ min_run) islands — Σ run_len, the
-        TRUE span mass at position granularity. Both grow ~c² under the
-        c-copy blow-up, so a stable ratio = candidates track true span
-        mass, not corpus². The df-cap SCALES with the copy factor
-        (max_df · c): the cap is a relative boilerplate threshold — the
-        c-copy fixture gives every shingle df ≥ c, so a fixed absolute
-        cap saturates by construction at c > max_df (every true dup
-        becomes 'boilerplate'), which measures the fixture, not the
-        operator. Production contract per the operator docstring: cap
-        set relative to expected duplication multiplicity."""
+    def _island_mass(index_df, y_df, pos_side: str) -> tuple[int, int]:
+        """The ONE positional-join + diagonal-island + run_len >= min_run
+        mass computation behind both audit shapes (r10 review: keeping
+        two+ copies of this ~25-line pipeline in lockstep with the
+        production islands logic invites drift). candidates = positional
+        co-occurrence rows after the df-cap (x.doc < y.doc keep-first);
+        matched = Σ run_len of qualifying (run >= min_run) islands — the
+        TRUE span mass at position granularity, measured on the
+        ``pos_side`` ("x" or "y") stream of positions. The diagonal is
+        the position offset, constant along a shared run regardless of
+        sign convention."""
         from pyspark.sql import Window
 
+        from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
+
+        cand = (
+            index_df.alias("x")
+            .join(y_df.alias("y"), "h")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.col(f"{pos_side}.pos").alias("p"),
+                (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+            )
+        )
+        n_cand = cand.count()
+        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("p")
+        matched = (
+            cand.withColumn("island", F.col("p") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "island")
+            .agg(F.count("*").alias("run_len"))
+            .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
+            .agg(F.sum("run_len"))
+            .collect()[0][0]
+        )
+        return n_cand, int(matched or 0)
+
+    def substr_counts(sf_dir: str, copies: int) -> tuple[int, int]:
+        """ExactSubstr machinery (shared by report + scrub, which differ
+        only downstream of the islands): self-join of the positioned
+        index, island mass on the x side. Both candidates and mass grow
+        ~c² under the c-copy blow-up, so a stable ratio = candidates
+        track true span mass, not corpus². The df-cap SCALES with the
+        copy factor (max_df · c): the cap is a relative boilerplate
+        threshold — the c-copy fixture gives every shingle df ≥ c, so a
+        fixed absolute cap saturates by construction at c > max_df
+        (every true dup becomes 'boilerplate'), which measures the
+        fixture, not the operator. Production contract per the operator
+        docstring: cap set relative to expected duplication
+        multiplicity."""
         from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
 
         docs = t(spark, sf_dir, "documents")
@@ -349,69 +384,24 @@ def audit_candidate_ratio(spark) -> None:
             docs, "doc_id", "text", k=ic._SUBSTR_K,
             max_df=ic._SUBSTR_DF_CAP * copies,
         )
-        cand = (
-            shc.alias("x")
-            .join(shc.alias("y"), "h")
-            .filter(F.col("x.doc") < F.col("y.doc"))
-            .select(
-                F.col("x.doc").alias("doc_a"),
-                F.col("y.doc").alias("doc_b"),
-                F.col("x.pos").alias("pa"),
-                (F.col("x.pos") - F.col("y.pos")).alias("diag"),
-            )
-        )
-        n_cand = cand.count()
-        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-        matched = (
-            cand.withColumn("island", F.col("pa") - F.row_number().over(w))
-            .groupBy("doc_a", "doc_b", "diag", "island")
-            .agg(F.count("*").alias("run_len"))
-            .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
-            .agg(F.sum("run_len"))
-            .collect()[0][0]
-        )
-        return n_cand, int(matched or 0)
+        return _island_mass(shc, shc, "x")
 
     def substr_incr_counts(sf_dir: str) -> tuple[int, int]:
         """Incremental scrub shape (scrub_batch_incremental, the
         steady-state ingest path): candidates = the ONE-SIDED positional
         join's rows — x-side the full df-capped index, y-side only the
-        batch's positions, keep-first filter x.doc < y.doc — and emitted
-        = Σ run_len of the batch side's qualifying islands (its true
-        removed-span mass). Runs the production FIXED cap on the linear
-        fixture (batch residues survive the copy shift: 10^9 % 10 = 0,
-        so every copy contributes 10% batch docs)."""
-        from pyspark.sql import Window
-
+        batch's positions — and emitted = Σ run_len of the batch side's
+        qualifying islands (its true removed-span mass). Runs the
+        production FIXED cap on the linear fixture (batch residues
+        survive the copy shift: 10^9 % 10 = 0, so every copy contributes
+        10% batch docs)."""
         from open_data_lakehouse_demo_spark.plans import inventory_corpus as ic
 
         docs = t(spark, sf_dir, "documents")
         shc = dedup.positioned_hash_index(
             docs, "doc_id", "text", k=ic._SUBSTR_K, max_df=ic._SUBSTR_DF_CAP,
         )
-        batch_shc = shc.filter(F.col("doc") % 10 == 0)
-        cand = (
-            shc.alias("x")
-            .join(batch_shc.alias("y"), "h")
-            .filter(F.col("x.doc") < F.col("y.doc"))
-            .select(
-                F.col("x.doc").alias("doc_a"),
-                F.col("y.doc").alias("doc_b"),
-                F.col("y.pos").alias("pb"),
-                (F.col("y.pos") - F.col("x.pos")).alias("diag"),
-            )
-        )
-        n_cand = cand.count()
-        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
-        matched = (
-            cand.withColumn("island", F.col("pb") - F.row_number().over(w))
-            .groupBy("doc_a", "doc_b", "diag", "island")
-            .agg(F.count("*").alias("run_len"))
-            .filter(F.col("run_len") >= ic._SUBSTR_MIN_RUN)
-            .agg(F.sum("run_len"))
-            .collect()[0][0]
-        )
-        return n_cand, int(matched or 0)
+        return _island_mass(shc, shc.filter(F.col("doc") % 10 == 0), "y")
 
     # docs-only blow-ups: self-contained (the audit can run standalone
     # via `python -c "...audit_candidate_ratio(spark)"` without the full
