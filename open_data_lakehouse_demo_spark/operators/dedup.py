@@ -1171,6 +1171,119 @@ def minhash_lsh_pairs_incremental(
     return _verified_pairs(cands, sets_old.unionByName(sets_new), threshold)
 
 
+def build_minhash_index_logged(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> int:
+    """The MinHash dedup index as a SNAPSHOT-VERSIONED logged table pair
+    (sources/table_log.py) — the persisted form
+    minhash_lsh_pairs_incremental's docstring promises ("in production
+    the bands and the old shingle sets are PERSISTED tables maintained
+    across batches"), as tested code rather than prose, mirroring the
+    ExactSubstr (build_substr_index_logged) and IVF-SQ8
+    (quantization.build_sq8_ivf_index_logged) logged indexes:
+
+      {path}/sets   (doc, sh)                 exact-Jaccard verification
+      {path}/bands  (doc, band_id, band_key)  LSH candidate generation
+
+    Shingle hashing is the CPU hot spot, so it runs ONCE: sets are
+    written first and the band table is derived by scanning the
+    just-committed sets table (one extra columnar scan, no re-hash).
+    Both tables start at snapshot 0 and advance in LOCKSTEP under this
+    module's API (append_minhash_index_logged appends both per batch),
+    so one ``snapshot`` pin addresses a consistent index version.
+    Returns the bands table's initial snapshot id (0)."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    spark = docs.sparkSession
+    tl.create(spark, f"{path}/sets", _doc_shingle_sets(docs, id_col, text_col, n))
+    return tl.create(
+        spark, f"{path}/bands", _minhash_bands(tl.read(spark, f"{path}/sets"))
+    )
+
+
+def append_minhash_index_logged(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Incremental index maintenance: shingle-hash ONLY the new batch and
+    append its rows to both tables — per-batch work scales with the
+    batch, never the corpus. ``txn=(writer, version)`` gives the
+    two-table append a crash-safe exactly-once protocol: the idempotency
+    check is PER TABLE (table_log.append's txn contract), so a crash
+    between the sets commit and the bands commit is healed by replaying
+    the same call — the sets append is skipped as a no-op and the bands
+    append lands, restoring lockstep. A batch visible in sets but not
+    yet in bands is simply not a candidate source yet (near-dup queries
+    generate candidates from bands), never a wrong answer. Returns the
+    new bands snapshot id."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    # materialized so the two appends don't re-run the shingle hashing
+    sets = materialize(_doc_shingle_sets(batch, id_col, text_col, n))
+    tl.append(spark, f"{path}/sets", sets, txn=txn)
+    return tl.append(spark, f"{path}/bands", _minhash_bands(sets), txn=txn)
+
+
+def near_dups_batch_logged(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """minhash_lsh_pairs_incremental against a PINNED snapshot of the
+    logged index (default latest): the batch's own sets/bands are
+    computed fresh and any batch rows already present in the index are
+    excluded first (anti-join on batch ids), so the result is identical
+    whether the caller dedups before or after appending the batch — the
+    order-independence an ingest pipeline needs when dedup and append
+    are separate jobs (same contract as scrub_batch_logged). Output =
+    the full-corpus minhash_lsh_pairs result restricted to pairs
+    touching the batch, doc_a < doc_b.
+
+    Scale shape: identical to minhash_lsh_pairs_incremental — the band
+    join's x-side is ONLY the batch's bands, so join output is bounded
+    by the batch's collision fan-in; the corpus-sized terms are two
+    columnar scans of the logged tables (file-pruned by the manifest
+    when partitioned)."""
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.sources.io import materialize
+
+    batch_ids = batch.select(F.col(id_col).alias("doc"))
+    sets_new = materialize(_doc_shingle_sets(batch, id_col, text_col, n))
+    sets_old = tl.read(spark, f"{path}/sets", snapshot=snapshot).join(
+        batch_ids, "doc", "left_anti"
+    )
+    bands_old = tl.read(spark, f"{path}/bands", snapshot=snapshot).join(
+        batch_ids, "doc", "left_anti"
+    )
+    bands_new = _minhash_bands(sets_new)
+    cands = (
+        bands_new.alias("x")
+        .join(bands_old.unionByName(bands_new).alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.least(F.col("x.doc"), F.col("y.doc")).alias("doc_a"),
+            F.greatest(F.col("x.doc"), F.col("y.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verified_pairs(cands, sets_old.unionByName(sets_new), threshold)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

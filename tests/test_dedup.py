@@ -466,6 +466,122 @@ def test_logged_substr_index_scrub_order_independent(spark, tmp_path):
     assert got2[20]["n_spans"] == 1 and "s0" not in got2[20]["clean_text"]
 
 
+def _minhash_cluster_docs(spark):
+    """12 docs in near-identical clusters spanning the batch boundary
+    (same shape as test_incremental_minhash_equals_full_restricted)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 4}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return docs, docs.filter(F.col("doc_id") % 3 != 0), docs.filter(F.col("doc_id") % 3 == 0)
+
+
+def test_logged_minhash_index_order_independent_and_exactly_once(spark, tmp_path):
+    """Snapshot-versioned MinHash index (build/append/near_dups_batch
+    _logged — the persisted form minhash_lsh_pairs_incremental's
+    docstring promises, as tested code): querying a batch gives the same
+    pairs as the in-session incremental path whether it runs BEFORE or
+    AFTER the batch is appended; a replayed two-table txn append is a
+    no-op on both tables; and a snapshot pin time-travels the index."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    docs, old, batch = _minhash_cluster_docs(spark)
+    path = str(tmp_path / "mh_idx")
+    assert dedup.build_minhash_index_logged(old, path) == 0
+
+    want = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            old, batch, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    )
+    assert want  # clusters guarantee pairs
+
+    def got(**kw):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.near_dups_batch_logged(
+                spark, path, batch, threshold=0.8, **kw
+            ).collect()
+        )
+
+    assert got() == want  # query BEFORE append
+
+    s1 = dedup.append_minhash_index_logged(spark, path, batch, txn=("ingest", 1))
+    assert s1 == 1
+    # replay: no-op on BOTH tables (per-table idempotent txn)
+    assert dedup.append_minhash_index_logged(spark, path, batch, txn=("ingest", 1)) == 1
+    assert len(tl._list_snapshots(f"{path}/sets")) == 2
+    assert len(tl._list_snapshots(f"{path}/bands")) == 2
+
+    assert got() == want          # query AFTER append (anti-join dedupe)
+    assert got(snapshot=0) == want  # pinned pre-append snapshot
+
+    # the appended index serves a SECOND batch against corpus ∪ batch1:
+    # doc 20 joins the tail0 cluster, whose members span old AND batch1
+    docs2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog again and again today tail0"),
+         (21, "nothing like the others at all in any way whatsoever")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dups_batch_logged(spark, path, docs2).collect()
+    }
+    tail0 = {0, 4, 8}  # doc_id % 4 == 0 → the tail0 cluster
+    assert {(a, 20) for a in tail0} <= pairs2
+    assert all(b == 20 or a == 20 for a, b in pairs2)  # only batch-touching pairs
+    assert not any(21 in p for p in pairs2)
+
+
+def test_logged_minhash_append_heals_partial_two_table_commit(spark, tmp_path):
+    """Crash between the sets commit and the bands commit: replaying the
+    SAME txn append must skip the already-committed sets table and land
+    the bands append — the per-table idempotency that makes the
+    two-table protocol exactly-once. Until healed, the batch is simply
+    absent from candidate generation (bands drive candidates), never a
+    wrong answer."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.operators.dedup import _doc_shingle_sets
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    docs, old, batch = _minhash_cluster_docs(spark)
+    path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index_logged(old, path)
+
+    # simulate the crash: ONLY the sets half of the txn landed
+    tl.append(spark, f"{path}/sets",
+              _doc_shingle_sets(batch, "doc_id", "text", 3), txn=("ingest", 1))
+    assert len(tl._list_snapshots(f"{path}/sets")) == 2
+    assert len(tl._list_snapshots(f"{path}/bands")) == 1
+
+    # a query between crash and heal: batch docs aren't index candidates
+    # yet, but querying THEM as the probe batch still works (fresh-side
+    # bands + anti-join dedupe) and equals the incremental contract
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            old, batch, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    )
+    mid = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dups_batch_logged(spark, path, batch).collect()
+    )
+    assert mid == want
+
+    # heal: same txn, same call — sets skipped, bands lands
+    assert dedup.append_minhash_index_logged(spark, path, batch, txn=("ingest", 1)) == 1
+    assert len(tl._list_snapshots(f"{path}/sets")) == 2
+    assert len(tl._list_snapshots(f"{path}/bands")) == 2
+    # no duplicated sets rows (the skip really skipped)
+    n_batch = batch.count()
+    assert tl.read(spark, f"{path}/sets").count() == old.count() + n_batch
+    assert tl.read(spark, f"{path}/bands").filter(
+        F.col("doc") % 3 == 0
+    ).select("doc").distinct().count() == n_batch
+
+
 def test_dedup_operators_on_empty_corpus(spark):
     """Degenerate-input hardening (r9): every dedup operator must run on
     a 0-row corpus and return 0 rows — no window/aggregate/explode path

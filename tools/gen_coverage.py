@@ -63,6 +63,7 @@ STATIC = {
     "M3": ("plans/ddl.py create/use_namespace", "tests/test_io_ddl.py"),
     "M4": ("sources/table_log.py snapshots_table/files_table — native metadata introspection (snapshot history, per-file size/row-count/partition from parquet footers), the tbl.snapshots/tbl.files twins; Iceberg's own metadata tables remain runtime-gated on the jar", "tests/test_table_log.py"),
     "M5": ("operators/profiling.py profile_table — single-pass per-column stats (nulls, HLL distinct, min/max) + stack unpivot", "tests/test_io_ddl.py"),
+    "DD9": ("persisted steady-state forms (r10): operators/dedup.py build/append_minhash_index_logged + near_dups_batch_logged — the MinHash sets+bands index as a snapshot-versioned logged table pair (two-table exactly-once txn appends, order-independent batch queries, time travel), joining the ExactSubstr (build_substr_index_logged) and IVF-SQ8 logged indexes", "tests/test_dedup.py"),
 }
 
 by_op: dict[str, list[str]] = defaultdict(list)
