@@ -181,3 +181,85 @@ def scrub_ingest_handler(spark, index_path: str, clean_path: str,
         )
 
     return handle
+
+
+def init_minhash_ingest(spark, index_path: str, curated_path: str,
+                        like: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3) -> None:
+    """Create the tables near-dup-dedup-at-ingest maintains: the logged
+    MinHash index pair (operators/dedup.py build_minhash_index_logged —
+    {index_path}/sets + {index_path}/bands, both empty snapshot 0) and
+    the curated unique-docs table (the input document schema verbatim).
+    ``like`` supplies the schema (no rows are read); ``n`` is forwarded
+    for symmetry with minhash_ingest_handler — init and handler should
+    be configured from the same value."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    dedup.build_minhash_index_logged(
+        like.limit(0), index_path, id_col, text_col, n=n
+    )
+    tl.create(spark, curated_path, like.limit(0))
+
+
+def minhash_ingest_handler(spark, index_path: str, curated_path: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 3, threshold: float = 0.8,
+                           writer: str = "minhash-ingest"):
+    """foreachBatch handler for EXACTLY-ONCE near-dup dedup at ingest —
+    the MinHash sibling of scrub_ingest_handler, closing the
+    curation-at-ingest set (exact dedup: dedup_exact_stream; span scrub:
+    scrub_ingest_handler; near-dup drop: here). Each micro-batch:
+
+      1. pairs = near_dups_batch_logged(batch vs accumulated index) —
+         EXACTLY the full-corpus MinHash pair set restricted to pairs
+         touching the batch (operators/dedup.py contract);
+      2. batch docs appearing as the HIGHER id of any pair are dropped
+         (keep-first by id — the doc_a side is an already-kept corpus
+         doc or an earlier batch doc); survivors append to the curated
+         table;
+      3. the FULL batch (survivors and drops) appends to the index.
+
+    Indexing drops keeps the detection contract exact — future batches
+    dedup against the same full corpus the batch inventory's
+    incremental_near_dups sees, not a thresholded subset (Jaccard at a
+    threshold is not transitive, so dedup-against-survivors-only could
+    miss a pair the full-corpus run reports). The cost is index rows
+    for dropped docs — linear, and reclaimable by a periodic rebuild
+    from the curated table where the weaker contract is acceptable.
+
+    POLICY NOTE: the per-batch keep-first drop is the streaming-feasible
+    greedy — within one batch, a doc drops if ANY smaller-id partner
+    pairs with it, even when that partner itself dropped (pairwise, not
+    connected-components + keep-best like the batch dup_cluster_canonical
+    job; a doc dropped here is near-identical to SOME kept-or-dropped
+    smaller id, and chains bottom out at a kept cluster minimum).
+
+    Exactly-once: three commits per batch — curated append, then the
+    index pair's sets+bands appends — all carrying txn=(writer,
+    batch_id), each idempotent PER TABLE, and the near-dup query is
+    order-independent (anti-join on batch ids), so a replayed
+    micro-batch recomputes the identical drop set and no-ops whichever
+    commits already landed. Same RETIREMENT CAVEAT as
+    scrub_ingest_handler: a crash between commits needs the stream
+    restarted (replay heals) before being retired for good.
+
+    Wire with ``docs_stream.writeStream.foreachBatch(handler)``.
+    """
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = dedup.near_dups_batch_logged(
+            spark, index_path, batch_df, id_col, text_col,
+            n=n, threshold=threshold,
+        )
+        drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch_df.join(drop, id_col, "left_anti")
+        tl.append(spark, curated_path, survivors, txn=(writer, batch_id))
+        dedup.append_minhash_index_logged(
+            spark, index_path, batch_df, id_col, text_col, n=n,
+            txn=(writer, batch_id),
+        )
+
+    return handle

@@ -331,3 +331,84 @@ def test_scrub_ingest_matches_incremental_scrub_per_batch(spark, tmp_path):
     final = {r["doc_id"]: r["n_tokens_removed"] for r in tl.read(spark, clean).collect()}
     assert final[12] > 0 and final[11] == 0
     assert final[10] > 0 and final[20] > 0
+
+
+def test_minhash_ingest_drops_near_dups_exactly_once(spark, tmp_path):
+    """Near-dup-dedup-at-ingest (streaming/ingest.py
+    minhash_ingest_handler): three micro-batches through a real
+    foreachBatch stream — each batch's curated delta must equal the
+    documented keep-first policy applied to
+    dedup.minhash_lsh_pairs_incremental (the incremental_near_dups
+    query's ORACLE-CHECKED operator) with corpus = all earlier FULL
+    batches; a doc duplicating an already-DROPPED doc still drops (the
+    index-the-full-batch contract); and a replayed micro-batch is a
+    no-op on all three logged tables."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+    from open_data_lakehouse_demo_spark.streaming.ingest import (
+        init_minhash_ingest,
+        minhash_ingest_handler,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today tail0"
+    s2 = ("another very long sentence describing adaptive query execution "
+          "behavior in great detail for this deduplication ingest test case")
+    batches = [
+        [(1, base),
+         (2, "completely different content about spark shuffle partitions and joins")],
+        [(10, base),          # cross-batch dup of 1 → dropped
+         (11, s2),            # new cluster seed → kept
+         (12, s2 + " extra")],  # in-batch near-dup of 11 → dropped
+        [(20, base),          # dups BOTH 1 (kept) and 10 (dropped) → dropped
+         (21, "nothing shared in the third wave closer at all today")],
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+
+    idx, curated = str(tmp_path / "mh_idx"), str(tmp_path / "curated")
+    init_minhash_ingest(spark, idx, curated, spark.createDataFrame([], schema))
+    handler = minhash_ingest_handler(spark, idx, curated)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*.parquet")
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the headline: dropped docs stay indexed, so 20 drops via 10 even
+    # though 10 itself was dropped — curated is exactly the keep-first set
+    assert sorted(
+        r["doc_id"] for r in tl.read(spark, curated).collect()
+    ) == [1, 2, 11, 21]
+
+    # per-batch deltas == the policy twin over the oracle-checked operator
+    snaps = tl._list_snapshots(curated)
+    assert len(snaps) == len(batches) + 1
+    for i, b in enumerate(batches):
+        after = {r[0] for r in tl.read(spark, curated, snaps[i + 1]).collect()}
+        before = {r[0] for r in tl.read(spark, curated, snaps[i]).collect()}
+        corpus = spark.createDataFrame(sum(batches[:i], []) or [], schema)
+        batch = spark.createDataFrame(b, schema)
+        pairs = dedup.minhash_lsh_pairs_incremental(
+            corpus, batch, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+        drop = {r["doc_b"] for r in pairs}
+        want = {d for d, _ in b if d not in drop}
+        assert after - before == want, f"micro-batch {i} diverged from policy twin"
+
+    # replay the last micro-batch: txn no-ops on curated AND both index tables
+    marks = [tl._list_snapshots(p)[-1]
+             for p in (curated, f"{idx}/sets", f"{idx}/bands")]
+    handler(spark.createDataFrame(batches[-1], schema), 2)
+    assert [tl._list_snapshots(p)[-1]
+            for p in (curated, f"{idx}/sets", f"{idx}/bands")] == marks
+    assert sorted(r["doc_id"] for r in tl.read(spark, curated).collect()) == [1, 2, 11, 21]

@@ -38,7 +38,7 @@ STATIC = {
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
-    "T13": ("streaming/ingest.py — curation-at-ingest: stateless quality/langid/fingerprint features + chunking (batch-run-is-the-oracle twins), watermark-bounded in-flight exact dedup, IVF list assignment at ingest, and (r8) scrub_ingest_handler — exactly-once ExactSubstr scrub-at-ingest over the logged positioned-hash index (both appends idempotent-txn'd; curated table provably equals the full-corpus batch scrub under monotonic ids)", "tests/test_streaming_ingest.py"),
+    "T13": ("streaming/ingest.py — curation-at-ingest: stateless quality/langid/fingerprint features + chunking (batch-run-is-the-oracle twins), watermark-bounded in-flight exact dedup, IVF list assignment at ingest, (r10) minhash_ingest_handler — exactly-once near-dup drop at ingest over the logged MinHash sets+bands index (keep-first policy, per-batch delta provably equals the incremental_near_dups operator's pair set), and (r8) scrub_ingest_handler — exactly-once ExactSubstr scrub-at-ingest over the logged positioned-hash index (both appends idempotent-txn'd; curated table provably equals the full-corpus batch scrub under monotonic ids)", "tests/test_streaming_ingest.py"),
     "PIPE9": ("operators/chunking.py chunk_documents — overlapping token-window RAG chunking (map-only, codegen windows + explode)", "tests/test_text.py"),
     "P1": ("df.select/alias — pervasive", "all queries"),
     "P2": ("withColumn/Renamed/drop — pervasive", "all queries"),
