@@ -1213,6 +1213,7 @@ def append_minhash_index_logged(
     text_col: str = "text",
     n: int = 3,
     txn: tuple[str, int] | None = None,
+    sets: DataFrame | None = None,
 ) -> int:
     """Incremental index maintenance: shingle-hash ONLY the new batch and
     append its rows to both tables — per-batch work scales with the
@@ -1223,13 +1224,21 @@ def append_minhash_index_logged(
     the same call — the sets append is skipped as a no-op and the bands
     append lands, restoring lockstep. A batch visible in sets but not
     yet in bands is simply not a candidate source yet (near-dup queries
-    generate candidates from bands), never a wrong answer. Returns the
-    new bands snapshot id."""
+    generate candidates from bands), never a wrong answer.
+
+    ``sets``: optionally a precomputed/materialized
+    ``_doc_shingle_sets(batch, id_col, text_col, n)`` relation — pass it
+    when the caller already paid the shingle hashing (the CPU hot spot)
+    for the same batch, e.g. a dedup query feeding the append
+    (streaming/ingest.minhash_ingest_handler), same contract as the
+    scrub family's ``index`` parameter. Returns the new bands snapshot
+    id."""
     from open_data_lakehouse_demo_spark.sources import table_log as tl
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     # materialized so the two appends don't re-run the shingle hashing
-    sets = materialize(_doc_shingle_sets(batch, id_col, text_col, n))
+    if sets is None:
+        sets = materialize(_doc_shingle_sets(batch, id_col, text_col, n))
     tl.append(spark, f"{path}/sets", sets, txn=txn)
     return tl.append(spark, f"{path}/bands", _minhash_bands(sets), txn=txn)
 
@@ -1243,6 +1252,7 @@ def near_dups_batch_logged(
     n: int = 3,
     threshold: float = 0.8,
     snapshot: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """minhash_lsh_pairs_incremental against a PINNED snapshot of the
     logged index (default latest): the batch's own sets/bands are
@@ -1254,6 +1264,10 @@ def near_dups_batch_logged(
     the full-corpus minhash_lsh_pairs result restricted to pairs
     touching the batch, doc_a < doc_b.
 
+    ``sets``: optionally the batch's precomputed/materialized
+    ``_doc_shingle_sets`` relation (see append_minhash_index_logged) so
+    a query-then-append caller pays the shingle hashing once.
+
     Scale shape: identical to minhash_lsh_pairs_incremental — the band
     join's x-side is ONLY the batch's bands, so join output is bounded
     by the batch's collision fan-in; the corpus-sized terms are two
@@ -1263,7 +1277,11 @@ def near_dups_batch_logged(
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     batch_ids = batch.select(F.col(id_col).alias("doc"))
-    sets_new = materialize(_doc_shingle_sets(batch, id_col, text_col, n))
+    sets_new = (
+        materialize(_doc_shingle_sets(batch, id_col, text_col, n))
+        if sets is None
+        else sets
+    )
     sets_old = tl.read(spark, f"{path}/sets", snapshot=snapshot).join(
         batch_ids, "doc", "left_anti"
     )

@@ -235,6 +235,15 @@ def minhash_ingest_handler(spark, index_path: str, curated_path: str,
     job; a doc dropped here is near-identical to SOME kept-or-dropped
     smaller id, and chains bottom out at a kept cluster minimum).
 
+    PRECONDITION — MONOTONIC INGEST IDS (same as scrub_ingest_handler):
+    keep-first is id-based, and already-curated docs are immutable. A
+    batch doc with a SMALLER id than its indexed partner produces a pair
+    whose doc_b is the OLD doc — which cannot be retro-dropped — so BOTH
+    members survive in the curated table (r10 review). Under backfill /
+    multi-source ingest where ids don't grow monotonically, run the
+    batch dedup jobs (dup_cluster_canonical) over the curated table to
+    reconcile, or derive ingest ids from a monotonic sequence.
+
     Exactly-once: three commits per batch — curated append, then the
     index pair's sets+bands appends — all carrying txn=(writer,
     batch_id), each idempotent PER TABLE, and the near-dup query is
@@ -250,16 +259,24 @@ def minhash_ingest_handler(spark, index_path: str, curated_path: str,
     from open_data_lakehouse_demo_spark.sources import table_log as tl
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from open_data_lakehouse_demo_spark.sources.io import materialize
+
+        # shingle hashing is the CPU hot spot — pay it ONCE per batch
+        # and feed both the dedup query and the index appends (r10
+        # review: the query and append each re-hashed the batch)
+        sets = materialize(
+            dedup._doc_shingle_sets(batch_df, id_col, text_col, n)
+        )
         pairs = dedup.near_dups_batch_logged(
             spark, index_path, batch_df, id_col, text_col,
-            n=n, threshold=threshold,
+            n=n, threshold=threshold, sets=sets,
         )
         drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         survivors = batch_df.join(drop, id_col, "left_anti")
         tl.append(spark, curated_path, survivors, txn=(writer, batch_id))
         dedup.append_minhash_index_logged(
             spark, index_path, batch_df, id_col, text_col, n=n,
-            txn=(writer, batch_id),
+            txn=(writer, batch_id), sets=sets,
         )
 
     return handle

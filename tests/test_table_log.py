@@ -916,7 +916,16 @@ def test_datetime_predicate_on_date_column_is_sound(spark, tmp_path):
     tl.create(spark, path, df)
     cut = dt.datetime(2024, 1, 16, 5, 0)
     got = tl.read_where(spark, path, [("d", "<", cut)])
-    want = tl.read(spark, path).filter(F.col("d") < F.lit(cut))
+    # reference literal as a SQL wall-time string: a naive predicate
+    # names a SESSION-zone wall time (the read_where contract), but
+    # F.lit(naive datetime) converts through the PYTHON process's local
+    # zone — under TZ=Pacific/Chatham (+13:45) that names an instant
+    # 13h45 earlier than the session (UTC) wall time and the reference
+    # itself flips to [] (r10: the 6th TZ-fragile test assertion; engine
+    # path unaffected)
+    want = tl.read(spark, path).filter(
+        F.col("d") < F.expr("TIMESTAMP '2024-01-16 05:00:00'")
+    )
     assert sorted(r["v"] for r in got.collect()) == sorted(
         r["v"] for r in want.collect()
     ) == [1]
