@@ -452,6 +452,61 @@ CHECKS = [
         "winning pair collected (1 row/round, the k-means-codebook "
         "pattern), so the RESULT plan is constant-size by design.",
     ),
+    # r10 additions: the heaviest bench rows that still lacked plan pins
+    (
+        "ngram_jaccard_dups",
+        ["0x:CartesianProduct", "Generate", "HashAggregate",
+         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        "Prefix-filtered candidate generation stays an EQUI-join over the "
+        "rare-shingle inverted index (strategy picked by AQE per size; "
+        "never a cross product) on the materialized signature table; "
+        "shingle explode is a Generate inside the scan stage and Jaccard "
+        "verification is a hash aggregate over pre-sorted shingle arrays.",
+    ),
+    (
+        "incremental_near_dups",
+        ["0x:CartesianProduct", "Generate", "HashAggregate",
+         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        "The steady-state ingest shape: band equi-join with the BATCH side "
+        "as the small build input (broadcast at this size; shuffled at "
+        "scale), never a cross product — join output bounded by the "
+        "batch's collision fan-in, not the corpus.",
+    ),
+    (
+        "curated_corpus",
+        ["LeftSemi", "LeftAnti", "PushedFilters", "0x:CartesianProduct"],
+        "The end-to-end curation pipeline keeps its set-op shape: quality "
+        "gate pushed into the parquet scan, exact-dup canonical keep as a "
+        "semi-join, near-dup losers removed by an anti-join — no cross "
+        "product anywhere in the composed plan.",
+    ),
+    (
+        "last_lineitem_per_order",
+        ["PushedFilters", "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "0x:CartesianProduct", "HashAggregate"],
+        "J1 big×big composite-key inner join: the per-order MAX aggregate "
+        "is partial (map-side) before its one shuffle, the join is an "
+        "equi-join on (orderkey, ship ts) — AQE broadcasts the aggregated "
+        "side at sf0.01, degrades to shuffle strategies at scale — and "
+        "the l_shipdate IS NOT NULL filter reaches the scan.",
+    ),
+    (
+        "cosine_topk_ivf",
+        ["WindowGroupLimit", "ArrowEvalPython", "TakeOrderedAndProject",
+         "0x:BatchEvalPython"],
+        "IVF probe search: the rank<=k filter plans as WindowGroupLimit "
+        "(partial per-partition top-k before the final window — the "
+        "scale-safe shape), distances run in Arrow-vectorized pandas "
+        "UDFs (never row-at-a-time BatchEvalPython), and the bounded "
+        "probe batch caps as TakeOrderedAndProject.",
+    ),
+    (
+        "image_feature_extract",
+        ["MapInPandas", "1x:Scan parquet", "0x:BatchEvalPython"],
+        "Multimodal decode+feature path: ONE parquet scan feeds "
+        "iterator-mode MapInPandas (Arrow batches; binary column never "
+        "row-serialized through Python pickling).",
+    ),
 ]
 
 
