@@ -224,3 +224,109 @@ def test_auto_ar_never_selects_underdetermined_order(spark):
     if p > 0:
         # noisy series + honest dof ⇒ non-degenerate residual variance
         assert max(r.standard_error for r in fc) > 1e-6
+
+
+def _ref_ar_series(y, xm, horizon, order, auto_order, conf, z):
+    """Independent numpy reference for ONE series of the documented
+    ar_forecast contract (operators/forecast.py docstring): design
+    [1, t, y_{t-1..t-p}, xreg...] by least squares; auto order by AIC on
+    the common p_max..n sample with a refit of the winner; recursive
+    multi-step forecast with carried-forward covariates; interval from
+    the accumulated one-step residual variance. Written from the
+    contract so a plumbing or regression bug in the applyInPandas path
+    (group routing, in-group sort, schema, carry-forward) diverges."""
+    import numpy as np
+
+    n, q = len(y), xm.shape[1]
+    p_cap = min(order, max(1, n // 3))
+    viable = [p for p in range(1, p_cap + 1) if (n - p) >= (p + 2 + q) + 1]
+    if not viable:
+        mu = float(np.mean(y)) if n else 0.0
+        return [(mu, 0.0, 0)] * horizon
+
+    def fit(p, start):
+        t_idx = np.arange(start, n, dtype="float64")
+        X = np.column_stack(
+            [np.ones(n - start), t_idx]
+            + [y[start - k - 1 : n - k - 1] for k in range(p)]
+            + [xm[start:, j] for j in range(q)]
+        )
+        beta, *_ = np.linalg.lstsq(X, y[start:], rcond=None)
+        resid = y[start:] - X @ beta
+        n_eff = n - start
+        sse = float(resid @ resid)
+        aic = n_eff * float(np.log(max(sse / n_eff, 1e-300))) + 2.0 * (p + 2 + q)
+        return beta, resid, aic
+
+    if auto_order:
+        p_max = max(viable)
+        p = min(viable, key=lambda cp: fit(cp, p_max)[2])
+        beta, resid, _ = fit(p, p)
+    else:
+        p = min(p_cap, max(viable))
+        beta, resid, _ = fit(p, p)
+    sigma = float(np.sqrt(np.mean(resid**2))) if len(resid) else 0.0
+    hist = list(y)
+    x_future = xm[-1] if q else np.zeros(0)
+    out, var_acc = [], 0.0
+    phi_sq = float(np.sum(beta[2 : 2 + p] ** 2))
+    for h in range(horizon):
+        x_row = np.concatenate(([1.0, float(n + h)],
+                                [hist[-k - 1] for k in range(p)], x_future))
+        yhat = float(x_row @ beta)
+        hist.append(yhat)
+        var_acc = sigma**2 + phi_sq * var_acc
+        out.append((yhat, float(var_acc) ** 0.5, p))
+    return out
+
+
+@pytest.mark.parametrize("auto_order,use_xreg", [(False, False), (True, False), (True, True)])
+def test_ar_forecast_matches_numpy_reference_exactly(spark, auto_order, use_xreg):
+    """Exact parity of the distributed AR path against the in-test numpy
+    reference over a seeded 3-series fixture fed in SHUFFLED row order —
+    the rows-only evidence pattern (cf. BPE's python-reference test):
+    forecast_value / standard_error / ar_order must agree to float
+    round-off per (series, step)."""
+    import random
+
+    import numpy as np
+
+    rng = np.random.default_rng(20261016)
+    start = datetime.datetime(2024, 1, 1)
+    series = {}
+    rows = []
+    for si, key in enumerate(["a", "b", "c"]):
+        n = [40, 23, 31][si]
+        y = np.cumsum(rng.normal(0.3, 1.0, n)) + 10 * si
+        x1 = rng.normal(0, 1, n)
+        series[key] = (y, x1.reshape(n, 1) if use_xreg else np.zeros((n, 0)))
+        rows += [
+            (key, start + datetime.timedelta(days=i), float(y[i]), float(x1[i]))
+            for i in range(n)
+        ]
+    random.Random(7).shuffle(rows)  # the operator must sort in-group
+    df = spark.createDataFrame(
+        rows, "key string, day timestamp_ntz, y double, x1 double"
+    )
+    fc = ar_forecast(
+        df, ["key"], "day", "y", horizon=6, bucket_seconds=86400,
+        order=4, auto_order=auto_order,
+        xreg_cols=["x1"] if use_xreg else None,
+    )
+    got = {
+        (r["key"], r["forecast_timestamp"]): (
+            r["forecast_value"], r["standard_error"], r["ar_order"]
+        )
+        for r in fc.collect()
+    }
+    assert len(got) == 18
+    z = 0  # unused by the reference triple
+    for key, (y, xm) in series.items():
+        want = _ref_ar_series(y, xm, 6, 4, auto_order, 0.95, z)
+        n = len(y)
+        for h, (v, se, p) in enumerate(want):
+            ts = start + datetime.timedelta(days=n - 1 + h + 1)
+            gv, gse, gp = got[(key, ts)]
+            assert gp == p, (key, h)
+            assert math.isclose(gv, v, rel_tol=1e-9, abs_tol=1e-9), (key, h)
+            assert math.isclose(gse, se, rel_tol=1e-9, abs_tol=1e-9), (key, h)
