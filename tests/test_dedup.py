@@ -534,6 +534,39 @@ def test_logged_minhash_index_order_independent_and_exactly_once(spark, tmp_path
     assert not any(21 in p for p in pairs2)
 
 
+def test_logged_minhash_index_survives_compact_and_vacuum(spark, tmp_path):
+    """Index maintenance loop: after several appends, compact + vacuum
+    on BOTH tables must leave near-dup queries byte-identical — this
+    also exercises compact/schema-union/vacuum over an ARRAY column
+    (sets.sh), a path the scalar-table table_log tests never touch
+    (array columns carry no manifest stats, so every file must stay a
+    may-match candidate rather than being wrongly pruned)."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    docs, old, batch = _minhash_cluster_docs(spark)
+    path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index_logged(old, path)
+    for j in range(3):
+        dedup.append_minhash_index_logged(
+            spark, path,
+            batch.withColumn("doc_id", F.col("doc_id") + 100 * (j + 1)),
+        )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.near_dups_batch_logged(spark, path, batch).collect()
+    )
+    assert want
+    for t in ("sets", "bands"):
+        tl.compact(spark, f"{path}/{t}")
+        tl.vacuum(spark, f"{path}/{t}", keep_last=1)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.near_dups_batch_logged(spark, path, batch).collect()
+    )
+    assert got == want
+
+
 def test_logged_minhash_append_heals_partial_two_table_commit(spark, tmp_path):
     """Crash between the sets commit and the bands commit: replaying the
     SAME txn append must skip the already-committed sets table and land
