@@ -838,6 +838,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     threshold: float = 0.25,
     codebook: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     coarse-cluster the embedding space, then exhaustively compare ONLY
@@ -858,20 +859,28 @@ def semantic_dedup_pairs(
     reproducible); pass kmeans_codebook(...) for trained clusters where
     removal quality matters.
 
-    HONEST LIMIT: both sides of the self-join re-derive the assignment
-    lineage (the assigned corpus is fact-scale, outside io.materialize's
-    reduced-intermediate contract), so the broadcast-assign scan runs
-    twice — CPU, not storage. A production pipeline that persists the
-    cluster assignment as a table (the usual SemDeDup shape) pays it
-    once.
+    HONEST LIMIT: with no ``assignment``, both sides of the self-join
+    re-derive the assignment lineage (the assigned corpus is fact-scale,
+    outside io.materialize's reduced-intermediate contract), so the
+    broadcast-assign scan runs twice — CPU, not storage. ``assignment``
+    is the production escape (the usual SemDeDup shape): pass a
+    PERSISTED cluster-assignment table — the (centroid_id, vid, vec,
+    nrm) relation assign_centroids(base, centroids, n_assign=1)
+    produces, e.g. written once by the ivf_ingest_stream sink or a prior
+    job — and the scan is paid once at write time (same parameter
+    pattern as the scrub family's ``index`` and the minhash family's
+    ``sets``). ``codebook``/``n_clusters`` are ignored when it is given.
     """
-    base = _ensure_base(df, id_col, vec_col)
-    centroids = (
-        codebook if codebook is not None else base.orderBy("vid").limit(n_clusters)
-    )
-    assigned = assign_centroids(base, centroids, n_assign=1).select(
-        "centroid_id", "vid", "vec", "nrm"
-    )
+    if assignment is not None:
+        assigned = assignment.select("centroid_id", "vid", "vec", "nrm")
+    else:
+        base = _ensure_base(df, id_col, vec_col)
+        centroids = (
+            codebook if codebook is not None else base.orderBy("vid").limit(n_clusters)
+        )
+        assigned = assign_centroids(base, centroids, n_assign=1).select(
+            "centroid_id", "vid", "vec", "nrm"
+        )
     a = assigned.select(
         "centroid_id",
         F.col("vid").alias("vid_a"),

@@ -267,6 +267,39 @@ def test_semantic_dedup_keep_first_semantics(spark):
         assert r["cosine_to_keeper"] >= _SEMANTIC_THRESHOLD
 
 
+def test_semantic_dedup_assignment_param_matches_internal_build(spark, tmp_path):
+    """The production SemDeDup shape (r10): a PERSISTED cluster-assignment
+    table passed via ``assignment`` must yield byte-identical removals to
+    the internal assign path with the same codebook — and the persisted
+    path must not re-derive the assignment lineage (same contract family
+    as the scrub ``index`` and minhash ``sets`` params)."""
+    from open_data_lakehouse_demo_spark.operators import similarity as sim
+    from open_data_lakehouse_demo_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").limit(300)
+    base = sim._ensure_base(emb, "vec_id", "embedding")
+    centroids = base.orderBy("vid").limit(16)
+    want = sorted(
+        (r["removed_id"], r["keeper_id"], round(r["cosine_to_keeper"], 9))
+        for r in sim.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", n_clusters=16, threshold=0.25
+        ).collect()
+    )
+    assert want
+    # persist the assignment once (the usual pipeline shape), read back
+    apath = str(tmp_path / "assignment")
+    sim.assign_centroids(base, centroids, n_assign=1).select(
+        "centroid_id", "vid", "vec", "nrm"
+    ).write.parquet(apath)
+    got = sorted(
+        (r["removed_id"], r["keeper_id"], round(r["cosine_to_keeper"], 9))
+        for r in sim.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", assignment=spark.read.parquet(apath)
+        ).collect()
+    )
+    assert got == want
+
+
 def test_pq_adc_oracle_parity(spark, duck):
     q = QUERIES["pq_adc_topk"]
     assert_matches_oracle(q.spark(spark, SF_DIR), duck, q.oracle, "pq_adc_topk")
