@@ -47,7 +47,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_data_lakehouse_demo_spark.sources.io import spread
@@ -483,14 +483,3 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     return aud.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
-
-def media_pipeline(spark: SparkSession, docs: DataFrame) -> dict[str, DataFrame]:
-    """Convenience wiring of the full multimodal surface for tests/bench."""
-    media = synth_media_from_documents(docs)
-    return {
-        "media": media,
-        "image_features": extract_image_features(media),
-        "resized": resize_images(media, 16, 16),
-        "frames": sample_video_frames(media, every_ms=500),
-        "audio_features": extract_audio_features(media),
-    }

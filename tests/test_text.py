@@ -92,6 +92,27 @@ def test_fingerprint_deterministic(sample):
     assert a == b and all(v is not None for v in a.values())
 
 
+def test_kmin_fingerprint_is_k_smallest_shingle_hashes(sample):
+    """doc_fingerprint_kmin's contract: the CSV of the k SMALLEST distinct
+    shingle hashes (shingle sets are pre-sorted, so slice(1,k) IS the
+    k-min sketch), consistent with the full set and containing
+    doc_fingerprint_min as its first element — the sketch a containment
+    estimator unions/intersects."""
+    rows = sample.select(
+        "doc_id",
+        tx.doc_fingerprint_kmin(F.col("text"), k=4).alias("kmin"),
+        tx.doc_fingerprint_min(F.col("text")).alias("fpmin"),
+        tx.shingle_hash_set(F.col("text"), 3).alias("sh"),
+    ).collect()
+    assert rows
+    for r in rows:
+        sh = r["sh"]
+        want = ",".join(str(h) for h in sorted(sh)[:4])
+        assert r["kmin"] == want, r["doc_id"]
+        if sh:
+            assert r["kmin"].split(",")[0] == str(r["fpmin"])
+
+
 @pytest.mark.parametrize(
     "name",
     ["text_quality_profile", "language_id", "corpus_quality_by_source", "doc_fingerprints"],
