@@ -119,17 +119,49 @@ def exact_quantiles(x: Column | str, probs: list[float]) -> Column:
     return F.percentile(x, F.array(*[F.lit(p) for p in probs]))
 
 
+# Zone-free NTZ epoch seconds of an expression, as SQL text — the exact
+# twin of ntz_epoch_seconds() above (field arithmetic, never the session
+# zone). {x} must already be TIMESTAMP_NTZ.
+_NTZ_EPOCH_SQL = (
+    "(CAST(datediff(CAST({x} AS DATE), DATE '1970-01-01') AS BIGINT) * 86400"
+    " + hour({x}) * 3600 + minute({x}) * 60 + second({x}))"
+)
+
+
+def _bucket_rewrite(m) -> str:
+    x = f"CAST({m.group(1)} AS TIMESTAMP_NTZ)"
+    e = _NTZ_EPOCH_SQL.format(x=x)
+    width = f"({m.group(2)} * 60)"
+    return (
+        f"(TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        f" + make_dt_interval(0, 0, 0, {e} - ({e} % {width})))"
+    )
+
+
 _GOOGLESQL_REWRITES: list[tuple[str, str]] = [
     # function-name renames (arg-shape compatible)
     (r"\bSAFE_DIVIDE\s*\(", "try_divide("),
     (r"\bGENERATE_ARRAY\s*\(", "sequence("),
-    (r"\bTIMESTAMP_TRUNC\s*\(\s*([^,()]+)\s*,\s*(\w+)\s*\)", r"date_trunc('\2', \1)"),
+    # NTZ-RESULT CONTRACT (r10): this twin stores timestamps as
+    # TIMESTAMP_NTZ — tz-free UTC wall times (sources/io.py) — but
+    # Spark's date_trunc/to_timestamp return the INSTANT type even for
+    # NTZ input, silently re-interpreting wall times through the session
+    # zone (a west-of-UTC driver session shifts every truncated value).
+    # Rewrites whose GoogleSQL input is a table timestamp therefore pin
+    # the result back to TIMESTAMP_NTZ; under the recommended UTC-pinned
+    # session this is also exact for instant inputs.
+    (r"\bTIMESTAMP_TRUNC\s*\(\s*([^,()]+)\s*,\s*(\w+)\s*\)",
+     r"CAST(date_trunc('\2', \1) AS TIMESTAMP_NTZ)"),
     (r"\bTIMESTAMP_ADD\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\S+)\s+(\w+)\s*\)", r"(\1 + INTERVAL \2 \3)"),
     (r"\bTIMESTAMP_SUB\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\S+)\s+(\w+)\s*\)", r"(\1 - INTERVAL \2 \3)"),
+    # zone-free field arithmetic mirroring timestamp_bucket() — the old
+    # unix_timestamp() form routed NTZ through the session zone, which
+    # mis-anchors buckets under offsets that aren't a multiple of the
+    # bucket width (e.g. +12:45 with hour buckets)
     (r"\bTIMESTAMP_BUCKET\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\d+)\s+MINUTE\s*\)",
-     r"timestamp_seconds(unix_timestamp(\1) - unix_timestamp(\1) % (\2 * 60))"),
+     _bucket_rewrite),
     (r"\bPARSE_TIMESTAMP\s*\(\s*'%m/%d/%Y %I:%M:%S %p'\s*,\s*(.+?)\s*\)",
-     r"to_timestamp(\1, 'M/d/yyyy h:mm:ss a')"),
+     r"CAST(to_timestamp(\1, 'M/d/yyyy h:mm:ss a') AS TIMESTAMP_NTZ)"),
     (r"\bAPPROX_QUANTILES\s*\(\s*([^,()]+)\s*,\s*(\d+)\s*\)",
      r"percentile_approx(\1, (SELECT array_agg(CAST(i AS DOUBLE) / \2) FROM (SELECT explode(sequence(0, \2)) AS i)), 10000)"),
     # type-name renames

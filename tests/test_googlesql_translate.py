@@ -33,6 +33,11 @@ def test_timestamp_functions_translate(spark):
     GROUP BY event_type, TIMESTAMP_TRUNC(ts, hour)
     """
     df = spark.sql(translate_googlesql(gsql))
+    # the NTZ-result contract (r10): events.ts is TIMESTAMP_NTZ, so the
+    # truncated column must stay NTZ — Spark's bare date_trunc returns
+    # the INSTANT type, whose collected values render through the
+    # PYTHON local zone and broke this assertion under TZ=America/New_York
+    assert dict(df.dtypes)["hr"] == "timestamp_ntz"
     rows = df.collect()
     assert len(rows) > 0
     max_ts = spark.sql("SELECT MAX(ts) m FROM events").first()["m"]
@@ -66,7 +71,9 @@ def test_timestamp_add_and_bucket_translate(spark):
     """
     r = spark.sql(translate_googlesql(gsql)).first()
     assert utc_naive(r["t1"]) == datetime.datetime(2024, 1, 1, 1, 30)
-    assert utc_naive(r["t2"]) == datetime.datetime(2024, 1, 1, 0, 5)
+    # BUCKET returns TIMESTAMP_NTZ (zone-free field arithmetic, r10) —
+    # collected verbatim, no local rendering to invert
+    assert r["t2"] == datetime.datetime(2024, 1, 1, 0, 5)
 
 
 def test_parse_timestamp_and_offset_translate(spark):
@@ -76,7 +83,8 @@ def test_parse_timestamp_and_offset_translate(spark):
     FROM (SELECT array(10, 20, 30) AS arr)
     """
     r = spark.sql(translate_googlesql(gsql)).first()
-    assert utc_naive(r["ts"]) == datetime.datetime(2024, 3, 14, 14, 30)
+    # PARSE_TIMESTAMP returns TIMESTAMP_NTZ (r10) — verbatim wall time
+    assert r["ts"] == datetime.datetime(2024, 3, 14, 14, 30)
     assert r["third"] == 30
 
 

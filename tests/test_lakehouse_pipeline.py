@@ -88,8 +88,14 @@ def test_stream_to_logged_table_to_batch_query(spark, tmp_path):
     assert len(hist) - 1 > snaps_mid  # the sentinel batch committed too
 
     # the logged table's latest state == the batch twin over the same rows
+    from tests.conftest import utc_naive
+
     def key(r):
-        return (r[0].date().isoformat() if hasattr(r[0], "date") else r[0].isoformat(), r[1])
+        # window_start is an INSTANT (watermarks need LTZ): invert the
+        # Python-local rendering back to the session's UTC wall before
+        # taking the calendar day (broke under TZ=America/New_York)
+        d = utc_naive(r[0]) if hasattr(r[0], "date") else r[0]
+        return (d.date().isoformat() if hasattr(d, "date") else d.isoformat(), r[1])
 
     got = {
         key((r["window_start"], r["event_type"])): (

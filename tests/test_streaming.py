@@ -708,7 +708,11 @@ def test_streaming_ohlc_matches_batch_twin(spark, tmp_path):
         q.stop()
 
     got = {
-        (r["window_start"].date().isoformat(), r["event_type"]): (
+        # window_start is an INSTANT (streaming watermarks need LTZ):
+        # collected values render in the PYTHON local zone — invert to
+        # the UTC wall the session computed in (broke under
+        # TZ=America/New_York, the 7th local-rendering fragility)
+        (utc_naive(r["window_start"]).date().isoformat(), r["event_type"]): (
             r["open_value"], r["high_value"], r["low_value"], r["close_value"], r["n_events"]
         )
         for r in spark.read.parquet(out).collect()
