@@ -469,6 +469,13 @@ def append(
             for f in df.schema.fields
             if f.name not in prev_cols
         ]
+        reused = {f["name"] for f in new_fields} & _reserved_names(prev)
+        if reused:
+            raise ValueError(
+                f"column name(s) {sorted(reused)} were previously dropped or "
+                "renamed away; reuse would resurrect old physical values "
+                "(see schema-evolution docstring)"
+            )
         evolved = bool(new_fields)
         if evolved:
             union_schema = dict(prev_schema)
@@ -476,7 +483,7 @@ def append(
             schema_json = json.dumps(union_schema)
         else:
             schema_json = prev["schema"]
-        extra: dict = {"schema_evolved": evolved, "txns": txns}
+        extra: dict = {"schema_evolved": evolved, "txns": txns, **_evo_carry(prev)}
         if txn is not None:
             extra["txns"] = {**txns, txn[0]: txn[1]}
             extra.update({"txn_app": txn[0], "txn_version": txn[1]})
@@ -545,15 +552,30 @@ def _pin_latest(path: str) -> tuple[int, dict, dict[str, int]]:
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     """Replace the table contents in one snapshot (old files stay on disk
-    for time travel until a vacuum, exactly like Delta/Iceberg)."""
+    for time travel until a vacuum, exactly like Delta/Iceberg).
+
+    On an altered (conform) table the physical-name mapping RESETS —
+    every surviving file is new, written under current names — but
+    ``retired_names`` persists: allowing a retired name here while
+    append/add_column reject it would make the name-reuse guard
+    depend on which write op you used."""
     latest, prev, txns = _pin_latest(path)
+    reused = set(df.columns) & _reserved_names(prev)
+    if reused:
+        raise ValueError(
+            f"column name(s) {sorted(reused)} are retired (dropped or renamed "
+            "away) and cannot be reintroduced"
+        )
+    evo = _evo_carry(prev)
+    evo.pop("physical_names", None)  # all files replaced: mapping is moot
     partition_by = prev["partition_by"] or None
     files = _write_data_files(df, path, partition_by)
     _commit(
         path,
         latest + 1,
         _manifest(
-            "overwrite", files, df.schema.json(), partition_by, {"txns": txns},
+            "overwrite", files, df.schema.json(), partition_by,
+            {"txns": txns, **evo},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -587,7 +609,7 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
             files,
             prev["schema"],
             partition_by,
-            {"predicate": predicate_sql, "txns": txns},
+            {"predicate": predicate_sql, "txns": txns, **_evo_carry(prev)},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -625,7 +647,7 @@ def merge(
         latest + 1,
         _manifest(
             "merge", files, prev["schema"], partition_by,
-            {"merge_on": on, "txns": txns},
+            {"merge_on": on, "txns": txns, **_evo_carry(prev)},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -655,7 +677,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
             files,
             prev["schema"],
             partition_by,
-            {"compacted_from": len(prev["files"]), "txns": txns},
+            {"compacted_from": len(prev["files"]), "txns": txns, **_evo_carry(prev)},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -698,7 +720,7 @@ def optimize_zorder(
             files,
             prev["schema"],
             partition_by,
-            {"zorder_by": cols, "txns": txns},
+            {"zorder_by": cols, "txns": txns, **_evo_carry(prev)},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -708,9 +730,27 @@ def optimize_zorder(
 def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
     """Restore an earlier snapshot's file list as a NEW snapshot (the
     roll-forward RESTORE of Delta/Iceberg — history is never rewritten,
-    so audits and time travel across the rollback keep working)."""
+    so audits and time travel across the rollback keep working).
+
+    Schema/evolution metadata restores from the TARGET manifest (the
+    reader contract must match the restored files). ``retired_names``
+    is the union of target and current MINUS names live in the restored
+    schema: a rollback past a rename/drop makes the old name a live
+    column again backed by its own files (un-retiring it is correct),
+    while names with no live column stay retired — conservative, since
+    an alter between target and latest may have left physical values
+    under them in still-time-travelable files."""
     target = _read_manifest(path, snapshot)  # raises if absent
-    latest, _prev, txns = _pin_latest(path)
+    latest, prev, txns = _pin_latest(path)
+    evo = _evo_carry(target)
+    live = {f["name"] for f in json.loads(target["schema"])["fields"]}
+    retired = sorted(
+        (set(target.get("retired_names", [])) | set(prev.get("retired_names", [])))
+        - live
+    )
+    if retired:
+        evo["retired_names"] = retired
+        evo["conform"] = True
     _commit(
         path,
         latest + 1,
@@ -719,11 +759,285 @@ def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
             target["files"],
             target["schema"],
             target["partition_by"] or None,
-            {"restored_snapshot": snapshot, "txns": txns},
+            {"restored_snapshot": snapshot, "txns": txns, **evo},
             file_stats=target.get("file_stats", {}),
         ),
     )
     return latest + 1
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: ALTER TABLE add / rename / widen / drop
+# ---------------------------------------------------------------------------
+# The reference's Iceberg tables get full schema evolution from the
+# format (add/rename/widen/drop as metadata-only commits; Iceberg spec
+# "Schema Evolution"). This module reproduces the same contracts WITHOUT
+# parquet field-ids by tracking, per current column, the list of
+# historical PHYSICAL names old data files may carry:
+#
+#   manifest["physical_names"] = {current: [current, older, ...]}
+#   manifest["retired_names"]  = [names that may never be (re)used]
+#   manifest["conform"]        = True  (readers must project/cast)
+#
+# Reads of a conform table scan with an EXPLICIT physical schema (every
+# historical name, declared at the column's CURRENT — widest — type;
+# Spark's parquet reader upcasts int32→long / float→double in place and
+# returns typed NULLs for names a file lacks), then project each current
+# column as coalesce(physical names) cast to its declared type. Name
+# reuse is forbidden (ValueError) instead of silently resurrecting old
+# physical values — the one contract that genuinely needs field-ids;
+# documented HONEST LIMIT.
+#
+# Alter commits are metadata-only (files + stats carried by reference)
+# and rebase-retry on CommitConflict: a metadata mutation composes with
+# any concurrent append, so re-deriving from the winner is always safe.
+
+#: numeric widenings the parquet reader performs in place (probed on
+#: this Spark version; matches Iceberg's allowed promotions)
+_WIDENINGS = {("integer", "long"), ("float", "double")}
+
+
+def _phys_names(m: dict, col: str) -> list[str]:
+    """Physical column names ``col``'s data may be stored under across
+    this snapshot's files, current-first."""
+    return m.get("physical_names", {}).get(col) or [col]
+
+
+def _reserved_names(m: dict) -> set[str]:
+    """Names no new column may take: retired (dropped / renamed-away)
+    plus every non-current historical physical name."""
+    res = set(m.get("retired_names", []))
+    for cur, phys in m.get("physical_names", {}).items():
+        res.update(p for p in phys if p != cur)
+    return res
+
+
+def _evo_carry(prev: dict) -> dict:
+    """Evolution metadata every successor manifest must carry forward."""
+    return {k: prev[k] for k in ("physical_names", "retired_names", "conform")
+            if k in prev}
+
+
+def _translate_where(m: dict, where: list[tuple], stats: dict | None) -> list[tuple]:
+    """Rebind predicate columns to whichever historical physical name
+    THIS file's stats were collected under (a file written before a
+    rename carries bounds under the old name). Missing either way stays
+    conservative — _may_match treats absent columns as may-match."""
+    if not m.get("physical_names") or not stats:
+        return where
+    return [
+        (next((p for p in _phys_names(m, c) if p in stats), c), op, v)
+        for c, op, v in where
+    ]
+
+
+def _scan(spark: SparkSession, path: str, m: dict, files: list[str]) -> DataFrame:
+    """Scan ``files`` under manifest ``m``'s reader contract: the plain
+    mergeSchema scan for ordinary tables; for conform (altered) tables,
+    an explicit physical-schema scan (all historical names at current
+    types — mergeSchema would refuse mixed int32/int64 files, the
+    explicit schema upcasts them) projected onto the committed schema:
+    each column = coalesce(current, older physical names) cast to its
+    declared type. Column pruning still reaches the parquet reader —
+    the projection is a plain Project over the scan, so Catalyst prunes
+    unreferenced physical columns out of ReadSchema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, f) for f in files]
+    if not m.get("conform"):
+        return (
+            spark.read.option("basePath", _data_dir(path))
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+    phys_fields = []
+    for f in schema.fields:
+        for p in _phys_names(m, f.name):
+            phys_fields.append(T.StructField(p, f.dataType, True))
+    src = (
+        spark.read.schema(T.StructType(phys_fields))
+        .option("basePath", _data_dir(path))
+        .parquet(*paths)
+    )
+    exprs = []
+    for f in schema.fields:
+        phys = _phys_names(m, f.name)
+        col = F.col(phys[0]) if len(phys) == 1 else F.coalesce(*[F.col(p) for p in phys])
+        exprs.append(col.cast(f.dataType).alias(f.name))
+    return src.select(*exprs)
+
+
+def _alter(path: str, operation: str, mutate) -> int:
+    """Commit a metadata-only schema mutation with rebase-retry:
+    ``mutate(prev_manifest) -> extra manifest fields`` (must include
+    "schema"; evolution keys merged over _evo_carry). Files, stats and
+    txns carry by reference — zero data IO, exactly Iceberg's ALTER."""
+    for _ in range(16):
+        latest, prev, txns = _pin_latest(path)
+        fields = mutate(prev)
+        extra = {"txns": txns, **_evo_carry(prev), **fields, "conform": True}
+        schema_json = extra.pop("schema")
+        try:
+            _commit(
+                path,
+                latest + 1,
+                _manifest(
+                    operation,
+                    prev["files"],
+                    schema_json,
+                    prev["partition_by"] or None,
+                    extra,
+                    file_stats=prev.get("file_stats", {}),
+                ),
+            )
+            return latest + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"{operation} lost 16 consecutive commit races at {path}")
+
+
+def _parse_type(dtype):
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DataType):
+        return dtype
+    return T.StructType.fromDDL(f"__c {dtype}")[0].dataType
+
+
+def _schema_of(m: dict):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(m["schema"]))
+
+
+def add_column(path: str, name: str, dtype) -> int:
+    """ALTER TABLE ADD COLUMN (metadata-only): existing rows read back
+    as typed NULL, later appends may supply values. ``dtype`` is a
+    DataType or a DDL string ("bigint", "array<double>", ...)."""
+    dt = _parse_type(dtype)
+
+    def mutate(prev: dict) -> dict:
+        schema = _schema_of(prev)
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        if name in _reserved_names(prev):
+            raise ValueError(
+                f"column name {name!r} was previously dropped or renamed away; "
+                "reusing it would resurrect old physical values (field-id "
+                "support would be required — see module docstring)"
+            )
+        from pyspark.sql import types as T
+
+        new = T.StructType(schema.fields + [T.StructField(name, dt, True)])
+        return {"schema": new.json(), "column": name, "type": dt.simpleString()}
+
+    return _alter(path, "add-column", mutate)
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN (metadata-only): old data files keep
+    the old physical name; reads coalesce it under the new name. The
+    old name is retired — it can never be reintroduced."""
+
+    def mutate(prev: dict) -> dict:
+        schema = _schema_of(prev)
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if new in _reserved_names(prev):
+            raise ValueError(f"column name {new!r} is retired and cannot be reused")
+        if old in (prev["partition_by"] or []):
+            raise ValueError(
+                f"{old!r} is a partition column; renaming it would orphan the "
+                "hive-style directory layout (partition evolution is out of scope)"
+            )
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in schema.fields
+        ]
+        pn = dict(prev.get("physical_names", {}))
+        pn[new] = [new] + pn.pop(old, [old])
+        retired = sorted(set(prev.get("retired_names", [])) | {old})
+        return {
+            "schema": T.StructType(fields).json(),
+            "physical_names": pn,
+            "retired_names": retired,
+            "renamed": [old, new],
+        }
+
+    return _alter(path, "rename-column", mutate)
+
+
+def widen_column(path: str, name: str, dtype) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE (metadata-only), restricted to the
+    promotions the parquet reader performs in place — int→long,
+    float→double (Iceberg's allowed set). Old files keep their narrow
+    physical type; the conform scan reads them at the widened type."""
+    dt = _parse_type(dtype)
+
+    def mutate(prev: dict) -> dict:
+        schema = _schema_of(prev)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if name in (prev["partition_by"] or []):
+            raise ValueError(f"{name!r} is a partition column; cannot retype")
+        cur = schema[name].dataType
+        key = (cur.typeName(), dt.typeName())
+        if key not in _WIDENINGS:
+            raise ValueError(
+                f"cannot widen {name!r} {cur.simpleString()} -> {dt.simpleString()}; "
+                f"allowed: {sorted(_WIDENINGS)}"
+            )
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField(f.name, dt, f.nullable, f.metadata)
+            if f.name == name else f
+            for f in schema.fields
+        ]
+        return {
+            "schema": T.StructType(fields).json(),
+            "widened": [name, cur.simpleString(), dt.simpleString()],
+        }
+
+    return _alter(path, "widen-column", mutate)
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN (metadata-only): the data stays in the
+    files but no reader contract exposes it; the name (and its
+    historical physical names) retire permanently."""
+
+    def mutate(prev: dict) -> dict:
+        schema = _schema_of(prev)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if name in (prev["partition_by"] or []):
+            raise ValueError(f"{name!r} is a partition column; cannot drop")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        from pyspark.sql import types as T
+
+        fields = [f for f in schema.fields if f.name != name]
+        pn = dict(prev.get("physical_names", {}))
+        hist = pn.pop(name, [name])
+        retired = sorted(set(prev.get("retired_names", [])) | set(hist) | {name})
+        return {
+            "schema": T.StructType(fields).json(),
+            "physical_names": pn,
+            "retired_names": retired,
+            "dropped": name,
+        }
+
+    return _alter(path, "drop-column", mutate)
 
 
 def read(
@@ -752,15 +1066,7 @@ def read(
     if snapshot is None:
         snapshot = snaps[-1]
     m = _read_manifest(path, snapshot)
-    if not m["files"]:
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
-    return (
-        spark.read.option("basePath", _data_dir(path))
-        .option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, f) for f in m["files"]])
-    )
+    return _scan(spark, path, m, m["files"])
 
 
 # ---------------------------------------------------------------------------
@@ -897,7 +1203,8 @@ def _plan(
     stats_map = m.get("file_stats", {})
     keep, skip = [], []
     for f in m["files"]:
-        (keep if _may_match(stats_map.get(f), where) else skip).append(f)
+        s = stats_map.get(f)
+        (keep if _may_match(s, _translate_where(m, where, s)) else skip).append(f)
     return m, keep, skip
 
 
@@ -931,11 +1238,7 @@ def read_where(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
-    src = (
-        spark.read.option("basePath", _data_dir(path))
-        .option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, f) for f in keep])
-    )
+    src = _scan(spark, path, m, keep)
     return _ensure_predicate_columns(src, m["schema"], where).filter(_where_sql(where))
 
 
@@ -952,17 +1255,17 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
     predicate provably matches nothing — a metadata-only no-op)."""
     latest, prev, txns = _pin_latest(path)
     stats_map = prev.get("file_stats", {})
-    touched = [f for f in prev["files"] if _may_match(stats_map.get(f), where)]
+    touched = [
+        f for f in prev["files"]
+        if _may_match(stats_map.get(f),
+                      _translate_where(prev, where, stats_map.get(f)))
+    ]
     touched_set = set(touched)
     untouched = [f for f in prev["files"] if f not in touched_set]
     if not touched:
         return latest  # nothing can match: no rewrite, no new snapshot
     partition_by = prev["partition_by"] or None
-    src = (
-        spark.read.option("basePath", _data_dir(path))
-        .option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, f) for f in touched])
-    )
+    src = _scan(spark, path, prev, touched)
     src = _ensure_predicate_columns(src, prev["schema"], where)
     # DELETE semantics: NULL-predicate rows survive (see delete_where)
     kept_rows = src.filter(f"NOT coalesce(({_where_sql(where)}), false)")
@@ -982,6 +1285,7 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
                 "txns": txns,
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
+                **_evo_carry(prev),
             },
             file_stats=file_stats,
         ),
