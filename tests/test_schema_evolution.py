@@ -281,3 +281,113 @@ def test_snapshots_table_shows_alter_operations(spark, tbl):
     tl.widen_column(tbl, "value", "long")
     ops = [r["operation"] for r in tl.snapshots_table(spark, tbl).collect()]
     assert "rename-column" in ops and "widen-column" in ops
+
+
+def test_model_based_random_alter_sequence(spark, tmp_path):
+    """Model check over the FULL op mix including alters: a seeded random
+    sequence of append / add / rename / widen / drop / delete_rows /
+    compact / rollback, mirrored against an in-memory model of (schema,
+    rows). After every op the latest read matches the model, and at the
+    end every recorded snapshot still reads back as the exact (schema,
+    rows) state the model had when that snapshot committed — alters must
+    never leak a newer reader contract into an older snapshot."""
+    import random
+
+    rnd = random.Random(20260816)
+    path = str(tmp_path / "t")
+
+    # model: schema = ordered dict name -> "int"|"long"; rows: id -> {col: val|None}
+    schema = {"id": "long", "c0": "int", "c1": "int"}
+    rows = {i: {"c0": i * 2, "c1": i * 3} for i in range(6)}
+    fresh = iter(f"n{i}" for i in range(100))  # never-reused name pool
+
+    def df_of(sch, rws):
+        ddl = ", ".join(f"{c} {t}" for c, t in sch.items())
+        data = [
+            tuple([k] + [r.get(c) for c in sch if c != "id"])
+            for k, r in sorted(rws.items())
+        ]
+        return spark.createDataFrame(data or [], ddl).coalesce(1)
+
+    def read_state(snap=None):
+        df = tl.read(spark, path, snapshot=snap)
+        cols = df.columns
+        return cols, {
+            r["id"]: {c: r[c] for c in cols if c != "id"} for r in df.collect()
+        }
+
+    tl.create(spark, path, df_of(schema, rows))
+    states = {0: (dict(schema), {k: dict(v) for k, v in rows.items()})}
+    next_id = 100
+
+    for step in range(16):
+        data_cols = [c for c in schema if c != "id"]
+        op = rnd.choice(
+            ["append", "add", "rename", "widen", "drop", "delete", "compact", "rollback"]
+        )
+        if op == "append":
+            n = rnd.randrange(1, 4)
+            new = {}
+            for _ in range(n):
+                new[next_id] = {
+                    c: (rnd.randrange(5 * 10**9) if schema[c] == "long"
+                        else rnd.randrange(1000))
+                    for c in data_cols
+                }
+                next_id += 1
+            s = tl.append(spark, path, df_of(schema, new))
+            rows.update(new)
+        elif op == "add":
+            c = next(fresh)
+            s = tl.add_column(path, c, "int")
+            schema[c] = "int"
+            for r in rows.values():
+                r[c] = None
+        elif op == "rename":
+            old = rnd.choice(data_cols)
+            new = next(fresh)
+            s = tl.rename_column(path, old, new)
+            schema = {new if k == old else k: t for k, t in schema.items()}
+            for r in rows.values():
+                r[new] = r.pop(old)
+        elif op == "widen":
+            ints = [c for c in data_cols if schema[c] == "int"]
+            if not ints:
+                continue
+            c = rnd.choice(ints)
+            s = tl.widen_column(path, c, "long")
+            schema[c] = "long"
+        elif op == "drop":
+            if len(data_cols) < 2:
+                continue
+            c = rnd.choice(data_cols)
+            s = tl.drop_column(path, c)
+            del schema[c]
+            for r in rows.values():
+                r.pop(c, None)
+        elif op == "delete":
+            c = rnd.choice(data_cols)
+            cut = rnd.randrange(500)
+            s = tl.delete_rows(spark, path, [(c, "<", cut)])
+            # NULL-predicate rows survive (SQL DELETE semantics)
+            rows = {
+                k: r for k, r in rows.items()
+                if r.get(c) is None or not (r[c] < cut)
+            }
+        elif op == "compact":
+            s = tl.compact(spark, path)
+        else:  # rollback
+            target = rnd.choice(sorted(states))
+            s = tl.rollback(spark, path, target)
+            sch, rws = states[target]
+            schema = dict(sch)
+            rows = {k: dict(v) for k, v in rws.items()}
+        states[s] = (dict(schema), {k: dict(v) for k, v in rows.items()})
+        cols, got = read_state()
+        assert cols == list(schema), f"step {step} op {op}: schema {cols}"
+        assert got == rows, f"step {step} op {op}"
+    # every historical snapshot keeps its own (schema, rows) contract
+    for snap, (sch, rws) in states.items():
+        cols, got = read_state(snap)
+        assert cols == list(sch), f"snapshot {snap} schema"
+        assert got == rws, f"snapshot {snap} rows"
