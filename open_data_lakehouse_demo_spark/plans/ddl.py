@@ -115,6 +115,69 @@ def truncate(spark: SparkSession, table: str) -> int:
     return delete_where(spark, table, "TRUE")
 
 
+def alter_add_column(spark: SparkSession, table: str, column: str, dtype: str) -> None:
+    """ALTER TABLE ADD COLUMNS (the catalog-table face of schema
+    evolution; path-addressed logged tables get the same op from
+    sources/table_log.py add_column). Metadata-only on every format:
+    parquet reads resolve columns by name, so files lacking the new
+    column scan as NULL — same contract as Iceberg's add."""
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({column} {dtype})")
+
+
+def _rewrite_swap(spark: SparkSession, table: str, df: DataFrame, suffix: str) -> None:
+    """Copy-on-write rewrite + atomic catalog swap (the same fallback
+    pattern as delete_where/merge_into): write df to a NEW table
+    location, then swap names — old files stay readable during the
+    write, single-writer only (documented V1-parquet limitation)."""
+    tmp = f"{table}__tmp_{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    df.write.format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+
+
+def alter_rename_column(spark: SparkSession, table: str, old: str, new: str) -> None:
+    """ALTER TABLE RENAME COLUMN. Iceberg: metadata-only (field-id
+    rename). V1 parquet catalog tables can't rename in place (the files
+    store the old name and parquet resolves by name), so the fallback
+    rewrites copy-on-write + catalog swap. Path-addressed logged tables
+    get the metadata-only version from table_log.rename_column."""
+    if table_format(spark) == "iceberg":
+        spark.sql(f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}")
+        return
+    _rewrite_swap(spark, table, spark.table(table).withColumnRenamed(old, new), "rename")
+
+
+def alter_widen_column(spark: SparkSession, table: str, column: str, dtype: str) -> None:
+    """ALTER TABLE ALTER COLUMN TYPE, restricted to Iceberg's safe
+    promotions (int→long, float→double — widenings the parquet reader
+    performs in place). Iceberg: metadata-only. V1 parquet fallback:
+    copy-on-write cast + catalog swap."""
+    cur = dict(spark.table(table).dtypes)[column]
+    allowed = {("int", "bigint"), ("float", "double")}
+    if (cur, dtype) not in allowed:
+        raise ValueError(
+            f"cannot widen {column!r} {cur} -> {dtype}; allowed: {sorted(allowed)}"
+        )
+    if table_format(spark) == "iceberg":
+        spark.sql(f"ALTER TABLE {table} ALTER COLUMN {column} TYPE {dtype}")
+        return
+    df = spark.table(table)
+    _rewrite_swap(
+        spark, table, df.withColumn(column, df[column].cast(dtype)), "widen"
+    )
+
+
+def alter_drop_column(spark: SparkSession, table: str, column: str) -> None:
+    """ALTER TABLE DROP COLUMN. Iceberg: metadata-only. V1 parquet
+    fallback: copy-on-write projection + catalog swap."""
+    if table_format(spark) == "iceberg":
+        spark.sql(f"ALTER TABLE {table} DROP COLUMN {column}")
+        return
+    _rewrite_swap(spark, table, spark.table(table).drop(column), "drop")
+
+
 def merge_into(
     spark: SparkSession,
     target_table: str,

@@ -283,3 +283,44 @@ def test_profile_table_single_pass_stats(spark, duck):
     # sum, not either-or: `a <= 2 or b <= 2` is vacuously true when one
     # operator kind is absent (count 0), hiding a multi-pass regression
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") <= 2
+
+
+def test_alter_table_schema_evolution_lifecycle(spark):
+    """S14+: the catalog-table face of schema evolution (Iceberg gets
+    metadata-only ALTERs; the V1 parquet fallback rewrites copy-on-write
+    with the same catalog-swap pattern as delete_where). The logged-table
+    (path-addressed) twin is tests/test_schema_evolution.py."""
+    ddl.create_namespace(spark, "lakehouse_test")
+    t = "lakehouse_test.evolve_t"
+    try:
+        base = spark.createDataFrame(
+            [(1, 10, 1.5), (2, 20, 2.5)], "k int, v int, x float"
+        )
+        ddl.ctas_from_df(base, t)
+        # add: old rows read as NULL
+        ddl.alter_add_column(spark, t, "tag", "string")
+        got = spark.table(t)
+        assert "tag" in got.columns
+        assert got.where("tag is null").count() == 2
+        # rename preserves values
+        ddl.alter_rename_column(spark, t, "v", "val")
+        got = spark.table(t)
+        assert sorted(r["val"] for r in got.collect()) == [10, 20]
+        # widen int->long then append a beyond-int32 value
+        ddl.alter_widen_column(spark, t, "val", "bigint")
+        assert dict(spark.table(t).dtypes)["val"] == "bigint"
+        spark.createDataFrame(
+            [(3, 5 * 10**9, 3.5, "c")], "k int, val long, x float, tag string"
+        ).write.format("parquet").mode("append").saveAsTable(t)
+        assert spark.table(t).where("val > 4000000000").count() == 1
+        # narrowing / lateral moves are refused
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="cannot widen"):
+            ddl.alter_widen_column(spark, t, "x", "bigint")
+        # drop
+        ddl.alter_drop_column(spark, t, "x")
+        assert "x" not in spark.table(t).columns
+        assert spark.table(t).count() == 3
+    finally:
+        ddl.drop_table(spark, t)
