@@ -56,12 +56,17 @@ Scale notes (the honest 100 TB picture):
     + partition values — Iceberg's lower/upper_bounds) consumed by
     ``plan_scan``/``read_where`` for driver-side FILE pruning before
     the engine sees a split;
-  * DELETE is copy-on-write: ``delete_rows`` (conjunctions of simple
-    comparisons) rewrites ONLY the files whose bounds may match —
-    untouched files carry into the new snapshot by reference, the way
-    Iceberg COW plans its rewrite set; ``delete_where`` (arbitrary SQL
-    predicates) remains table-granular — real formats additionally
-    offer merge-on-read delete vectors, out of scope here.
+  * DELETE comes in both industry shapes: copy-on-write —
+    ``delete_rows`` (conjunctions of simple comparisons) rewrites ONLY
+    the files whose bounds may match, untouched files carry into the
+    new snapshot by reference, the way Iceberg COW plans its rewrite
+    set; ``delete_where`` (arbitrary SQL predicates) remains
+    table-granular — and merge-on-read: ``delete_rows_mor`` commits a
+    deletion-vector sidecar of (file, row_index) positions that reads
+    anti-join out (Delta deletion vectors / Iceberg position deletes);
+    the next compact/rewrite materializes and clears them;
+  * ALTER TABLE schema evolution (add/rename/widen/drop) is
+    metadata-only — see the "Schema evolution" section below.
 """
 
 from __future__ import annotations
@@ -483,7 +488,8 @@ def append(
             schema_json = json.dumps(union_schema)
         else:
             schema_json = prev["schema"]
-        extra: dict = {"schema_evolved": evolved, "txns": txns, **_evo_carry(prev)}
+        extra: dict = {"schema_evolved": evolved, "txns": txns,
+                       **_evo_carry(prev), **_dv_carry(prev)}
         if txn is not None:
             extra["txns"] = {**txns, txn[0]: txn[1]}
             extra.update({"txn_app": txn[0], "txn_version": txn[1]})
@@ -759,7 +765,8 @@ def rollback(spark: SparkSession, path: str, snapshot: int) -> int:
             target["files"],
             target["schema"],
             target["partition_by"] or None,
-            {"restored_snapshot": snapshot, "txns": txns, **evo},
+            {"restored_snapshot": snapshot, "txns": txns, **evo,
+             **_dv_carry(target)},
             file_stats=target.get("file_stats", {}),
         ),
     )
@@ -831,7 +838,40 @@ def _translate_where(m: dict, where: list[tuple], stats: dict | None) -> list[tu
     ]
 
 
-def _scan(spark: SparkSession, path: str, m: dict, files: list[str]) -> DataFrame:
+#: broadcast the deletion-vector side of the MoR anti-join below this
+#: total DV-file size — MoR's premise is deletes ≪ data, so this is the
+#: common case; larger DV sets fall back to a shuffle anti-join (and are
+#: a signal to compact, which materializes the deletes)
+_DV_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _apply_delete_vectors(
+    spark: SparkSession, path: str, m: dict, src: DataFrame
+) -> DataFrame:
+    """Anti-join out the rows named by the snapshot's deletion vectors
+    (merge-on-read DELETE): ``src`` must carry ``__fname``/``__ri``
+    lineage columns. DV rows for files not in this scan simply never
+    match — a rewritten or pruned file's stale DV entries are inert."""
+    from pyspark.sql import functions as F
+
+    dv_files = m.get("delete_vectors") or []
+    if not dv_files:
+        return src
+    paths = [os.path.join(path, f) for f in dv_files]
+    dv = spark.read.parquet(*paths)
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    if total < _DV_BROADCAST_BYTES:
+        dv = F.broadcast(dv)
+    return src.join(dv, on=["__fname", "__ri"], how="left_anti")
+
+
+def _scan(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    with_lineage: bool = False,
+) -> DataFrame:
     """Scan ``files`` under manifest ``m``'s reader contract: the plain
     mergeSchema scan for ordinary tables; for conform (altered) tables,
     an explicit physical-schema scan (all historical names at current
@@ -840,35 +880,71 @@ def _scan(spark: SparkSession, path: str, m: dict, files: list[str]) -> DataFram
     each column = coalesce(current, older physical names) cast to its
     declared type. Column pruning still reaches the parquet reader —
     the projection is a plain Project over the scan, so Catalyst prunes
-    unreferenced physical columns out of ReadSchema."""
+    unreferenced physical columns out of ReadSchema.
+
+    Snapshots carrying deletion vectors (delete_rows_mor) anti-join the
+    deleted (file, row_index) pairs out before the projection; lineage
+    comes from the parquet source's ``_metadata`` hidden column, which
+    coexists with both the mergeSchema and explicit-schema paths.
+    ``with_lineage=True`` keeps the ``__fname``/``__ri`` columns in the
+    output (internal callers: delete_rows_mor)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if not files:
+        if with_lineage:
+            schema = T.StructType(
+                schema.fields
+                + [T.StructField("__fname", T.StringType()),
+                   T.StructField("__ri", T.LongType())]
+            )
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f) for f in files]
-    if not m.get("conform"):
-        return (
+    need_lineage = with_lineage or bool(m.get("delete_vectors"))
+    if m.get("conform"):
+        phys_fields = []
+        for f in schema.fields:
+            for p in _phys_names(m, f.name):
+                phys_fields.append(T.StructField(p, f.dataType, True))
+        src = (
+            spark.read.schema(T.StructType(phys_fields))
+            .option("basePath", _data_dir(path))
+            .parquet(*paths)
+        )
+    else:
+        src = (
             spark.read.option("basePath", _data_dir(path))
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
-    phys_fields = []
-    for f in schema.fields:
-        for p in _phys_names(m, f.name):
-            phys_fields.append(T.StructField(p, f.dataType, True))
-    src = (
-        spark.read.schema(T.StructType(phys_fields))
-        .option("basePath", _data_dir(path))
-        .parquet(*paths)
-    )
-    exprs = []
-    for f in schema.fields:
-        phys = _phys_names(m, f.name)
-        col = F.col(phys[0]) if len(phys) == 1 else F.coalesce(*[F.col(p) for p in phys])
-        exprs.append(col.cast(f.dataType).alias(f.name))
-    return src.select(*exprs)
+    if need_lineage:
+        src = src.withColumns({
+            "__fname": F.substring_index(F.col("_metadata.file_path"), "/", -1),
+            "__ri": F.col("_metadata.row_index"),
+        })
+        src = _apply_delete_vectors(spark, path, m, src)
+    if m.get("conform"):
+        exprs = []
+        for f in schema.fields:
+            phys = _phys_names(m, f.name)
+            col = F.col(phys[0]) if len(phys) == 1 else F.coalesce(*[F.col(p) for p in phys])
+            exprs.append(col.cast(f.dataType).alias(f.name))
+        if with_lineage:
+            exprs += [F.col("__fname"), F.col("__ri")]
+        return src.select(*exprs)
+    if need_lineage and not with_lineage:
+        src = src.drop("__fname", "__ri")
+    return src
+
+
+def _dv_carry(prev: dict) -> dict:
+    """Deletion-vector list an op that keeps prev's data files BY
+    REFERENCE must carry forward (append / alters / partial COW delete).
+    Ops that rewrite every file (overwrite/delete_where/merge/compact/
+    zorder) read through the DVs and so materialize the deletes — they
+    deliberately do NOT call this, which clears the vectors."""
+    return {"delete_vectors": prev["delete_vectors"]} if prev.get("delete_vectors") else {}
 
 
 def _alter(path: str, operation: str, mutate) -> int:
@@ -879,7 +955,8 @@ def _alter(path: str, operation: str, mutate) -> int:
     for _ in range(16):
         latest, prev, txns = _pin_latest(path)
         fields = mutate(prev)
-        extra = {"txns": txns, **_evo_carry(prev), **fields, "conform": True}
+        extra = {"txns": txns, **_evo_carry(prev), **_dv_carry(prev), **fields,
+                 "conform": True}
         schema_json = extra.pop("schema")
         try:
             _commit(
@@ -922,6 +999,8 @@ def add_column(path: str, name: str, dtype) -> int:
 
     def mutate(prev: dict) -> dict:
         schema = _schema_of(prev)
+        if name.startswith("__"):
+            raise ValueError(f"{name!r}: the __ prefix is reserved for internal columns")
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
         if name in _reserved_names(prev):
@@ -945,6 +1024,8 @@ def rename_column(path: str, old: str, new: str) -> int:
 
     def mutate(prev: dict) -> dict:
         schema = _schema_of(prev)
+        if new.startswith("__"):
+            raise ValueError(f"{new!r}: the __ prefix is reserved for internal columns")
         if old not in schema.fieldNames():
             raise ValueError(f"no column {old!r}")
         if new in schema.fieldNames():
@@ -1286,8 +1367,99 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
                 **_evo_carry(prev),
+                **_dv_carry(prev),
             },
             file_stats=file_stats,
+        ),
+    )
+    return latest + 1
+
+
+def _write_delete_vector(df: DataFrame, path: str) -> list[str]:
+    """Write a deletion-vector parquet (__fname, __ri) under _deletes/
+    with the same stage-then-move discipline as data files; returns the
+    relative file paths (empty part files are kept — they are tiny and
+    harmless to the anti-join)."""
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, "_staging", token)
+    df.write.mode("overwrite").parquet(staging)
+    dv_dir = os.path.join(path, "_deletes")
+    os.makedirs(dv_dir, exist_ok=True)
+    rel_files = []
+    for f in os.listdir(staging):
+        if not f.endswith(".parquet"):
+            continue
+        final = os.path.join(dv_dir, f"{token}-{f}")
+        os.rename(os.path.join(staging, f), final)
+        rel_files.append(os.path.relpath(final, path))
+    shutil.rmtree(os.path.join(path, "_staging", token), ignore_errors=True)
+    return sorted(rel_files)
+
+
+def delete_rows_mor(spark: SparkSession, path: str, where: list[tuple]) -> int:
+    """MERGE-ON-READ DELETE (Delta deletion vectors / Iceberg position
+    deletes): instead of rewriting the files containing matches (the
+    copy-on-write ``delete_rows``), commit a tiny sidecar parquet of
+    deleted (file, row_index) positions; reads anti-join it out. At
+    100 TB this is the difference between rewriting multi-GB files to
+    drop a handful of rows and writing kilobytes — the trade is a
+    per-read anti-join (broadcast while DVs stay small), repaid by the
+    next ``compact``/rewrite, which reads THROUGH the vectors and so
+    materializes the deletes and clears them.
+
+    Same manifest-bounds pruning as delete_rows (only candidate files
+    are scanned to find positions), same pinned-snapshot concurrency
+    (a racing append conflicts, never loses rows), same NULL-survives
+    DELETE semantics. Already-deleted rows never re-enter a vector —
+    the position scan itself reads through existing DVs. Returns the
+    new snapshot id (or the current one when nothing matches)."""
+    latest, prev, txns = _pin_latest(path)
+    clash = {"__fname", "__ri"} & {
+        f["name"] for f in json.loads(prev["schema"])["fields"]
+    }
+    if clash:
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the MoR lineage "
+            "namespace; use the copy-on-write delete_rows instead"
+        )
+    stats_map = prev.get("file_stats", {})
+    touched = [
+        f for f in prev["files"]
+        if _may_match(stats_map.get(f),
+                      _translate_where(prev, where, stats_map.get(f)))
+    ]
+    if not touched:
+        return latest
+    src = _scan(spark, path, prev, touched, with_lineage=True)
+    src = _ensure_predicate_columns(src, prev["schema"], where)
+    hits = (
+        src.filter(f"coalesce(({_where_sql(where)}), false)")
+        .select("__fname", "__ri")
+        .persist()
+    )
+    try:
+        n = hits.count()
+        if n == 0:
+            return latest
+        dv_files = _write_delete_vector(hits, path)
+    finally:
+        hits.unpersist()
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "delete-mor",
+            prev["files"],
+            prev["schema"],
+            prev["partition_by"] or None,
+            {
+                "predicate": _where_sql(where),
+                "txns": txns,
+                "n_deleted": n,
+                "delete_vectors": prev.get("delete_vectors", []) + dv_files,
+                **_evo_carry(prev),
+            },
+            file_stats=prev.get("file_stats", {}),
         ),
     )
     return latest + 1
@@ -1465,4 +1637,25 @@ def vacuum(
                     os.unlink(fp)
             except FileNotFoundError:
                 pass  # the committing writer unlinked it mid-scan
-    return sorted(dead | set(orphans))
+    # Deletion-vector sidecars (delete_rows_mor): same lifecycle as data
+    # files — referenced by retained manifests = live; referenced only
+    # by expired ones = dead; present but referenced by nothing = an
+    # age-gated orphan (a MoR writer that lost its commit race).
+    live_dvs: set[str] = set()
+    for s in keep:
+        live_dvs.update(_read_manifest(path, s).get("delete_vectors") or [])
+    dv_dir = os.path.join(path, "_deletes")
+    dv_swept: list[str] = []
+    if os.path.isdir(dv_dir):
+        for f in os.listdir(dv_dir):
+            fp = os.path.join(dv_dir, f)
+            rel = os.path.relpath(fp, path)
+            if rel in live_dvs:
+                continue
+            try:
+                if os.stat(fp).st_mtime < cutoff:
+                    os.unlink(fp)
+                    dv_swept.append(rel)
+            except FileNotFoundError:
+                pass  # a concurrent vacuum raced us
+    return sorted(dead | set(orphans) | set(dv_swept))
