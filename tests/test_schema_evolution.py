@@ -286,7 +286,7 @@ def test_snapshots_table_shows_alter_operations(spark, tbl):
 def test_model_based_random_alter_sequence(spark, tmp_path):
     """Model check over the FULL op mix including alters: a seeded random
     sequence of append / add / rename / widen / drop / delete_rows /
-    compact / rollback, mirrored against an in-memory model of (schema,
+    delete_rows_mor / compact / rollback, mirrored against an in-memory model of (schema,
     rows). After every op the latest read matches the model, and at the
     end every recorded snapshot still reads back as the exact (schema,
     rows) state the model had when that snapshot committed — alters must
@@ -323,7 +323,8 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
     for step in range(16):
         data_cols = [c for c in schema if c != "id"]
         op = rnd.choice(
-            ["append", "add", "rename", "widen", "drop", "delete", "compact", "rollback"]
+            ["append", "add", "rename", "widen", "drop", "delete", "mor",
+             "compact", "rollback"]
         )
         if op == "append":
             n = rnd.randrange(1, 4)
@@ -370,6 +371,16 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
             cut = rnd.randrange(500)
             s = tl.delete_rows(spark, path, [(c, "<", cut)])
             # NULL-predicate rows survive (SQL DELETE semantics)
+            rows = {
+                k: r for k, r in rows.items()
+                if r.get(c) is None or not (r[c] < cut)
+            }
+        elif op == "mor":
+            # merge-on-read delete: same model semantics as "delete",
+            # but the table keeps its files and gains a deletion vector
+            c = rnd.choice(data_cols)
+            cut = rnd.randrange(500)
+            s = tl.delete_rows_mor(spark, path, [(c, "<", cut)])
             rows = {
                 k: r for k, r in rows.items()
                 if r.get(c) is None or not (r[c] < cut)
