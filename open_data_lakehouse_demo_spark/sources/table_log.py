@@ -1465,6 +1465,75 @@ def delete_rows_mor(spark: SparkSession, path: str, where: list[tuple]) -> int:
     return latest + 1
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    ignore_rewrites: bool = False,
+) -> tuple[DataFrame, int]:
+    """Incremental read: the rows APPENDED strictly after snapshot
+    ``from_snapshot`` (the change-data-feed / streaming-source contract
+    of Delta/Iceberg — a downstream consumer tails the table by
+    checkpointing the returned high-water snapshot and passing it back;
+    at 100 TB this reads only the new files, never the table). Returns
+    ``(appended_rows, latest_snapshot)``; pass ``from_snapshot=-1`` to
+    start from the beginning (the create counts as the first append).
+
+    Append-only is verified, not assumed: a rewrite in the range
+    (overwrite / delete / merge / compact / zorder / rollback) raises —
+    its effect on earlier rows cannot be represented as an append —
+    unless ``ignore_rewrites=True``, which SKIPS those snapshots'
+    file changes (Delta's ignoreDeletes/ignoreChanges trade: rows
+    deleted or rewritten in the range are not retracted downstream).
+    Metadata-only snapshots (alters, no-op txns) emit nothing; the
+    emitted rows read under the LATEST manifest's contract, so a rename
+    or widen in the range applies to older appends too. Deletion
+    vectors are deliberately NOT applied — appended content is
+    immutable once emitted; the deletes surface as the rewrite error /
+    skip above.
+
+    Raises when a needed manifest has been vacuumed away (history
+    expired): the consumer must re-seed with a full read."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    latest = snaps[-1]
+    if from_snapshot >= latest:
+        m = _read_manifest(path, latest)
+        return _scan(spark, path, {**m, "files": []}, []), latest
+    need = [s for s in range(max(from_snapshot, 0), latest + 1)]
+    have = set(snaps)
+    missing = [s for s in need if s not in have]
+    if missing:
+        raise ValueError(
+            f"history expired: snapshots {missing} were vacuumed; "
+            "re-seed the consumer with a full read"
+        )
+    metadata_only = ("add-column", "rename-column", "widen-column", "drop-column")
+    new_files: list[str] = []
+    prev_files: set[str] = set()
+    if from_snapshot >= 0:
+        prev_files = set(_read_manifest(path, from_snapshot)["files"])
+    for s in range(from_snapshot + 1, latest + 1):
+        m = _read_manifest(path, s)
+        cur = set(m["files"])
+        op = m["operation"]
+        if op in ("create", "append"):
+            new_files.extend(sorted(cur - prev_files))
+        elif op not in metadata_only and not ignore_rewrites:
+            # overwrite / delete / delete-mor / merge / compact /
+            # optimize_zorder / rollback: earlier rows changed
+            raise ValueError(
+                f"snapshot {s} ({op}) rewrote or deleted rows; incremental "
+                "append-only read cannot represent it — re-seed with a "
+                "full read, or pass ignore_rewrites=True to skip it"
+            )
+        prev_files = cur
+    latest_m = _read_manifest(path, latest)
+    emit_m = {k: v for k, v in latest_m.items() if k != "delete_vectors"}
+    return _scan(spark, path, emit_m, new_files), latest
+
+
 def history(path: str) -> list[dict]:
     """Commit history, oldest first: (snapshot, operation, ts_ms,
     n_files + operation extras)."""

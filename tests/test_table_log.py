@@ -983,3 +983,76 @@ def test_epoch_micros_exact_integer_arithmetic():
     aware = dt.datetime(2242, 3, 16, 12, 56, 32, 3, tzinfo=dt.timezone.utc)
     naive = aware.replace(tzinfo=None)
     assert tl._epoch_micros(aware) == tl._epoch_micros(naive)
+
+
+def test_table_changes_incremental_tail(spark, base, tmp_path):
+    """table_changes: the append-only incremental read a downstream
+    consumer tails the table with (Delta streaming-source semantics)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    # from -1: the create is the first append
+    df, hw = tl.table_changes(spark, path, -1)
+    assert hw == 0 and df.count() == 10
+    # nothing new: empty batch, same high water
+    df, hw2 = tl.table_changes(spark, path, hw)
+    assert hw2 == hw and df.count() == 0
+    # two appends land; only their rows are emitted
+    more1 = spark.range(10, 13).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    more2 = spark.range(13, 15).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v3").alias("tag"))
+    tl.append(spark, path, more1)
+    tl.append(spark, path, more2)
+    df, hw3 = tl.table_changes(spark, path, hw)
+    assert hw3 == 2 and sorted(r["id"] for r in df.collect()) == list(range(10, 15))
+    # checkpoint composes: next call from hw3 is empty
+    assert tl.table_changes(spark, path, hw3)[0].count() == 0
+
+
+def test_table_changes_rejects_rewrites_unless_ignored(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    hw = 0
+    tl.delete_where(spark, path, "id >= 8")
+    with pytest.raises(ValueError, match="rewrote or deleted"):
+        tl.table_changes(spark, path, hw)
+    # ignore_rewrites skips the delete (no retraction) but later appends flow
+    more = spark.range(20, 22).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    tl.append(spark, path, more)
+    df, hw2 = tl.table_changes(spark, path, hw, ignore_rewrites=True)
+    assert sorted(r["id"] for r in df.collect()) == [20, 21]
+    assert hw2 == 2
+    # MoR delete is a row change too, even though files are untouched
+    tl.delete_rows_mor(spark, path, [("id", "=", 0)])
+    with pytest.raises(ValueError, match="delete-mor"):
+        tl.table_changes(spark, path, hw2)
+
+
+def test_table_changes_reads_under_latest_contract(spark, base, tmp_path):
+    """An alter in the range is metadata-only for the stream, and the
+    emitted rows (including pre-alter appends) read under the latest
+    schema — a consumer never sees two contracts in one batch."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    more = spark.range(10, 12).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    tl.append(spark, path, more)           # snapshot 1 (pre-rename files)
+    tl.rename_column(path, "bucket", "b")  # snapshot 2, metadata-only
+    df, hw = tl.table_changes(spark, path, 0)
+    assert hw == 2 and "b" in df.columns and "bucket" not in df.columns
+    assert sorted((r["id"], r["b"]) for r in df.collect()) == [
+        (10, 1), (11, 2)
+    ]
+
+
+def test_table_changes_expired_history_raises(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    for i in range(3):
+        more = spark.range(100 + i, 101 + i).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("x").alias("tag"))
+        tl.append(spark, path, more)
+    tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=0)
+    with pytest.raises(ValueError, match="history expired"):
+        tl.table_changes(spark, path, 0)
