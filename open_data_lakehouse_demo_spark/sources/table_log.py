@@ -1534,6 +1534,59 @@ def table_changes(
     return _scan(spark, path, emit_m, new_files), latest
 
 
+def sync_increment(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    transform=None,
+    writer_id: str | None = None,
+    ignore_rewrites: bool = False,
+) -> tuple[int, int]:
+    """EXACTLY-ONCE incremental table-to-table pipeline step: read the
+    source rows appended since the last sync (``table_changes``),
+    optionally ``transform`` the batch (DataFrame -> DataFrame), and
+    append it to the destination with the source's high-water snapshot
+    as the idempotent txn version. The checkpoint IS the destination's
+    carried txn map — no side state, so a crashed or replayed sync
+    re-offers the same (writer_id, snapshot) and is skipped by the
+    append idempotency contract, never double-applied. This is the
+    batch twin of a streaming table-to-table pipeline: at 100 TB the
+    step reads only new files and appends only new rows, regardless of
+    either table's size.
+
+    Creates the destination on first sync (from the transformed batch's
+    schema). Returns ``(rows_synced, src_snapshot_consumed_through)``;
+    a no-change call returns ``(0, current high water)`` without
+    committing."""
+    writer_id = writer_id or f"sync:{os.path.abspath(src_path)}"
+    from_snap = -1
+    dst_exists = bool(_list_snapshots(dst_path))
+    if dst_exists:
+        _latest, _prev, txns = _pin_latest(dst_path)
+        from_snap = txns.get(writer_id, -1)
+    df, hw = table_changes(
+        spark, src_path, from_snap, ignore_rewrites=ignore_rewrites
+    )
+    if hw == from_snap:
+        return 0, hw
+    out = transform(df) if transform is not None else df
+    if not dst_exists:
+        # seed an EMPTY destination first, then deliver the batch through
+        # the txn-stamped append: a crash between the two replays into
+        # "table exists, txn absent" and the retry delivers exactly once
+        # (create-then-stamp would leave a window where a replay
+        # re-appends the already-created seed rows)
+        create(spark, dst_path, out.limit(0))
+    # one materialization: the batch is both counted and written
+    out = out.persist()
+    try:
+        n = out.count()
+        append(spark, dst_path, out, txn=(writer_id, hw))
+    finally:
+        out.unpersist()
+    return n, hw
+
+
 def history(path: str) -> list[dict]:
     """Commit history, oldest first: (snapshot, operation, ts_ms,
     n_files + operation extras)."""

@@ -1056,3 +1056,50 @@ def test_table_changes_expired_history_raises(spark, base, tmp_path):
     tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=0)
     with pytest.raises(ValueError, match="history expired"):
         tl.table_changes(spark, path, 0)
+
+
+def test_sync_increment_exactly_once_pipeline(spark, base, tmp_path, commit_protocol):
+    """sync_increment: table-to-table incremental step whose checkpoint
+    is the destination's idempotent txn map — crash/replay safe with no
+    side state, over both commit protocols."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tl.create(spark, src, base)
+
+    def xf(df):
+        return df.filter("bucket = 0").select("id", "tag")
+
+    n, hw = tl.sync_increment(spark, src, dst, transform=xf)
+    assert (n, hw) == (4, 0)  # ids 0,3,6,9
+    assert sorted(r["id"] for r in tl.read(spark, dst).collect()) == [0, 3, 6, 9]
+    # replay of the same step is a no-op (idempotent txn), not a dup
+    n2, hw2 = tl.sync_increment(spark, src, dst, transform=xf)
+    assert (n2, hw2) == (0, 0)
+    assert tl.read(spark, dst).count() == 4
+    # new source appends flow through; only the delta is read
+    more = spark.range(10, 16).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    tl.append(spark, src, more)
+    n3, hw3 = tl.sync_increment(spark, src, dst, transform=xf)
+    assert (n3, hw3) == (2, 1)  # ids 12, 15
+    assert sorted(r["id"] for r in tl.read(spark, dst).collect()) == [0, 3, 6, 9, 12, 15]
+    # replay again after the second step: still a no-op
+    assert tl.sync_increment(spark, src, dst, transform=xf)[0] == 0
+    # a rewrite upstream surfaces instead of silently corrupting the sync
+    tl.delete_where(spark, src, "id = 0")
+    with pytest.raises(ValueError, match="rewrote or deleted"):
+        tl.sync_increment(spark, src, dst, transform=xf)
+
+
+def test_sync_increment_first_sync_crash_replay(spark, base, tmp_path):
+    """A crash between the empty-seed create and the txn append replays
+    into exactly-once delivery (the seed carries no rows)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tl.create(spark, src, base)
+    # simulate the crash: seed exists, txn append never landed
+    tl.create(spark, dst, spark.createDataFrame([], tl.read(spark, src).schema))
+    n, hw = tl.sync_increment(spark, src, dst)
+    assert (n, hw) == (10, 0)
+    assert tl.read(spark, dst).count() == 10
+    assert tl.sync_increment(spark, src, dst)[0] == 0  # and replay-safe
