@@ -34,7 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
-    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
+    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction; since r10: full ALTER TABLE schema evolution (add/rename/widen/drop as metadata-only commits, physical-name mapping + retired-name reuse guard, conform reads with explicit-schema upcasts and rename-aware stats pruning — tests/test_schema_evolution.py incl. a random-op model check), merge-on-read DELETE via deletion-vector sidecars over _metadata.row_index (tests/test_mor_delete.py), incremental table_changes tailing + exactly-once sync_increment table-to-table steps checkpointed in the txn map — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
@@ -66,8 +66,26 @@ STATIC = {
     "DD9": ("persisted steady-state forms (r10): operators/dedup.py build/append_minhash_index_logged + near_dups_batch_logged — the MinHash sets+bands index as a snapshot-versioned logged table pair (two-table exactly-once txn appends, order-independent batch queries, time travel), joining the ExactSubstr (build_substr_index_logged) and IVF-SQ8 logged indexes", "tests/test_dedup.py"),
 }
 
+# Queries demoted from the driver registry (rotation-capacity endgame,
+# r10) keep pytest-only coverage: surface them as STATIC-style notes,
+# not as driver-query rows.
+import __spark_entry__ as _entry  # noqa: E402
+
+DEMOTED_NOTES = {
+    "bpe_merges": ("TX10", (
+        "— (r10: demoted to pytest-only, see endgame note)",
+        "operators/bpe.py learn_bpe_local — python-reference equivalence "
+        "+ distributed/local parity, tests/test_text.py",
+    )),
+}
+assert set(DEMOTED_NOTES) == set(_entry._DRIVER_EXCLUDE), (
+    "gen_coverage DEMOTED_NOTES out of sync with __spark_entry__._DRIVER_EXCLUDE"
+)
+
 by_op: dict[str, list[str]] = defaultdict(list)
 for name, q in QUERIES.items():
+    if name in DEMOTED_NOTES:
+        continue
     for op in q.operators:
         by_op[op].append(name + ("" if q.oracle else " (rows-only)"))
 
@@ -85,13 +103,35 @@ print("`__spark_entry__.queries()` inventory; every non-(rows-only) query is")
 print("hash-checked against its DuckDB oracle at sf0.01 (t2 gate).\n")
 print("| op | queries covering it | notes |")
 print("|---|---|---|")
-ops = sorted(set(by_op) | set(STATIC), key=sort_key)
+demoted_rows = {op: cells for _q, (op, cells) in DEMOTED_NOTES.items()}
+ops = sorted(set(by_op) | set(STATIC) | set(demoted_rows), key=sort_key)
 for op in ops:
+    if op in demoted_rows and op not in by_op:
+        q_cell, note = demoted_rows[op]
+        print(f"| {op} | {q_cell} | {note} |")
+        continue
     queries = ", ".join(sorted(by_op.get(op, []))) or "—"
     static = STATIC.get(op)
     note = f"{static[0]} — {static[1]}" if static else ""
     print(f"| {op} | {queries} | {note} |")
 
-n_oracle = sum(1 for q in QUERIES.values() if q.oracle)
-print(f"\n{len(QUERIES)} queries total, {n_oracle} oracle-checked, "
-      f"{len(QUERIES) - n_oracle} rows-only (non-SQL-expressible).")
+driver = {n: q for n, q in QUERIES.items() if n not in DEMOTED_NOTES}
+n_oracle = sum(1 for q in driver.values() if q.oracle)
+print(f"""
+{len(driver)} driver queries ({n_oracle} oracle-checked, {len(driver) - n_oracle} rows-only non-SQL-expressible)
++ {len(DEMOTED_NOTES)} pytest-only demotion (`bpe_merges`, below).
+
+**Rotation-capacity endgame (r10 policy, VERDICT r9 item #3):** the
+driver inventory is frozen. The 2-round-union contract forces the 48
+r8-recorded rows into CORRECTNESS_r10's 50 slots, leaving two — but
+THREE red scrub rows need fresh green evidence after the HUGEINT
+oracle-cast fix. Resolution: `bpe_merges` (TX10) is demoted from the
+driver registry to pytest-only coverage (`__spark_entry__._DRIVER_EXCLUDE`)
+— it was rows-only by design, and its python-reference BPE equivalence
+test (tests/test_text.py) is strictly stronger evidence than a
+row-count driver check; the freed slot takes the third pin
+(`scrub_spans_meta`). `scrub_text_digest` keeps its green r9 row (the
+cast fix does not change its shipped values). Once r10 shows the scrub
+family green, round 11 retires both canaries to their pytest twins,
+restoring headroom to 95/100. All other new coverage routes through
+widened queries or pytest-only machinery.""")
