@@ -865,12 +865,46 @@ def _apply_delete_vectors(
     return src.join(dv, on=["__fname", "__ri"], how="left_anti")
 
 
+def _raw_prefilter(m: dict, where: list[tuple]):
+    """A raw-scan-level filter IMPLIED by the conjunction ``where`` over
+    the conformed columns of a renamed table: per predicate, the
+    disjunction of (physical_name op value) across the column's
+    historical names. Exactly one physical column is non-null per row,
+    so pred(coalesce(names...)) ⟹ OR(pred(name) for names) — a superset
+    filter, safe to apply early. Unlike the post-projection filter
+    (which parquet cannot push through coalesce+cast), this is a plain
+    Or over attributes, so the scan gets its PushedFilters / row-group
+    skipping back on BOTH file generations. Returns None when no column
+    in ``where`` is renamed (the conformed filter already pushes — the
+    same-type cast is a no-op Catalyst removes)."""
+    from pyspark.sql import functions as F
+
+    pn = m.get("physical_names") or {}
+    if not any(c in pn for c, _op, _v in where):
+        return None
+    ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
+    conj = None
+    for c, op, v in where:
+        if c not in pn:
+            # unrenamed (or unknown) column: dropping a conjunct only
+            # widens the superset filter, and its post-projection twin
+            # pushes on its own
+            continue
+        disj = None
+        for p in _phys_names(m, c):
+            term = getattr(F.col(p), ops[op])(F.lit(v))
+            disj = term if disj is None else (disj | term)
+        conj = disj if conj is None else (conj & disj)
+    return conj
+
+
 def _scan(
     spark: SparkSession,
     path: str,
     m: dict,
     files: list[str],
     with_lineage: bool = False,
+    raw_where: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan ``files`` under manifest ``m``'s reader contract: the plain
     mergeSchema scan for ordinary tables; for conform (altered) tables,
@@ -918,6 +952,10 @@ def _scan(
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
+    if raw_where:
+        pre = _raw_prefilter(m, raw_where)
+        if pre is not None:
+            src = src.filter(pre)
     if need_lineage:
         src = src.withColumns({
             "__fname": F.substring_index(F.col("_metadata.file_path"), "/", -1),
@@ -1319,7 +1357,7 @@ def read_where(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
-    src = _scan(spark, path, m, keep)
+    src = _scan(spark, path, m, keep, raw_where=where)
     return _ensure_predicate_columns(src, m["schema"], where).filter(_where_sql(where))
 
 

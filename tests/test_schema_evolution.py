@@ -402,3 +402,20 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
         cols, got = read_state(snap)
         assert cols == list(sch), f"snapshot {snap} schema"
         assert got == rws, f"snapshot {snap} rows"
+
+
+def test_read_where_pushes_filters_through_rename(spark, tbl):
+    """Plan pin: a rename must not cost parquet row-group skipping on
+    the stats-pruned read path. The conformed filter sits on
+    coalesce(new, old) — unpushable — so read_where injects the implied
+    raw-level disjunction (new op v) OR (old op v), which the parquet
+    source accepts as an Or over plain attributes. At 100 TB this is
+    row-group skipping on every pre-rename file."""
+    import re
+
+    tl.rename_column(tbl, "v", "value")
+    d = tl.read_where(spark, tbl, [("value", ">", 55)])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "Or(GreaterThan(value,55),GreaterThan(v,55))" in pushed, plan
+    assert _rows(d) == _rows(tl.read(spark, tbl).filter("value > 55"))
