@@ -1,0 +1,249 @@
+"""``format("table_log")``: a PySpark custom data source over the logged
+table format — the native face of what the reference gets from Iceberg's
+Spark integration (`spark.read.format("iceberg")`,
+lakehouse_part1_load_data.py:505-508; streaming reads of catalog tables,
+code/pyspark-job.py:121-131).
+
+Built on Spark 4's Python DataSource API (pyspark.sql.datasource):
+
+  * BATCH: ``spark.read.format("table_log").load(path)`` — one input
+    partition per manifest data file (snapshot-pinned, so a concurrent
+    append never changes a running scan), Arrow record batches from the
+    workers (never row-at-a-time Python), schema-evolution conform
+    applied per file (rename/widen/add) from the manifest contract.
+    ``option("snapshot", n)`` time-travels.
+  * STREAMING: ``spark.readStream.format("table_log").load(path)`` —
+    offsets ARE snapshot ids, so Spark's own checkpointing provides
+    exactly-once consumption of appends (the Delta streaming-source
+    contract, same semantics as table_log.table_changes). Rewrites or
+    deletes in the range fail the stream (``ignoreRewrites`` skips
+    them, the no-retraction trade); a schema-changing alter fails the
+    stream with a restart instruction, like Delta's schema-change stop.
+
+Scale shape: driver-side work is manifest JSON only (file lists +
+bounds); each worker reads exactly one immutable parquet file via
+pyarrow and yields record batches. At 100 TB a micro-batch plans
+O(new files) partitions regardless of table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+_METADATA_ONLY = ("add-column", "rename-column", "widen-column", "drop-column")
+
+
+@dataclass
+class _FilePart(InputPartition):
+    """One manifest data file + everything a worker needs to conform it
+    to the query schema without any driver callback: the absolute path,
+    per-field historical physical names, and the hive-style partition
+    values parsed from the relative path (single-file pyarrow reads do
+    not synthesize partition columns)."""
+
+    abs_path: str
+    fields: list = field(default_factory=list)  # [(name, [phys...]), ...]
+    part_values: dict = field(default_factory=dict)  # {col: raw string}
+
+
+def _partition_values(rel_path: str) -> dict:
+    out = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = tl._unescape_path_name(v)
+    return out
+
+
+def _file_partitions(path: str, m: dict, files: list[str], schema) -> list:
+    fields = [(f.name, tl._phys_names(m, f.name)) for f in schema.fields]
+    return [
+        _FilePart(
+            abs_path=os.path.join(path, f),
+            fields=fields,
+            part_values=_partition_values(f),
+        )
+        for f in files
+    ]
+
+
+def _read_file_part(part: _FilePart, arrow_schema):
+    """Worker-side: read ONE immutable parquet file and conform it to
+    the query's Arrow schema — resolve each field through its historical
+    physical names (exactly one exists per file), null-fill absent
+    fields (pre-add files), cast narrow physical types up (pre-widen
+    files), materialize hive partition values. Yields Arrow batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.abs_path)
+    n = tbl.num_rows
+    arrays = []
+    for (name, phys), target in zip(part.fields, arrow_schema):
+        col = None
+        for p in phys:
+            if p in tbl.column_names:
+                col = tbl.column(p)
+                break
+        if col is not None:
+            arr = col.cast(target.type) if col.type != target.type else col
+        elif name in part.part_values:
+            arr = pa.array([part.part_values[name]] * n).cast(target.type)
+        else:
+            arr = pa.nulls(n, type=target.type)
+        arrays.append(arr)
+    out = pa.table(arrays, schema=arrow_schema)
+    yield from out.to_batches()
+
+
+def _arrow_schema(schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+class _TableLogBatchReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.snapshot = int(options["snapshot"]) if "snapshot" in options else None
+        self.schema = schema
+        self.arrow_schema = _arrow_schema(schema)
+
+    def partitions(self):
+        snaps = tl._list_snapshots(self.path)
+        snap = self.snapshot if self.snapshot is not None else snaps[-1]
+        m = tl._read_manifest(self.path, snap)
+        if m.get("delete_vectors"):
+            raise ValueError(
+                "snapshot carries merge-on-read deletion vectors; run "
+                "table_log.compact() to materialize them, or read via "
+                "table_log.read() which applies them engine-side"
+            )
+        parts = _file_partitions(self.path, m, m["files"], self.schema)
+        # an empty table still needs one no-op partition (the API
+        # requires at least one)
+        return parts or [_FilePart(abs_path="")]
+
+    def read(self, part):
+        if not part.abs_path:
+            return iter([])
+        return _read_file_part(part, self.arrow_schema)
+
+
+class _TableLogStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot ids: {"snapshot": n} means 'everything
+    through snapshot n has been delivered'."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.ignore_rewrites = options.get("ignorerewrites", "false") == "true"
+        self.start_snapshot = int(options.get("startingsnapshot", "-1"))
+        self.schema = schema
+        self.arrow_schema = _arrow_schema(schema)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_snapshot}
+
+    def latestOffset(self) -> dict:
+        snaps = tl._list_snapshots(self.path)
+        return {"snapshot": snaps[-1] if snaps else -1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["snapshot"], end["snapshot"]
+        if hi <= lo:
+            return [_FilePart(abs_path="")]
+        have = set(tl._list_snapshots(self.path))
+        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
+        if missing:
+            raise ValueError(
+                f"history expired: snapshots {missing} were vacuumed; "
+                "restart the stream from a fresh checkpoint"
+            )
+        new_files: list[str] = []
+        prev_files = (
+            set(tl._read_manifest(self.path, lo)["files"]) if lo >= 0 else set()
+        )
+        end_m = tl._read_manifest(self.path, hi)
+        for s in range(lo + 1, hi + 1):
+            m = tl._read_manifest(self.path, s)
+            cur = set(m["files"])
+            op = m["operation"]
+            if op in ("create", "append"):
+                new_files.extend(sorted(cur - prev_files))
+            elif op in _METADATA_ONLY:
+                # benign unless the resulting contract differs from the
+                # QUERY's schema (an alter that predates the stream — or
+                # a restart that already picked it up — matches exactly)
+                got = [
+                    (f["name"], f["type"])
+                    for f in json.loads(m["schema"])["fields"]
+                ]
+                want = [
+                    (f.name, json.loads(f.json())["type"]) for f in self.schema.fields
+                ]
+                if got != want:
+                    raise ValueError(
+                        f"snapshot {s} ({op}) changed the table schema; "
+                        "restart the stream to pick up the new contract "
+                        "(the checkpoint remains valid — offsets are "
+                        "snapshot ids; Delta-style schema-change stop)"
+                    )
+            elif not self.ignore_rewrites:
+                raise ValueError(
+                    f"snapshot {s} ({op}) rewrote or deleted rows; an "
+                    "append-only stream cannot represent it — restart "
+                    "from a fresh checkpoint, or set "
+                    "option('ignoreRewrites', 'true') to skip it"
+                )
+            prev_files = cur
+        parts = _file_partitions(self.path, end_m, new_files, self.schema)
+        return parts or [_FilePart(abs_path="")]
+
+    def read(self, part):
+        if not part.abs_path:
+            return iter([])
+        return _read_file_part(part, self.arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to clean up
+
+
+class TableLogDataSource(DataSource):
+    """`spark.dataSource.register(TableLogDataSource)` then
+    `spark.read.format("table_log").load(path)` /
+    `spark.readStream.format("table_log").load(path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_log"
+
+    def schema(self):
+        snaps = tl._list_snapshots(self.options["path"])
+        if not snaps:
+            raise ValueError(f"no table at {self.options['path']}")
+        snap = int(self.options["snapshot"]) if "snapshot" in self.options else snaps[-1]
+        m = tl._read_manifest(self.options["path"], snap)
+        return T.StructType.fromJson(json.loads(m["schema"]))
+
+    def reader(self, schema):
+        return _TableLogBatchReader(schema, self.options)
+
+    def streamReader(self, schema):
+        return _TableLogStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``table_log`` format."""
+    spark.dataSource.register(TableLogDataSource)

@@ -1,0 +1,160 @@
+"""format("table_log") custom data source (streaming/table_source.py):
+the Spark-native batch + streaming faces of the logged table format,
+built on the Python DataSource API — the twin of the reference's
+`spark.read.format("iceberg")` / streaming catalog reads
+(lakehouse_part1_load_data.py:505-508, code/pyspark-job.py:121-131).
+
+Pins: Arrow-batched per-file worker reads (never row-at-a-time), batch
+reads match table_log.read() including time travel and schema-evolution
+conform, streaming offsets are snapshot ids so Spark's checkpoint gives
+exactly-once append consumption across restarts, and the Delta-style
+failure contract (rewrite → stop unless ignoreRewrites; mid-stream
+schema change → stop; vacuumed history → stop).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_lakehouse_demo_spark.sources import table_log as tl
+from open_data_lakehouse_demo_spark.streaming import table_source as ts
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def registered(spark):
+    ts.register(spark)
+    return spark
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(8).coalesce(1).select(
+        F.col("id"), (F.col("id") * 10).cast("int").alias("v"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+    )
+    tl.create(spark, path, df, partition_by=["pt"])
+    return path
+
+
+def _drain(spark, path, out, ck, **opts):
+    sdf = spark.readStream.format("table_log").option("path", path)
+    for k, v in opts.items():
+        sdf = sdf.option(k, v)
+    q = (
+        sdf.load().writeStream.format("parquet").option("path", out)
+        .trigger(availableNow=True).option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def test_batch_read_matches_native_read(registered, tbl, spark):
+    got = spark.read.format("table_log").option("path", tbl).load()
+    assert _rows(got) == _rows(tl.read(spark, tbl))
+    # partition column came from the hive path, typed per the schema
+    assert dict(got.dtypes)["pt"] == "int"
+
+
+def test_batch_read_time_travel_and_conform(registered, tbl, spark):
+    tl.rename_column(tbl, "v", "value")
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(100, 1000, 0)], "id long, value int, pt int")
+        .coalesce(1),
+    )
+    got = spark.read.format("table_log").option("path", tbl).load()
+    assert _rows(got) == _rows(tl.read(spark, tbl))
+    assert "value" in got.columns and "v" not in got.columns
+    # time travel to the pre-rename snapshot restores the old contract
+    old = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("snapshot", "0").load()
+    )
+    assert "v" in old.columns and old.count() == 8
+
+
+def test_batch_read_refuses_unapplied_deletion_vectors(registered, tbl, spark):
+    tl.delete_rows_mor(spark, tbl, [("v", "<", 20)])
+    with pytest.raises(Exception, match="deletion vectors"):
+        spark.read.format("table_log").option("path", tbl).load().collect()
+    # compaction materializes them; the format reads again
+    tl.compact(spark, tbl, target_files=1)
+    got = spark.read.format("table_log").option("path", tbl).load()
+    assert got.count() == 6
+
+
+def test_stream_exactly_once_across_restarts(registered, tbl, spark, tmp_path):
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, tbl, out, ck)
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    # append → restart from the SAME checkpoint delivers only the delta
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(8, 80, 0), (9, 90, 1)], "id long, v int, pt int")
+        .coalesce(1),
+    )
+    got = _drain(spark, tbl, out, ck)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10))
+    # no new data → no duplicates
+    got = _drain(spark, tbl, out, ck)
+    assert got.count() == 10
+
+
+def test_stream_stops_on_rewrite_unless_ignored(registered, tbl, spark, tmp_path):
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, tbl, out, ck)
+    tl.delete_where(spark, tbl, "id = 0")
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(50, 500, 0)], "id long, v int, pt int").coalesce(1),
+    )
+    with pytest.raises(Exception, match="rewrote or deleted"):
+        _drain(spark, tbl, out, ck)
+    # ignoreRewrites skips the delete (no retraction); the append flows
+    got = _drain(spark, tbl, out, ck, ignoreRewrites="true")
+    assert 50 in {r["id"] for r in got.collect()}
+    assert got.count() == 9  # 8 original + the append; no retraction of id=0
+
+
+def test_stream_schema_change_stops_midflight_restarts_clean(
+    registered, tbl, spark, tmp_path
+):
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, tbl, out, ck)
+    pre_alter_schema = tl.read(spark, tbl).schema
+    tl.rename_column(tbl, "v", "value")
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(42, 420, 0)], "id long, value int, pt int")
+        .coalesce(1),
+    )
+    # a MID-FLIGHT query still carries the old contract (v): its next
+    # micro-batch plan must stop, Delta-style (reader-level — an
+    # availableNow restart re-resolves the schema and never sees this)
+    reader = ts._TableLogStreamReader(pre_alter_schema, {"path": tbl})
+    with pytest.raises(ValueError, match="changed the table schema"):
+        # range (0, latest]: covers the rename at snapshot 1
+        reader.partitions({"snapshot": 0}, reader.latestOffset())
+    # a restarted query resolves the NEW contract; the old checkpoint's
+    # offsets stay valid, old files conform (their physical column is v)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    got = _drain(spark, tbl, out2, ck2)
+    assert "value" in got.columns
+    assert sorted(r["id"] for r in got.collect()) == list(range(8)) + [42]
+
+
+def test_stream_starting_snapshot_option(registered, tbl, spark, tmp_path):
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(20, 200, 0)], "id long, v int, pt int").coalesce(1),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, tbl, out, ck, startingSnapshot="0")
+    # snapshot 0 (the create) is the checkpoint base: only the append flows
+    assert sorted(r["id"] for r in got.collect()) == [20]
