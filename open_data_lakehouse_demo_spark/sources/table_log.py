@@ -437,16 +437,28 @@ def append(
     a replayed micro-batch re-offers the same (query_id, batch_id) and
     is skipped instead of double-appended (see foreach_batch_appender).
     """
+    return _append_loop(
+        path,
+        lambda partition_by: _write_data_files(df, path, partition_by),
+        df.schema.json(),
+        txn,
+    )
+
+
+def _append_loop(path, write_files, new_schema_json: str,
+                 txn: tuple[str, int] | None) -> int:
+    """The append commit protocol, shared by append() (which writes the
+    DataFrame) and the stream-writer commit (whose workers pre-staged
+    the files): ``write_files(partition_by) -> rel paths`` is called at
+    most once — an optimistic-concurrency retry re-claims only the
+    manifest, re-based on whoever won the race. An append composes with
+    any concurrent append (no row conflict is possible), so rebasing is
+    always safe; delete/merge/overwrite deliberately do NOT retry
+    (their file list derives from a snapshot that just changed)."""
     snaps = _list_snapshots(path)
     if not snaps:
         raise ValueError(f"no table at {path}")
     files: list[str] | None = None
-    # Optimistic-concurrency retry loop (what Delta/Iceberg writers do):
-    # the DATA files are written exactly once — only the manifest claim
-    # retries, re-based on whoever won the race. An append composes with
-    # any concurrent append (no row conflict is possible), so rebasing
-    # is always safe; delete/merge/overwrite deliberately do NOT retry
-    # (their file list derives from a snapshot that just changed).
     for _ in range(16):
         snaps = _list_snapshots(path)
         latest = snaps[-1]
@@ -462,17 +474,16 @@ def append(
             return latest  # already committed — replay, skip
         partition_by = prev["partition_by"] or None
         if files is None:
-            files = _write_data_files(df, path, partition_by)
+            files = write_files(partition_by)
         # Additive schema evolution: the committed schema is the true
-        # UNION — previous fields (order preserved) + df-only fields —
-        # so a later append that itself drops a column can't erase
-        # earlier columns from the recorded schema.
+        # UNION — previous fields (order preserved) + new-data-only
+        # fields — so a later append that itself drops a column can't
+        # erase earlier columns from the recorded schema.
         prev_schema = json.loads(prev["schema"])
         prev_cols = {f["name"] for f in prev_schema["fields"]}
         new_fields = [
-            json.loads(df.schema[f.name].json())
-            for f in df.schema.fields
-            if f.name not in prev_cols
+            f for f in json.loads(new_schema_json)["fields"]
+            if f["name"] not in prev_cols
         ]
         reused = {f["name"] for f in new_fields} & _reserved_names(prev)
         if reused:

@@ -36,7 +36,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -220,6 +223,137 @@ class _TableLogStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; nothing to clean up
 
 
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """Absolute paths of the parquet files one worker staged under the
+    table's _staging/ dir."""
+
+    staged: list = field(default_factory=list)
+
+
+class _TableLogWriterBase:
+    """Worker-side write shared by the batch and streaming writers: each
+    partition's rows become ONE staged parquet file (written via
+    pyarrow, cast to the query schema); only the driver-side commit
+    moves files into data/ and claims a manifest, so a failed task
+    leaves nothing visible (vacuum's age-gated staging sweep collects
+    the garbage). Destinations must be unpartitioned — hive-layout
+    splitting inside arbitrary tasks is out of scope."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.schema = schema
+        self.arrow_schema = _arrow_schema(schema)
+
+    def write(self, iterator):
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _StagedFiles(staged=[])
+        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
+        table = pa.Table.from_pandas(
+            pdf, schema=self.arrow_schema, preserve_index=False
+        )
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, "_staging", f"dsw-{token}")
+        os.makedirs(staging, exist_ok=True)
+        dest = os.path.join(staging, f"part-{token}.parquet")
+        pq.write_table(table, dest)
+        return _StagedFiles(staged=[dest])
+
+    def _publish(self, messages, txn):
+        """Driver-side: move every staged file into data/ and claim one
+        append manifest (tl._append_loop — optimistic retry, additive
+        schema evolution, idempotent txn skip). Creates the table when
+        absent; a creation race falls back to a plain append."""
+        staged = [f for m in messages if m is not None for f in m.staged]
+        token = None
+        rels = []
+        for src in staged:
+            if token is None:
+                import uuid
+
+                token = uuid.uuid4().hex[:12]
+            data_dir = tl._data_dir(self.path)
+            os.makedirs(data_dir, exist_ok=True)
+            final = os.path.join(data_dir, f"{token}-{os.path.basename(src)}")
+            os.rename(src, final)
+            rels.append(os.path.relpath(final, self.path))
+        rels.sort()
+        schema_json = self.schema.json()
+        if not tl._list_snapshots(self.path):
+            try:
+                tl._commit(
+                    self.path,
+                    0,
+                    tl._manifest(
+                        "create", rels, schema_json, None,
+                        {"txns": {txn[0]: txn[1]}} if txn else None,
+                        file_stats=tl._collect_stats(self.path, rels),
+                    ),
+                )
+                return
+            except tl.CommitConflict:
+                pass  # another first-writer won: append onto their table
+
+        def placed(partition_by):
+            if partition_by:
+                raise ValueError(
+                    "format('table_log') writer supports unpartitioned "
+                    "destinations only; use table_log.append for "
+                    "hive-partitioned tables"
+                )
+            return rels
+
+        tl._append_loop(self.path, placed, schema_json, txn)
+
+    def _abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.staged:
+                try:
+                    os.unlink(f)
+                except FileNotFoundError:
+                    pass
+
+
+class _TableLogStreamWriter(_TableLogWriterBase, DataSourceStreamWriter):
+    """spark.writeStream.format("table_log"): every micro-batch commits
+    as ONE snapshot with txn=(writer id, batchId), so a replayed batch
+    after a crash is skipped by the append idempotency contract —
+    exactly-once end to end, the native-sink twin of
+    table_log.foreach_batch_appender."""
+
+    def __init__(self, schema, options):
+        super().__init__(schema, options)
+        self.writer_id = options.get("writerid", f"dsw:{self.path}")
+
+    def commit(self, messages, batchId) -> None:
+        self._publish(messages, (self.writer_id, batchId))
+
+    def abort(self, messages, batchId) -> None:
+        self._abort(messages)
+
+
+class _TableLogBatchWriter(_TableLogWriterBase, DataSourceWriter):
+    """spark.read...write.format("table_log").mode("append"): one
+    atomic append snapshot. Overwrite mode is intentionally unsupported
+    (it needs the table_log.overwrite contract — evolution-metadata
+    reset — on a DataFrame; use the API)."""
+
+    def commit(self, messages) -> None:
+        self._publish(messages, None)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
 class TableLogDataSource(DataSource):
     """`spark.dataSource.register(TableLogDataSource)` then
     `spark.read.format("table_log").load(path)` /
@@ -242,6 +376,17 @@ class TableLogDataSource(DataSource):
 
     def streamReader(self, schema):
         return _TableLogStreamReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') is unsupported; use table_log.overwrite "
+                "(it owns the evolution-metadata reset contract)"
+            )
+        return _TableLogBatchWriter(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _TableLogStreamWriter(schema, self.options)
 
 
 def register(spark) -> None:

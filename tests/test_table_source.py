@@ -158,3 +158,88 @@ def test_stream_starting_snapshot_option(registered, tbl, spark, tmp_path):
     got = _drain(spark, tbl, out, ck, startingSnapshot="0")
     # snapshot 0 (the create) is the checkpoint base: only the append flows
     assert sorted(r["id"] for r in got.collect()) == [20]
+
+
+def test_batch_writer_creates_then_appends(registered, spark, tmp_path):
+    p = str(tmp_path / "w")
+    spark.range(5).select("id").write.format("table_log").option(
+        "path", p
+    ).mode("append").save()
+    spark.range(5, 8).select("id").write.format("table_log").option(
+        "path", p
+    ).mode("append").save()
+    assert sorted(r["id"] for r in tl.read(spark, p).collect()) == list(range(8))
+    # two snapshots: the creating write and the appending write
+    ops = [h["operation"] for h in tl.history(p)]
+    assert ops == ["create", "append"]
+    with pytest.raises(Exception, match="overwrite"):
+        spark.range(1).write.format("table_log").option("path", p).mode(
+            "overwrite"
+        ).save()
+
+
+def test_batch_writer_respects_retired_names_and_partition_guard(
+    registered, tbl, spark, tmp_path
+):
+    # the writer goes through _append_loop, so the retired-name guard
+    # holds on this path too (unpartitioned table — partitioned
+    # destinations are refused outright, asserted below)
+    p = str(tmp_path / "flat")
+    tl.create(spark, p, spark.createDataFrame([(1, 10)], "id long, v int"))
+    tl.drop_column(p, "v")
+    with pytest.raises(Exception, match="previously dropped"):
+        (
+            spark.createDataFrame([(2, 20)], "id long, v int")
+            .write.format("table_log").option("path", p).mode("append").save()
+        )
+    with pytest.raises(Exception, match="unpartitioned"):
+        (
+            spark.createDataFrame([(1, 1, 0)], "id long, v int, pt int")
+            .write.format("table_log").option("path", tbl).mode("append").save()
+        )
+
+
+def test_stream_writer_exactly_once_across_restart(registered, spark, tmp_path):
+    """The native-sink twin of foreach_batch_appender: micro-batches
+    commit with txn=(writerId, batchId), so a restart that replays the
+    last batch is skipped, never double-appended."""
+    src, ck, dst = (str(tmp_path / d) for d in ("src", "ck", "dst"))
+    spark.range(3).select(F.col("id").alias("x")).coalesce(1).write.json(src)
+    sdf = spark.readStream.schema("x long").json(src)
+
+    def drain():
+        q = (
+            sdf.writeStream.format("table_log").option("path", dst)
+            .option("writerId", "w1").trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert sorted(r["x"] for r in tl.read(spark, dst).collect()) == [0, 1, 2]
+    drain()  # no new data: the replayed offset commits nothing
+    assert tl.read(spark, dst).count() == 3
+    # new source file → only the delta lands, one more snapshot
+    spark.range(3, 5).select(F.col("id").alias("x")).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    drain()
+    assert sorted(r["x"] for r in tl.read(spark, dst).collect()) == [0, 1, 2, 3, 4]
+    m = tl._read_manifest(dst, tl._list_snapshots(dst)[-1])
+    assert m["txns"]["w1"] >= 1  # batch ids recorded as the txn high-water
+
+
+def test_round_trip_stream_table_to_table(registered, tbl, spark, tmp_path):
+    """readStream + writeStream through the format: a table-to-table
+    incremental pipeline with Spark checkpointing on the read side and
+    idempotent txn appends on the write side."""
+    out_tbl, ck = str(tmp_path / "dst"), str(tmp_path / "ck")
+    sdf = spark.readStream.format("table_log").option("path", tbl).load()
+    q = (
+        sdf.filter("v >= 40").select("id", "v")
+        .writeStream.format("table_log").option("path", out_tbl)
+        .option("writerId", "pipe").trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(180)
+    assert sorted(r["id"] for r in tl.read(spark, out_tbl).collect()) == [4, 5, 6, 7]
