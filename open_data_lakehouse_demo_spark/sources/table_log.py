@@ -1724,6 +1724,65 @@ def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> 
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# Snapshot tags: named immutable refs (Iceberg's tags)
+# ---------------------------------------------------------------------------
+
+def _tag_path(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(_log_dir(path), f"tag-{name}.json")
+
+
+def tag(path: str, name: str, snapshot: int | None = None,
+        protocol: CommitProtocol | None = None) -> int:
+    """Create an IMMUTABLE named ref to a snapshot (Iceberg's tags —
+    'the dataset we trained run 7 on'). Immutability comes from the
+    commit protocol itself: a tag is one put-if-absent object, so a
+    second writer racing the same name loses with CommitConflict
+    instead of silently retargeting. Tagged snapshots are exempt from
+    vacuum's retention cut — the files a tag names stay readable until
+    the tag is deleted."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    snap = snaps[-1] if snapshot is None else snapshot
+    _read_manifest(path, snap)  # raises if absent
+    (protocol or DEFAULT_COMMIT_PROTOCOL).publish(
+        _tag_path(path, name), json.dumps({"snapshot": snap, "ts_ms": int(time.time() * 1000)})
+    )
+    return snap
+
+
+def tags(path: str) -> dict[str, int]:
+    """All tags: name -> snapshot id."""
+    out = {}
+    log_d = _log_dir(path)
+    if not os.path.isdir(log_d):
+        return out
+    for f in os.listdir(log_d):
+        if f.startswith("tag-") and f.endswith(".json"):
+            with open(os.path.join(log_d, f)) as fh:
+                out[f[4:-5]] = json.load(fh)["snapshot"]
+    return out
+
+
+def delete_tag(path: str, name: str) -> None:
+    """Drop a tag; its snapshot becomes vacuumable again."""
+    try:
+        os.unlink(_tag_path(path, name))
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r}")
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot-isolated read of a tagged snapshot (FOR VERSION AS OF)."""
+    t = tags(path)
+    if name not in t:
+        raise ValueError(f"no tag {name!r}; have {sorted(t)}")
+    return read(spark, path, snapshot=t[name])
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
@@ -1733,6 +1792,8 @@ def vacuum(
     """Physically delete data files referenced ONLY by snapshots older
     than the last ``keep_last`` (which stop being time-travelable —
     the explicit retention trade every log-structured format has).
+    TAGGED snapshots are always retained regardless of age — a named
+    ref is a promise the data stays readable (Iceberg's tag retention).
     Also sweeps crashed-writer garbage: leftover ``_staging/`` write
     dirs, orphaned ``_log/.tmp-*.json`` manifests, AND unreferenced
     ``data/`` files (renamed into place by a writer that then lost every
@@ -1746,6 +1807,8 @@ def vacuum(
     data-file paths (relative), orphans included."""
     snaps = _list_snapshots(path)
     keep = snaps[-keep_last:] if keep_last > 0 else []
+    tagged = set(tags(path).values())
+    keep = sorted(set(keep) | (tagged & set(snaps)))
     live: set[str] = set()
     for s in keep:
         live.update(_read_manifest(path, s)["files"])

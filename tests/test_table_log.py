@@ -1103,3 +1103,37 @@ def test_sync_increment_first_sync_crash_replay(spark, base, tmp_path):
     assert (n, hw) == (10, 0)
     assert tl.read(spark, dst).count() == 10
     assert tl.sync_increment(spark, src, dst)[0] == 0  # and replay-safe
+
+
+def test_tags_immutable_named_refs(spark, base, tmp_path, commit_protocol):
+    """Snapshot tags: immutable named refs (Iceberg tags) whose
+    immutability IS the commit protocol's put-if-absent — over both
+    protocols — and whose snapshots vacuum must retain."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    more = spark.range(10, 12).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    tl.append(spark, path, more)
+    assert tl.tag(path, "train-run-7", snapshot=0) == 0
+    assert tl.tag(path, "latest-blessed") == 1  # defaults to latest
+    assert tl.tags(path) == {"train-run-7": 0, "latest-blessed": 1}
+    # immutability: re-tagging the same name is a commit conflict
+    with pytest.raises(tl.CommitConflict):
+        tl.tag(path, "train-run-7", snapshot=1)
+    assert tl.read_tag(spark, path, "train-run-7").count() == 10
+    # vacuum keeps tagged snapshots alive past the retention cut
+    tl.overwrite(spark, path, more)          # snapshot 2
+    tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=0)
+    assert tl.read_tag(spark, path, "train-run-7").count() == 10  # survived
+    assert tl.read_tag(spark, path, "latest-blessed").count() == 12
+    # untagged snapshot 2 is the only other retained one
+    assert set(tl._list_snapshots(path)) == {0, 1, 2}
+    # drop the tag: the snapshot becomes expirable
+    tl.delete_tag(path, "train-run-7")
+    tl.delete_tag(path, "latest-blessed")
+    tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=0)
+    assert tl.read(spark, path).count() == 2
+    with pytest.raises(Exception):
+        tl.read(spark, path, snapshot=0)
+    with pytest.raises(ValueError, match="no tag"):
+        tl.read_tag(spark, path, "train-run-7")
