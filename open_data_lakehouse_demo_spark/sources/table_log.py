@@ -197,6 +197,11 @@ def _file_column_stats(abs_path: str) -> dict:
                 cur[2] = (cur[2] + nulls) if (cur[2] is not None and nulls is not None) else None
             else:
                 agg[name] = [lo, hi, nulls, tag] if tag else [lo, hi, nulls]
+    # special (non-column) key: the file's exact row count, for
+    # metadata-only COUNT(*) (count_rows). The "__" prefix can't collide
+    # with a real column added via alters (reserved namespace); predicate
+    # pruning never looks it up (it indexes by predicate column name).
+    agg["__nrows"] = meta.num_rows
     return agg
 
 
@@ -1722,6 +1727,39 @@ def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> 
         T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def count_rows(path: str, snapshot: int | None = None) -> int:
+    """Metadata-only COUNT(*): sum the manifest's per-file row counts
+    (recorded at commit time from parquet footers; legacy files fall
+    back to one footer read each — still zero column data) minus the
+    snapshot's deletion-vector entries that target files still present.
+    This is Iceberg's count(*) pushdown from manifest statistics: at
+    100 TB the difference between a driver-side metadata sum and a full
+    scan. Exact by construction — MoR vectors never re-mark a deleted
+    row, and stale entries for rewritten files are filtered out here."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1] if snapshot is None else snapshot)
+    stats_map = m.get("file_stats", {})
+    total = 0
+    for f in m["files"]:
+        n = (stats_map.get(f) or {}).get("__nrows")
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        total += n
+    dv_files = m.get("delete_vectors") or []
+    if dv_files:
+        import pyarrow.parquet as pq
+
+        present = {os.path.basename(f) for f in m["files"]}
+        for dv in dv_files:
+            col = pq.read_table(os.path.join(path, dv), columns=["__fname"])
+            total -= sum(1 for v in col.column("__fname").to_pylist() if v in present)
+    return total
 
 
 # ---------------------------------------------------------------------------

@@ -1137,3 +1137,28 @@ def test_tags_immutable_named_refs(spark, base, tmp_path, commit_protocol):
         tl.read(spark, path, snapshot=0)
     with pytest.raises(ValueError, match="no tag"):
         tl.read_tag(spark, path, "train-run-7")
+
+
+def test_count_rows_metadata_only(spark, base, tmp_path):
+    """count_rows: exact COUNT(*) from manifest statistics alone —
+    across appends, MoR deletion vectors (including stale entries for
+    rewritten files), COW deletes, compaction, and time travel."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    assert tl.count_rows(path) == 10
+    more = spark.range(10, 14).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    tl.append(spark, path, more.coalesce(1))
+    assert tl.count_rows(path) == 14 == tl.read(spark, path).count()
+    # MoR delete: subtracted via the vectors, no scan
+    tl.delete_rows_mor(spark, path, [("id", "<", 3)])
+    assert tl.count_rows(path) == 11 == tl.read(spark, path).count()
+    # COW delete rewrites some files; stale DV entries must not
+    # double-subtract
+    tl.delete_rows(spark, path, [("id", "=", 12)])
+    assert tl.count_rows(path) == 10 == tl.read(spark, path).count()
+    tl.compact(spark, path)
+    assert tl.count_rows(path) == 10
+    # time travel counts the historical snapshot
+    assert tl.count_rows(path, snapshot=0) == 10
+    assert tl.count_rows(path, snapshot=1) == 14
