@@ -641,3 +641,43 @@ def test_dedup_operators_on_empty_corpus(spark):
     )
     out = dedup.scrub_batch_incremental(empty, batch, "doc_id", "text").collect()
     assert [(r["doc_id"], r["n_spans"]) for r in out] == [(7, 0)]
+
+
+def test_minhash_logged_index_tag_pins_training_run(spark):
+    """Composition: snapshot TAGS over the logged MinHash index pin 'the
+    index version training run N deduped against' — queries via the
+    tagged snapshot stay byte-identical while the index keeps advancing,
+    and vacuum retains the tagged version past the retention cut."""
+    import tempfile
+
+    from open_data_lakehouse_demo_spark.sources import table_log as tl
+
+    _docs_all, corpus, batch = _minhash_cluster_docs(spark)
+    with tempfile.TemporaryDirectory() as root:
+        path = f"{root}/mh"
+        dedup.build_minhash_index_logged(corpus, path)
+        # tag the version run-7 saw (both lockstep tables, same name)
+        tl.tag(f"{path}/sets", "run-7")
+        tl.tag(f"{path}/bands", "run-7")
+        pin = tl.tags(f"{path}/bands")["run-7"]
+        def rows(df):
+            return sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+        before = rows(
+            dedup.near_dups_batch_logged(spark, path, batch, snapshot=pin)
+        )
+        # the index keeps evolving: append the batch itself (index now
+        # contains it -> the unpinned query would see new candidates)
+        dedup.append_minhash_index_logged(spark, path, batch, txn=("t", 1))
+        after_latest = dedup.near_dups_batch_logged(spark, path, batch)
+        assert rows(
+            dedup.near_dups_batch_logged(spark, path, batch, snapshot=pin)
+        ) == before
+        assert after_latest.count() >= len(before)
+        # vacuum with keep_last=1 would expire the tagged snapshots —
+        # the tags retain them
+        tl.vacuum(spark, f"{path}/sets", keep_last=1, orphan_retention_ms=0)
+        tl.vacuum(spark, f"{path}/bands", keep_last=1, orphan_retention_ms=0)
+        assert rows(
+            dedup.near_dups_batch_logged(spark, path, batch, snapshot=pin)
+        ) == before
