@@ -464,6 +464,7 @@ def _append_loop(path, write_files, new_schema_json: str,
     if not snaps:
         raise ValueError(f"no table at {path}")
     files: list[str] | None = None
+    new_stats: dict | None = None
     for _ in range(16):
         snaps = _list_snapshots(path)
         latest = snaps[-1]
@@ -480,6 +481,11 @@ def _append_loop(path, write_files, new_schema_json: str,
         partition_by = prev["partition_by"] or None
         if files is None:
             files = write_files(partition_by)
+            new_stats = _collect_stats(path, files)
+        # CHECK constraints: stats-proven where bounds suffice, scan of
+        # the unproven files otherwise; re-checked per retry because a
+        # concurrent alter may have added a constraint we rebased onto
+        _enforce_constraints(path, prev, files, new_stats)
         # Additive schema evolution: the committed schema is the true
         # UNION — previous fields (order preserved) + new-data-only
         # fields — so a later append that itself drops a column can't
@@ -515,7 +521,7 @@ def _append_loop(path, write_files, new_schema_json: str,
                 latest + 1,
                 _manifest(
                     "append", prev["files"] + files, schema_json, partition_by, extra,
-                    file_stats={**prev.get("file_stats", {}), **_collect_stats(path, files)},
+                    file_stats={**prev.get("file_stats", {}), **new_stats},
                 ),
             )
             return latest + 1
@@ -592,13 +598,15 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     evo.pop("physical_names", None)  # all files replaced: mapping is moot
     partition_by = prev["partition_by"] or None
     files = _write_data_files(df, path, partition_by)
+    stats = _collect_stats(path, files)
+    _enforce_constraints(path, prev, files, stats)
     _commit(
         path,
         latest + 1,
         _manifest(
             "overwrite", files, df.schema.json(), partition_by,
             {"txns": txns, **evo},
-            file_stats=_collect_stats(path, files),
+            file_stats=stats,
         ),
     )
     return latest + 1
@@ -664,13 +672,15 @@ def merge(
     )
     partition_by = prev["partition_by"] or None
     files = _write_data_files(merged, path, partition_by)
+    stats = _collect_stats(path, files)
+    _enforce_constraints(path, prev, files, stats)
     _commit(
         path,
         latest + 1,
         _manifest(
             "merge", files, prev["schema"], partition_by,
             {"merge_on": on, "txns": txns, **_evo_carry(prev)},
-            file_stats=_collect_stats(path, files),
+            file_stats=stats,
         ),
     )
     return latest + 1
@@ -837,7 +847,8 @@ def _reserved_names(m: dict) -> set[str]:
 
 def _evo_carry(prev: dict) -> dict:
     """Evolution metadata every successor manifest must carry forward."""
-    return {k: prev[k] for k in ("physical_names", "retired_names", "conform")
+    return {k: prev[k]
+            for k in ("physical_names", "retired_names", "conform", "constraints")
             if k in prev}
 
 
@@ -1101,12 +1112,20 @@ def rename_column(path: str, old: str, new: str) -> int:
         pn = dict(prev.get("physical_names", {}))
         pn[new] = [new] + pn.pop(old, [old])
         retired = sorted(set(prev.get("retired_names", [])) | {old})
-        return {
+        out = {
             "schema": T.StructType(fields).json(),
             "physical_names": pn,
             "retired_names": retired,
             "renamed": [old, new],
         }
+        cons = prev.get("constraints") or {}
+        if any(spec[0] == old for spec in cons.values()):
+            # constraints follow the rename (they bind the logical column)
+            out["constraints"] = {
+                n: ([new] + spec[1:] if spec[0] == old else spec)
+                for n, spec in cons.items()
+            }
+        return out
 
     return _alter(path, "rename-column", mutate)
 
@@ -1159,6 +1178,13 @@ def drop_column(path: str, name: str) -> int:
             raise ValueError(f"{name!r} is a partition column; cannot drop")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the last column")
+        bound = [n for n, spec in (prev.get("constraints") or {}).items()
+                 if spec[0] == name]
+        if bound:
+            raise ValueError(
+                f"column {name!r} is bound by constraint(s) {bound}; "
+                "drop them first"
+            )
         from pyspark.sql import types as T
 
         fields = [f for f in schema.fields if f.name != name]
@@ -1727,6 +1753,142 @@ def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> 
         T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: metadata-proven write validation (Delta's constraints)
+# ---------------------------------------------------------------------------
+# A constraint is a simple predicate every row must satisfy:
+#   [col, op, value]  op ∈ =, <, <=, >, >=   (SQL CHECK: NULL passes)
+#   [col, "not_null"]                        (NOT NULL)
+# Enforcement is footer-stats-FIRST: a new file whose bounds PROVE the
+# constraint (min >= bound proves col >= bound for every row; exact
+# null_count proves NOT NULL) costs zero data reads — at 100 TB the
+# common case is a metadata check per file. Only unproven files are
+# scanned (single column, pyarrow, violation count). The constraint set
+# rides the manifest like the evolution metadata, so every successor
+# snapshot enforces it at the one commit choke point (_append_loop:
+# append / sync_increment / both data-source writers) plus overwrite
+# and merge, the ops that introduce new rows.
+
+_CONSTRAINT_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _stats_prove(st: dict | None, col_names: list[str], spec: list) -> bool:
+    st = st or {}
+    key = next((p for p in col_names if p in st), None)
+    if key is None:
+        # no stats for the column: for a comparison, an all-null file
+        # passes SQL CHECK, but we can't distinguish that from missing
+        # stats — unproven either way
+        return False
+    entry = st[key]
+    if len(entry) > 3 and entry[3]:
+        return False  # transformed bound (ts/date): out of proof scope
+    lo, hi, nulls = entry[0], entry[1], entry[2]
+    if spec[1] == "not_null":
+        return nulls == 0
+    op, v = spec[1], spec[2]
+    if type(lo) is not type(v) and not (
+        isinstance(lo, (int, float)) and isinstance(v, (int, float))
+    ):
+        return False
+    proven = {
+        "=": lo == v and hi == v,
+        "<": hi < v,
+        "<=": hi <= v,
+        ">": lo > v,
+        ">=": lo >= v,
+    }[op]
+    # comparison CHECKs pass on NULL, so bounds (which cover non-null
+    # values) proving the predicate proves the file
+    return bool(proven)
+
+
+def _scan_violations(path: str, rel_file: str, col_names: list[str], spec: list) -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    abs_path = os.path.join(path, rel_file)
+    pf = pq.ParquetFile(abs_path)
+    names = set(pf.schema_arrow.names)
+    present = next((p for p in col_names if p in names), None)
+    if present is None:
+        # column absent from the file: every row is NULL there
+        return pf.metadata.num_rows if spec[1] == "not_null" else 0
+    col = pq.read_table(abs_path, columns=[present]).column(present)
+    if spec[1] == "not_null":
+        return col.null_count
+    fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+          ">": pc.greater, ">=": pc.greater_equal}[spec[1]]
+    ok = fn(col, spec[2])
+    # SQL CHECK: NULL passes — only a definite False violates
+    return int(pc.sum(pc.invert(ok.combine_chunks().fill_null(True))).as_py() or 0)
+
+
+def _enforce_constraints(path: str, m: dict, new_files: list[str],
+                         new_stats: dict) -> None:
+    """Raise if any row in ``new_files`` violates ``m``'s constraints;
+    files whose recorded bounds prove compliance are never opened."""
+    constraints = m.get("constraints") or {}
+    for name, spec in constraints.items():
+        col_names = _phys_names(m, spec[0])
+        for f in new_files:
+            if _stats_prove(new_stats.get(f), col_names, spec):
+                continue
+            n = _scan_violations(path, f, col_names, spec)
+            if n:
+                raise ValueError(
+                    f"constraint {name!r} ({spec}) violated by {n} row(s) "
+                    f"in {f}; nothing was committed"
+                )
+
+
+def add_constraint(path: str, name: str, col: str, op: str, value=None) -> int:
+    """ALTER TABLE ADD CONSTRAINT: ``op`` is a comparison (=, <, <=, >,
+    >=; SQL CHECK semantics — NULL passes) or "not_null". Existing data
+    is validated first, footer-stats-first like every later write; a
+    table with live deletion vectors must be compacted before adding a
+    constraint (violating rows might be DV-deleted — refusing is the
+    honest answer, not scanning around them)."""
+    if op != "not_null":
+        if op not in _CONSTRAINT_OPS:
+            raise ValueError(f"op must be not_null or one of {sorted(_CONSTRAINT_OPS)}")
+        if not isinstance(value, (int, float, str, bool)):
+            raise ValueError("constraint values must be int/float/str/bool")
+    spec = [col, op] if op == "not_null" else [col, op, value]
+
+    def mutate(prev: dict) -> dict:
+        cons = dict(prev.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        schema = _schema_of(prev)
+        if col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r}")
+        if prev.get("delete_vectors"):
+            raise ValueError(
+                "table has live deletion vectors; run compact() first so "
+                "constraint validation sees only live rows"
+            )
+        tmp = {**prev, "constraints": {name: spec}}
+        _enforce_constraints(path, tmp, prev["files"], prev.get("file_stats", {}))
+        cons[name] = spec
+        return {"schema": prev["schema"], "constraints": cons,
+                "constraint_added": name}
+
+    return _alter(path, "add-constraint", mutate)
+
+
+def drop_constraint(path: str, name: str) -> int:
+    def mutate(prev: dict) -> dict:
+        cons = dict(prev.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        return {"schema": prev["schema"], "constraints": cons,
+                "constraint_dropped": name}
+
+    return _alter(path, "drop-constraint", mutate)
 
 
 def count_rows(path: str, snapshot: int | None = None) -> int:
