@@ -91,22 +91,16 @@ def delete_where(spark: SparkSession, table: str, condition: str) -> int:
     truncate, bq_service.py:97 'WHERE 1=1').
 
     Iceberg: native ACID DELETE. Parquet fallback: read → anti-filter →
-    overwrite (single-writer only — documented limitation). Returns the
-    number of rows deleted."""
+    copy-on-write rewrite + atomic catalog swap (_rewrite_swap;
+    single-writer only — documented limitation). Returns the number of
+    rows deleted."""
     before = spark.table(table).count()
     if table_format(spark) == "iceberg":
         spark.sql(f"DELETE FROM {table} WHERE {condition}")
     else:
-        # copy-on-write into a NEW table location (safe to read the old
-        # files while writing), then atomic catalog swap — no driver-side
-        # materialization, fully distributed
-        tmp = f"{table}__tmp_delete"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        spark.table(table).filter(f"NOT ({condition})").write.format(
-            "parquet"
-        ).saveAsTable(tmp)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        _rewrite_swap(
+            spark, table, spark.table(table).filter(f"NOT ({condition})"), "delete"
+        )
     return before - spark.table(table).count()
 
 

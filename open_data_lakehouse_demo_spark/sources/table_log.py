@@ -406,9 +406,18 @@ def create(
     df: DataFrame,
     partition_by: list[str] | None = None,
 ) -> int:
-    """Create a logged table at ``path`` with df as snapshot 0."""
+    """Create a logged table at ``path`` with df as snapshot 0. Column
+    names may not start with ``__`` — that namespace is reserved for
+    internal machinery (``__nrows`` stats, ``__fname``/``__ri`` MoR
+    lineage, ``__z`` clustering), which a same-named user column would
+    silently corrupt."""
     if _list_snapshots(path):
         raise ValueError(f"table already exists at {path}")
+    bad = [c for c in df.columns if c.startswith("__")]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad}: the __ prefix is reserved for internal columns"
+        )
     files = _write_data_files(df, path, partition_by)
     _commit(
         path,
@@ -502,6 +511,12 @@ def _append_loop(path, write_files, new_schema_json: str,
                 f"column name(s) {sorted(reused)} were previously dropped or "
                 "renamed away; reuse would resurrect old physical values "
                 "(see schema-evolution docstring)"
+            )
+        internal = [f["name"] for f in new_fields if f["name"].startswith("__")]
+        if internal:
+            raise ValueError(
+                f"column name(s) {internal}: the __ prefix is reserved for "
+                "internal columns"
             )
         evolved = bool(new_fields)
         if evolved:
@@ -984,8 +999,19 @@ def _scan(
         if pre is not None:
             src = src.filter(pre)
     if need_lineage:
+        # lineage key = the manifest-relative path 'data/[k=v/]file' —
+        # NOT the basename: one partitioned write stages identically-
+        # named part files into every k=v/ dir, so basenames collide
+        # across partitions and a basename-keyed deletion vector would
+        # delete the same row index from the WRONG partition's file.
+        # The greedy anchor binds the LAST '/data/' segment: partition
+        # dirs are k=v (never a bare 'data') and '/' in values is
+        # hive-escaped, so that is always the table's own data dir even
+        # when the table path itself contains '/data/'.
         src = src.withColumns({
-            "__fname": F.substring_index(F.col("_metadata.file_path"), "/", -1),
+            "__fname": F.regexp_replace(
+                F.col("_metadata.file_path"), "^.*/data/", "data/"
+            ),
             "__ri": F.col("_metadata.row_index"),
         })
         src = _apply_delete_vectors(spark, path, m, src)
@@ -1545,6 +1571,61 @@ def delete_rows_mor(spark: SparkSession, path: str, where: list[tuple]) -> int:
     return latest + 1
 
 
+#: manifest operations that change METADATA only — no row added, removed
+#: or rewritten. The ONE list every append-tailing walker shares; adding
+#: a new metadata-only operation name here keeps table_changes and the
+#: format("table_log") streaming source in agreement.
+_METADATA_ONLY_OPS = (
+    "add-column", "rename-column", "widen-column", "drop-column",
+    "add-constraint", "drop-constraint",
+)
+
+
+def walk_appends(path: str, from_snapshot: int, to_snapshot: int,
+                 ignore_rewrites: bool = False, inspect=None) -> list[str]:
+    """THE append-tailing range walk shared by table_changes and the
+    streaming source (one implementation, so the two faces of the
+    format cannot drift): collect the data files appended in
+    ``(from_snapshot, to_snapshot]``. Raises on expired (vacuumed)
+    history; raises on a rewrite/delete snapshot unless
+    ``ignore_rewrites`` (the no-retraction trade); metadata-only
+    snapshots contribute no files. ``inspect(snapshot, manifest, kind)``
+    — kind ∈ {"append", "metadata", "rewrite"} — runs first for every
+    in-range snapshot and may raise to impose a stricter policy (the
+    streaming source's schema-change stop)."""
+    have = set(_list_snapshots(path))
+    missing = [s for s in range(max(from_snapshot, 0), to_snapshot + 1)
+               if s not in have]
+    if missing:
+        raise ValueError(
+            f"history expired: snapshots {missing} were vacuumed; "
+            "re-seed the consumer with a full read"
+        )
+    new_files: list[str] = []
+    prev_files: set[str] = set()
+    if from_snapshot >= 0:
+        prev_files = set(_read_manifest(path, from_snapshot)["files"])
+    for s in range(from_snapshot + 1, to_snapshot + 1):
+        m = _read_manifest(path, s)
+        cur = set(m["files"])
+        op = m["operation"]
+        kind = ("append" if op in ("create", "append")
+                else "metadata" if op in _METADATA_ONLY_OPS
+                else "rewrite")
+        if inspect is not None:
+            inspect(s, m, kind)
+        if kind == "append":
+            new_files.extend(sorted(cur - prev_files))
+        elif kind == "rewrite" and not ignore_rewrites:
+            raise ValueError(
+                f"snapshot {s} ({op}) rewrote or deleted rows; incremental "
+                "append-only read cannot represent it — re-seed with a "
+                "full read, or pass ignore_rewrites=True to skip it"
+            )
+        prev_files = cur
+    return new_files
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -1581,34 +1662,8 @@ def table_changes(
     if from_snapshot >= latest:
         m = _read_manifest(path, latest)
         return _scan(spark, path, {**m, "files": []}, []), latest
-    need = [s for s in range(max(from_snapshot, 0), latest + 1)]
-    have = set(snaps)
-    missing = [s for s in need if s not in have]
-    if missing:
-        raise ValueError(
-            f"history expired: snapshots {missing} were vacuumed; "
-            "re-seed the consumer with a full read"
-        )
-    metadata_only = ("add-column", "rename-column", "widen-column", "drop-column")
-    new_files: list[str] = []
-    prev_files: set[str] = set()
-    if from_snapshot >= 0:
-        prev_files = set(_read_manifest(path, from_snapshot)["files"])
-    for s in range(from_snapshot + 1, latest + 1):
-        m = _read_manifest(path, s)
-        cur = set(m["files"])
-        op = m["operation"]
-        if op in ("create", "append"):
-            new_files.extend(sorted(cur - prev_files))
-        elif op not in metadata_only and not ignore_rewrites:
-            # overwrite / delete / delete-mor / merge / compact /
-            # optimize_zorder / rollback: earlier rows changed
-            raise ValueError(
-                f"snapshot {s} ({op}) rewrote or deleted rows; incremental "
-                "append-only read cannot represent it — re-seed with a "
-                "full read, or pass ignore_rewrites=True to skip it"
-            )
-        prev_files = cur
+    new_files = walk_appends(path, from_snapshot, latest,
+                             ignore_rewrites=ignore_rewrites)
     latest_m = _read_manifest(path, latest)
     emit_m = {k: v for k, v in latest_m.items() if k != "delete_vectors"}
     return _scan(spark, path, emit_m, new_files), latest
@@ -1774,25 +1829,35 @@ def files_table(spark: SparkSession, path: str, snapshot: int | None = None) -> 
 _CONSTRAINT_OPS = {"=", "<", "<=", ">", ">="}
 
 
-def _stats_prove(st: dict | None, col_names: list[str], spec: list) -> bool:
+def _stats_verdict(st: dict | None, col_names: list[str], spec: list):
+    """Decide a constraint from recorded bounds alone when possible:
+    0 = proven compliant, a positive int = proven violation count,
+    None = undecidable (scan needed). Bounds can DISPROVE as well as
+    prove — hi < v refutes 'col >= v' for every non-null row, and hive
+    partition values are exact [v, v] bounds, so partition-column
+    constraints always decide here (the data files don't even store the
+    column; a scan could never see the violation). NOT NULL decides
+    from the exact null_count in either direction."""
     st = st or {}
     key = next((p for p in col_names if p in st), None)
     if key is None:
         # no stats for the column: for a comparison, an all-null file
         # passes SQL CHECK, but we can't distinguish that from missing
-        # stats — unproven either way
-        return False
+        # stats — undecidable either way
+        return None
     entry = st[key]
-    if len(entry) > 3 and entry[3]:
-        return False  # transformed bound (ts/date): out of proof scope
+    if not isinstance(entry, list) or (len(entry) > 3 and entry[3]):
+        return None  # transformed bound (ts/date): out of proof scope
     lo, hi, nulls = entry[0], entry[1], entry[2]
     if spec[1] == "not_null":
-        return nulls == 0
+        return nulls if nulls is not None else None
     op, v = spec[1], spec[2]
     if type(lo) is not type(v) and not (
         isinstance(lo, (int, float)) and isinstance(v, (int, float))
     ):
-        return False
+        return None
+    # comparison CHECKs pass on NULL, so bounds (which cover non-null
+    # values) proving the predicate proves the file
     proven = {
         "=": lo == v and hi == v,
         "<": hi < v,
@@ -1800,9 +1865,21 @@ def _stats_prove(st: dict | None, col_names: list[str], spec: list) -> bool:
         ">": lo > v,
         ">=": lo >= v,
     }[op]
-    # comparison CHECKs pass on NULL, so bounds (which cover non-null
-    # values) proving the predicate proves the file
-    return bool(proven)
+    if proven:
+        return 0
+    # bounds refuting the predicate for EVERY non-null value prove the
+    # violation count exactly: rows - nulls (needs both recorded)
+    refuted = {
+        "=": hi < v or lo > v,
+        "<": lo >= v,
+        "<=": lo > v,
+        ">": hi <= v,
+        ">=": hi < v,
+    }[op]
+    nrows = st.get("__nrows")
+    if refuted and nrows is not None and nulls is not None:
+        return nrows - nulls
+    return None
 
 
 def _scan_violations(path: str, rel_file: str, col_names: list[str], spec: list) -> int:
@@ -1829,14 +1906,36 @@ def _scan_violations(path: str, rel_file: str, col_names: list[str], spec: list)
 def _enforce_constraints(path: str, m: dict, new_files: list[str],
                          new_stats: dict) -> None:
     """Raise if any row in ``new_files`` violates ``m``'s constraints;
-    files whose recorded bounds prove compliance are never opened."""
+    files whose recorded bounds decide the question (either way) are
+    never opened. Partition columns MUST decide from their exact [v, v]
+    stats — the data files don't store them, so the scan fallback would
+    silently miss their violations."""
     constraints = m.get("constraints") or {}
+    part_cols = set(m.get("partition_by") or [])
     for name, spec in constraints.items():
         col_names = _phys_names(m, spec[0])
         for f in new_files:
-            if _stats_prove(new_stats.get(f), col_names, spec):
-                continue
-            n = _scan_violations(path, f, col_names, spec)
+            n = _stats_verdict(new_stats.get(f), col_names, spec)
+            if n is None:
+                if spec[0] in part_cols:
+                    # partition-value stat absent: a NULL partition
+                    # (stats deliberately drop the unusable bound) or a
+                    # legacy manifest. Recover from the hive path —
+                    # never scan, the column is not in the file.
+                    raw = dict(
+                        seg.split("=", 1) for seg in f.split(os.sep)[:-1]
+                        if "=" in seg
+                    ).get(spec[0])
+                    pv = _coerce_partition_value(raw) if raw is not None else None
+                    if pv is None:
+                        # NULL partition value: passes a comparison
+                        # CHECK (SQL), violates NOT NULL
+                        n = 1 if spec[1] == "not_null" else 0
+                    else:
+                        st = {spec[0]: [pv, pv, 0], "__nrows": 1}
+                        n = 1 if _stats_verdict(st, [spec[0]], spec) else 0
+                else:
+                    n = _scan_violations(path, f, col_names, spec)
             if n:
                 raise ValueError(
                     f"constraint {name!r} ({spec}) violated by {n} row(s) "
@@ -1917,7 +2016,7 @@ def count_rows(path: str, snapshot: int | None = None) -> int:
     if dv_files:
         import pyarrow.parquet as pq
 
-        present = {os.path.basename(f) for f in m["files"]}
+        present = set(m["files"])
         for dv in dv_files:
             col = pq.read_table(os.path.join(path, dv), columns=["__fname"])
             total -= sum(1 for v in col.column("__fname").to_pylist() if v in present)

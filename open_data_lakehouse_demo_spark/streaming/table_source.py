@@ -45,9 +45,6 @@ from pyspark.sql import types as T
 
 from open_data_lakehouse_demo_spark.sources import table_log as tl
 
-_METADATA_ONLY = ("add-column", "rename-column", "widen-column", "drop-column")
-
-
 @dataclass
 class _FilePart(InputPartition):
     """One manifest data file + everything a worker needs to conform it
@@ -103,7 +100,13 @@ def _read_file_part(part: _FilePart, arrow_schema):
         if col is not None:
             arr = col.cast(target.type) if col.type != target.type else col
         elif name in part.part_values:
-            arr = pa.array([part.part_values[name]] * n).cast(target.type)
+            raw = part.part_values[name]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                # the NULL-partition marker is a path encoding, not a
+                # value — materialize NULL like table_log.read() does
+                arr = pa.nulls(n, type=target.type)
+            else:
+                arr = pa.array([raw] * n).cast(target.type)
         else:
             arr = pa.nulls(n, type=target.type)
         arrays.append(arr)
@@ -167,50 +170,38 @@ class _TableLogStreamReader(DataSourceStreamReader):
         lo, hi = start["snapshot"], end["snapshot"]
         if hi <= lo:
             return [_FilePart(abs_path="")]
-        have = set(tl._list_snapshots(self.path))
-        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
-        if missing:
-            raise ValueError(
-                f"history expired: snapshots {missing} were vacuumed; "
-                "restart the stream from a fresh checkpoint"
-            )
-        new_files: list[str] = []
-        prev_files = (
-            set(tl._read_manifest(self.path, lo)["files"]) if lo >= 0 else set()
-        )
-        end_m = tl._read_manifest(self.path, hi)
-        for s in range(lo + 1, hi + 1):
-            m = tl._read_manifest(self.path, s)
-            cur = set(m["files"])
-            op = m["operation"]
-            if op in ("create", "append"):
-                new_files.extend(sorted(cur - prev_files))
-            elif op in _METADATA_ONLY:
-                # benign unless the resulting contract differs from the
-                # QUERY's schema (an alter that predates the stream — or
-                # a restart that already picked it up — matches exactly)
+        want = [
+            (f.name, json.loads(f.json())["type"]) for f in self.schema.fields
+        ]
+
+        def inspect(s, m, kind):
+            # Delta-style schema-change stop: a snapshot in the range
+            # whose committed contract differs from the QUERY's schema
+            # stops the stream — both explicit alters AND an append
+            # whose additive union evolved the schema (silently dropping
+            # its new column would lose data with no retraction). An
+            # alter that predates the stream — or a restart that already
+            # picked the change up — matches exactly and passes.
+            if kind == "metadata" or (kind == "append" and m.get("schema_evolved")):
                 got = [
                     (f["name"], f["type"])
                     for f in json.loads(m["schema"])["fields"]
                 ]
-                want = [
-                    (f.name, json.loads(f.json())["type"]) for f in self.schema.fields
-                ]
                 if got != want:
                     raise ValueError(
-                        f"snapshot {s} ({op}) changed the table schema; "
-                        "restart the stream to pick up the new contract "
-                        "(the checkpoint remains valid — offsets are "
-                        "snapshot ids; Delta-style schema-change stop)"
+                        f"snapshot {s} ({m['operation']}) changed the table "
+                        "schema; restart the stream to pick up the new "
+                        "contract (offsets are snapshot ids, so the "
+                        "checkpoint remains valid; if the change predates "
+                        "the offsets you need, start a fresh checkpoint "
+                        "with option('startingSnapshot', ...))"
                     )
-            elif not self.ignore_rewrites:
-                raise ValueError(
-                    f"snapshot {s} ({op}) rewrote or deleted rows; an "
-                    "append-only stream cannot represent it — restart "
-                    "from a fresh checkpoint, or set "
-                    "option('ignoreRewrites', 'true') to skip it"
-                )
-            prev_files = cur
+
+        new_files = tl.walk_appends(
+            self.path, lo, hi,
+            ignore_rewrites=self.ignore_rewrites, inspect=inspect,
+        )
+        end_m = tl._read_manifest(self.path, hi)
         parts = _file_partitions(self.path, end_m, new_files, self.schema)
         return parts or [_FilePart(abs_path="")]
 

@@ -135,3 +135,58 @@ def test_writer_paths_enforce_constraints(spark, tbl, tmp_path):
         "path", tbl
     ).mode("append").save()
     assert tl.read(spark, tbl).where("id = 11").count() == 1
+
+
+def test_partition_column_constraints_enforced(spark, tmp_path):
+    """Regression (r10 review): partition columns live in the hive path,
+    not the data files, so a scan fallback would silently miss their
+    violations — they must decide from the exact [v, v] partition stats
+    (zero file opens either way)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10, 1)], "id long, v int, pt int")
+    tl.create(spark, path, df, partition_by=["pt"])
+    tl.add_constraint(path, "pt_pos", "pt", ">=", 1)
+    tl.append(
+        spark, path,
+        spark.createDataFrame([(2, 20, 2)], "id long, v int, pt int").coalesce(1),
+    )
+    with pytest.raises(ValueError, match="pt_pos.*violated"):
+        tl.append(
+            spark, path,
+            spark.createDataFrame([(3, 30, 0)], "id long, v int, pt int").coalesce(1),
+        )
+    assert tl.read(spark, path).count() == 2
+    # NULL partition value: passes the comparison CHECK (SQL), but
+    # violates a NOT NULL constraint on the partition column
+    tl.append(
+        spark, path,
+        spark.createDataFrame([(4, 40, None)], "id long, v int, pt int").coalesce(1),
+    )
+    assert tl.read(spark, path).count() == 3
+    with pytest.raises(ValueError, match="deletion vectors|violated"):
+        tl.add_constraint(path, "pt_nn", "pt", "not_null")
+
+
+def test_not_null_is_metadata_only_both_ways(spark, tbl, monkeypatch):
+    """NOT NULL decides from the exact footer null_count in BOTH
+    directions — a compliant append and a mixed (some-null) violating
+    append alike never open a data file. (An ALL-null column records no
+    footer bounds at all, so that one case legitimately falls back to
+    the scan — asserted last.)"""
+    tl.add_constraint(tbl, "v_nn", "v", "not_null")
+    opened = []
+    real = tl._scan_violations
+
+    def spy(*a):
+        opened.append(a)
+        return real(*a)
+
+    monkeypatch.setattr(tl, "_scan_violations", spy)
+    tl.append(spark, tbl, _df(spark, [(3, 30)]))
+    with pytest.raises(ValueError, match="violated by 1 row"):
+        tl.append(spark, tbl, _df(spark, [(4, None), (5, 50)]))
+    assert opened == []  # both decided from null_count alone
+    # all-null column: no bounds recorded -> one scan, still caught
+    with pytest.raises(ValueError, match="violated"):
+        tl.append(spark, tbl, _df(spark, [(6, None)]))
+    assert len(opened) == 1

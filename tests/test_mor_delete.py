@@ -159,10 +159,59 @@ def test_mor_null_predicate_rows_survive(spark, tmp_path):
     assert got == [(2, None)]  # NULL predicate rows survive (SQL DELETE)
 
 
-def test_mor_rejects_lineage_name_collision(spark, tmp_path):
+def test_internal_namespace_reserved_everywhere(spark, tmp_path):
+    """__-prefixed columns would corrupt the internal machinery
+    (__nrows stats, __fname/__ri MoR lineage, __z clustering), so every
+    writer path refuses them at the door."""
     path = str(tmp_path / "t")
-    tl.create(spark, path, spark.createDataFrame([(1, 2)], "id long, __ri long"))
-    with pytest.raises(ValueError, match="lineage"):
-        tl.delete_rows_mor(spark, path, [("id", "=", 1)])
+    with pytest.raises(ValueError, match="reserved"):
+        tl.create(spark, path, spark.createDataFrame([(1, 2)], "id long, __ri long"))
+    tl.create(spark, path, spark.createDataFrame([(1, 2)], "id long, v long"))
+    with pytest.raises(ValueError, match="reserved"):
+        tl.append(
+            spark, path,
+            spark.createDataFrame([(1, 2, 3)], "id long, v long, __nrows long"),
+        )
     with pytest.raises(ValueError, match="reserved"):
         tl.add_column(path, "__fname", "string")
+    # the delete_rows_mor belt-and-braces guard stays for legacy tables
+    # (manifests written before the create/append guards existed)
+    import json
+
+    snaps = tl._list_snapshots(path)
+    m = tl._read_manifest(path, snaps[-1])
+    legacy = json.loads(m["schema"])
+    legacy["fields"].append({"name": "__ri", "type": "long",
+                             "nullable": True, "metadata": {}})
+    m["schema"] = json.dumps(legacy)
+    with open(tl._manifest_path(path, snaps[-1]), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="lineage"):
+        tl.delete_rows_mor(spark, path, [("id", "=", 1)])
+
+
+def test_mor_delete_partitioned_no_basename_collision(spark, tmp_path):
+    """Regression (r10 review): one partitioned write stages
+    identically-named part files into every k=v/ dir, so a deletion
+    vector keyed by BASENAME would delete the same row index from the
+    wrong partition's file. Lineage is keyed by the manifest-relative
+    path; deleting one row from pt=0 must leave the identically-
+    positioned row in pt=1 untouched."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, 100, 0), (1, 100, 1)], "id long, v int, pt int"
+    ).repartition(1)
+    tl.create(spark, path, df, partition_by=["pt"])
+    # both partition files carry one row at row_index 0 with v=100;
+    # delete only the pt=0 row
+    snap = tl.delete_rows_mor(spark, path, [("id", "=", 0)])
+    got = _rows(tl.read(spark, path))
+    assert got == [(1, 100, 1)]  # pt=1's row 0 SURVIVES
+    assert tl.count_rows(path) == 1
+    # the vector names the full relative path, not a basename
+    m = tl._read_manifest(path, snap)
+    import os
+
+    dv = spark.read.parquet(*[os.path.join(path, f) for f in m["delete_vectors"]])
+    fnames = [r["__fname"] for r in dv.collect()]
+    assert all(f.startswith("data/pt=0") or "pt=0" in f for f in fnames), fnames
