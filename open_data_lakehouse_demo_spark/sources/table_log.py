@@ -1722,6 +1722,35 @@ def sync_increment(
     return n, hw
 
 
+def describe(path: str) -> dict:
+    """One metadata-only summary of the table's current state — the
+    logged-table twin of DESCRIBE TABLE EXTENDED (plans/ddl.py) /
+    Iceberg's table metadata view. Everything comes from the latest
+    manifest + tag refs: zero data reads (row count via count_rows'
+    recorded footer sums)."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    m = _read_manifest(path, snaps[-1])
+    schema = _schema_of(m)
+    return {
+        "snapshot": snaps[-1],
+        "snapshots": len(snaps),
+        "operation": m["operation"],
+        "ts_ms": m["ts_ms"],
+        "columns": [(f.name, f.dataType.simpleString()) for f in schema.fields],
+        "partition_by": m.get("partition_by") or [],
+        "n_files": len(m["files"]),
+        "n_rows": count_rows(path),
+        "constraints": m.get("constraints") or {},
+        "tags": tags(path),
+        "delete_vectors": len(m.get("delete_vectors") or []),
+        "schema_evolved": bool(m.get("conform")),
+        "retired_names": m.get("retired_names") or [],
+        "writers": m.get("txns") or {},
+    }
+
+
 def history(path: str) -> list[dict]:
     """Commit history, oldest first: (snapshot, operation, ts_ms,
     n_files + operation extras)."""

@@ -1162,3 +1162,20 @@ def test_count_rows_metadata_only(spark, base, tmp_path):
     # time travel counts the historical snapshot
     assert tl.count_rows(path, snapshot=0) == 10
     assert tl.count_rows(path, snapshot=1) == 14
+
+
+def test_describe_metadata_summary(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    tl.add_constraint(path, "id_nn", "id", "not_null")
+    tl.rename_column(path, "bucket", "b")
+    tl.tag(path, "v1")
+    tl.append(spark, path, spark.range(10, 12).select(
+        F.col("id"), (F.col("id") % 3).alias("b"), F.lit("v2").alias("tag")),
+        txn=("w1", 5))
+    d = tl.describe(path)
+    assert d["n_rows"] == 12 and d["snapshots"] == 4
+    assert ("b", "bigint") in d["columns"] and d["retired_names"] == ["bucket"]
+    assert d["constraints"] == {"id_nn": ["id", "not_null"]}
+    assert d["tags"] == {"v1": 2} and d["writers"] == {"w1": 5}
+    assert d["schema_evolved"] is True and d["delete_vectors"] == 0
