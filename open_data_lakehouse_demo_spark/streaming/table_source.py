@@ -120,10 +120,36 @@ def _arrow_schema(schema):
     return to_arrow_schema(schema)
 
 
+def _resolve_snapshot(options) -> int | None:
+    """Batch time travel: option("snapshot", n) by id, option("tag",
+    name) by immutable ref, option("asOfTimestamp", ms) by commit time
+    (Iceberg's VERSION AS OF / FOR SYSTEM_TIME AS OF). None = latest."""
+    path = options["path"]
+    given = [k for k in ("snapshot", "tag", "asoftimestamp") if k in options]
+    if len(given) > 1:
+        raise ValueError(f"pass at most one of snapshot/tag/asOfTimestamp, got {given}")
+    if "snapshot" in options:
+        return int(options["snapshot"])
+    if "tag" in options:
+        refs = tl.tags(path)
+        name = options["tag"]
+        if name not in refs:
+            raise ValueError(f"no tag {name!r}; have {sorted(refs)}")
+        return refs[name]
+    if "asoftimestamp" in options:
+        ts = int(options["asoftimestamp"])
+        eligible = [s for s in tl._list_snapshots(path)
+                    if tl._read_manifest(path, s)["ts_ms"] <= ts]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before ts {ts}")
+        return eligible[-1]
+    return None
+
+
 class _TableLogBatchReader(DataSourceReader):
     def __init__(self, schema, options):
         self.path = options["path"]
-        self.snapshot = int(options["snapshot"]) if "snapshot" in options else None
+        self.snapshot = _resolve_snapshot(options)
         self.schema = schema
         self.arrow_schema = _arrow_schema(schema)
 
@@ -358,8 +384,8 @@ class TableLogDataSource(DataSource):
         snaps = tl._list_snapshots(self.options["path"])
         if not snaps:
             raise ValueError(f"no table at {self.options['path']}")
-        snap = int(self.options["snapshot"]) if "snapshot" in self.options else snaps[-1]
-        m = tl._read_manifest(self.options["path"], snap)
+        snap = _resolve_snapshot(self.options)
+        m = tl._read_manifest(self.options["path"], snaps[-1] if snap is None else snap)
         return T.StructType.fromJson(json.loads(m["schema"]))
 
     def reader(self, schema):

@@ -300,3 +300,33 @@ def test_medallion_bronze_to_silver_pipeline(registered, spark, tmp_path):
     assert _rows(got) == _rows(curate(tl.read(spark, bronze)))
     # exactly-once held: every doc_id appears exactly once
     assert got.select("doc_id").distinct().count() == got.count()
+
+
+def test_batch_read_time_travel_by_tag_and_timestamp(registered, tbl, spark):
+    import time as _time
+
+    tl.tag(tbl, "v1")  # snapshot 1 (the fixture's append)
+    mid_ms = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(50, 500, 0)], "id long, v int, pt int").coalesce(1),
+    )
+    by_tag = spark.read.format("table_log").option("path", tbl).option(
+        "tag", "v1"
+    ).load()
+    assert by_tag.count() == 8
+    by_ts = spark.read.format("table_log").option("path", tbl).option(
+        "asOfTimestamp", str(mid_ms)
+    ).load()
+    assert by_ts.count() == 8
+    assert spark.read.format("table_log").option("path", tbl).load().count() == 9
+    with pytest.raises(Exception, match="no tag"):
+        spark.read.format("table_log").option("path", tbl).option(
+            "tag", "nope"
+        ).load().collect()
+    with pytest.raises(Exception, match="at most one"):
+        (
+            spark.read.format("table_log").option("path", tbl)
+            .option("tag", "v1").option("snapshot", "0").load().collect()
+        )
