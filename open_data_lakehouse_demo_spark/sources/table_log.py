@@ -1722,6 +1722,53 @@ def sync_increment(
     return n, hw
 
 
+# ---------------------------------------------------------------------------
+# Write-audit-publish (Iceberg's WAP pattern)
+# ---------------------------------------------------------------------------
+
+def stage_append(spark: SparkSession, path: str, df: DataFrame) -> dict:
+    """WRITE step of write-audit-publish: materialize ``df``'s data
+    files into the table's data/ tree WITHOUT committing any manifest —
+    invisible to every reader until publish_staged references them.
+    Returns the staging receipt to audit/publish/discard. A crashed or
+    abandoned stage is ordinary unreferenced-file garbage (vacuum's
+    age-gated orphan sweep collects it)."""
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    prev = _read_manifest(path, snaps[-1])
+    files = _write_data_files(df, path, prev["partition_by"] or None)
+    return {"files": files, "schema": df.schema.json()}
+
+
+def read_staged(spark: SparkSession, path: str, staged: dict) -> DataFrame:
+    """AUDIT step: the staged rows as a DataFrame — run any validation
+    (row counts, distribution checks, joins against the live table)
+    before deciding to publish. Constraints are additionally enforced
+    at publish time regardless."""
+    return _scan(spark, path, {"schema": staged["schema"]}, staged["files"])
+
+
+def publish_staged(spark: SparkSession, path: str, staged: dict,
+                   txn: tuple[str, int] | None = None) -> int:
+    """PUBLISH step: commit the staged files as one atomic append
+    snapshot — the ordinary append protocol (optimistic retry, additive
+    schema evolution, retired-name guard, CHECK constraints, idempotent
+    ``txn``), just with the data files already on disk. Readers flip
+    from not-seeing to seeing the batch in one manifest publish."""
+    return _append_loop(path, lambda _pb: staged["files"], staged["schema"], txn)
+
+
+def discard_staged(path: str, staged: dict) -> None:
+    """Drop an audited-and-rejected stage immediately (vacuum would get
+    it eventually)."""
+    for f in staged["files"]:
+        try:
+            os.unlink(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+
+
 def describe(path: str) -> dict:
     """One metadata-only summary of the table's current state — the
     logged-table twin of DESCRIBE TABLE EXTENDED (plans/ddl.py) /

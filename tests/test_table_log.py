@@ -1179,3 +1179,43 @@ def test_describe_metadata_summary(spark, base, tmp_path):
     assert d["constraints"] == {"id_nn": ["id", "not_null"]}
     assert d["tags"] == {"v1": 2} and d["writers"] == {"w1": 5}
     assert d["schema_evolved"] is True and d["delete_vectors"] == 0
+
+
+def test_write_audit_publish(spark, base, tmp_path, commit_protocol):
+    """Iceberg's WAP pattern over the log: staged files are invisible
+    until the publish commit, the audit reads exactly the staged rows,
+    a rejected stage discards cleanly, and publish runs the full append
+    protocol (constraints + idempotent txn) — over both commit
+    protocols."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    tl.add_constraint(path, "id_nn", "id", "not_null")
+
+    good = spark.range(10, 13).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), F.lit("v2").alias("tag"))
+    staged = tl.stage_append(spark, path, good)
+    # WRITE: invisible to readers and to count_rows
+    assert tl.read(spark, path).count() == 10
+    assert tl.count_rows(path) == 10
+    # AUDIT: sees exactly the staged rows
+    assert sorted(r["id"] for r in tl.read_staged(spark, path, staged).collect()) \
+        == [10, 11, 12]
+    # PUBLISH: one atomic append; idempotent under txn replay
+    s = tl.publish_staged(spark, path, staged, txn=("wap", 1))
+    assert tl.read(spark, path).count() == 13
+    assert tl.publish_staged(spark, path, staged, txn=("wap", 1)) == s  # replay no-op
+    assert tl.read(spark, path).count() == 13
+
+    # constraints gate the publish, not the stage
+    bad = spark.createDataFrame(
+        [(None, 0, "x")], "id long, bucket long, tag string")
+    staged_bad = tl.stage_append(spark, path, bad)
+    with pytest.raises(ValueError, match="id_nn.*violated"):
+        tl.publish_staged(spark, path, staged_bad)
+    assert tl.read(spark, path).count() == 13
+    # rejected: discard removes the staged files
+    import os
+    tl.discard_staged(path, staged_bad)
+    assert not any(os.path.exists(os.path.join(path, f))
+                   for f in staged_bad["files"])
+    assert tl.read(spark, path).count() == 13
