@@ -49,13 +49,15 @@ from open_data_lakehouse_demo_spark.sources import table_log as tl
 class _FilePart(InputPartition):
     """One manifest data file + everything a worker needs to conform it
     to the query schema without any driver callback: the absolute path,
-    per-field historical physical names, and the hive-style partition
+    per-field historical physical names, the hive-style partition
     values parsed from the relative path (single-file pyarrow reads do
-    not synthesize partition columns)."""
+    not synthesize partition columns), and this file's deleted row
+    positions from the snapshot's deletion vectors (merge-on-read)."""
 
     abs_path: str
     fields: list = field(default_factory=list)  # [(name, [phys...]), ...]
     part_values: dict = field(default_factory=dict)  # {col: raw string}
+    deleted: list = field(default_factory=list)  # sorted row indices
 
 
 def _partition_values(rel_path: str) -> dict:
@@ -67,13 +69,35 @@ def _partition_values(rel_path: str) -> dict:
     return out
 
 
+def _deleted_positions(path: str, m: dict) -> dict:
+    """Driver-side: the snapshot's deletion vectors grouped per data
+    file ({rel_path: [row_index, ...]}); MoR's premise is deletes ≪
+    data, so this is a small metadata read."""
+    dv_files = m.get("delete_vectors") or []
+    if not dv_files:
+        return {}
+    import pyarrow.parquet as pq
+
+    present = set(m["files"])
+    out: dict = {}
+    for dv in dv_files:
+        t = pq.read_table(os.path.join(path, dv))
+        for fname, ri in zip(t.column("__fname").to_pylist(),
+                             t.column("__ri").to_pylist()):
+            if fname in present:
+                out.setdefault(fname, []).append(ri)
+    return out
+
+
 def _file_partitions(path: str, m: dict, files: list[str], schema) -> list:
     fields = [(f.name, tl._phys_names(m, f.name)) for f in schema.fields]
+    deleted = _deleted_positions(path, m)
     return [
         _FilePart(
             abs_path=os.path.join(path, f),
             fields=fields,
             part_values=_partition_values(f),
+            deleted=sorted(deleted.get(f, [])),
         )
         for f in files
     ]
@@ -89,6 +113,14 @@ def _read_file_part(part: _FilePart, arrow_schema):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.abs_path)
+    if part.deleted:
+        # merge-on-read: drop this file's deleted row positions before
+        # conforming (row order in the read table IS file order)
+        import numpy as np
+
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[part.deleted] = False
+        tbl = tbl.filter(pa.array(keep))
     n = tbl.num_rows
     arrays = []
     for (name, phys), target in zip(part.fields, arrow_schema):
@@ -157,12 +189,6 @@ class _TableLogBatchReader(DataSourceReader):
         snaps = tl._list_snapshots(self.path)
         snap = self.snapshot if self.snapshot is not None else snaps[-1]
         m = tl._read_manifest(self.path, snap)
-        if m.get("delete_vectors"):
-            raise ValueError(
-                "snapshot carries merge-on-read deletion vectors; run "
-                "table_log.compact() to materialize them, or read via "
-                "table_log.read() which applies them engine-side"
-            )
         parts = _file_partitions(self.path, m, m["files"], self.schema)
         # an empty table still needs one no-op partition (the API
         # requires at least one)

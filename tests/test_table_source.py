@@ -79,14 +79,27 @@ def test_batch_read_time_travel_and_conform(registered, tbl, spark):
     assert "v" in old.columns and old.count() == 8
 
 
-def test_batch_read_refuses_unapplied_deletion_vectors(registered, tbl, spark):
+def test_batch_read_applies_deletion_vectors(registered, tbl, spark):
+    """Merge-on-read through the format: the driver groups the
+    snapshot's deletion vectors per file and each worker masks its own
+    row positions — equivalent to table_log.read()'s engine-side
+    anti-join."""
     tl.delete_rows_mor(spark, tbl, [("v", "<", 20)])
-    with pytest.raises(Exception, match="deletion vectors"):
-        spark.read.format("table_log").option("path", tbl).load().collect()
-    # compaction materializes them; the format reads again
+    got = spark.read.format("table_log").option("path", tbl).load()
+    assert _rows(got) == _rows(tl.read(spark, tbl))
+    assert got.count() == 6
+    # accumulated vectors + time travel back to the pre-delete snapshot
+    tl.delete_rows_mor(spark, tbl, [("v", "=", 70)])
+    got = spark.read.format("table_log").option("path", tbl).load()
+    assert _rows(got) == _rows(tl.read(spark, tbl)) and got.count() == 5
+    pre = spark.read.format("table_log").option("path", tbl).option(
+        "snapshot", "0"
+    ).load()
+    assert pre.count() == 8
+    # compaction materializes; still equivalent
     tl.compact(spark, tbl, target_files=1)
     got = spark.read.format("table_log").option("path", tbl).load()
-    assert got.count() == 6
+    assert got.count() == 5
 
 
 def test_stream_exactly_once_across_restarts(registered, tbl, spark, tmp_path):
