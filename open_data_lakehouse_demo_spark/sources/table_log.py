@@ -261,12 +261,13 @@ def _unescape_path_name(s: str) -> str:
     return "".join(out)
 
 
-def _coerce_partition_value(v: str):
+def _coerce_partition_value(v: str, unescape: bool = True):
     """Hive path segments are strings; unescape Spark's path encoding,
     then coerce numerics so partition 'stats' compare correctly against
     typed predicate values. Returns None for the NULL-partition marker
     (no usable bound — pruning must keep the file conservative)."""
-    v = _unescape_path_name(v)
+    if unescape:
+        v = _unescape_path_name(v)
     if v == "__HIVE_DEFAULT_PARTITION__":
         return None
     for cast in (int, float):
@@ -277,6 +278,21 @@ def _coerce_partition_value(v: str):
     return v
 
 
+def _partition_raw_values(rel_path: str) -> dict[str, str]:
+    """THE hive-path parser ({col: unescaped raw string} from a
+    manifest-relative 'data/[k=v/]file' path) — one implementation
+    shared by stats collection, constraint enforcement and the
+    format("table_log") reader, so the escaping and NULL-marker rules
+    cannot drift. The NULL marker comes back as its literal string;
+    callers decide its meaning (coerce → None, constraint → NULL row)."""
+    out: dict[str, str] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = _unescape_path_name(v)
+    return out
+
+
 def _collect_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
     """rel file → column stats ({col: [min, max, null_count]}) for the
     manifest: parquet footer min/max per flat primitive column, plus the
@@ -285,14 +301,12 @@ def _collect_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for f in rel_files:
         stats = _file_column_stats(os.path.join(path, f))
-        for seg in f.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                pv = _coerce_partition_value(v)
-                if pv is None:  # NULL partition: no usable bound
-                    stats.pop(k, None)
-                    continue
-                stats[k] = [pv, pv, 0]
+        for k, raw in _partition_raw_values(f).items():
+            pv = _coerce_partition_value(raw, unescape=False)
+            if pv is None:  # NULL partition: no usable bound
+                stats.pop(k, None)
+                continue
+            stats[k] = [pv, pv, 0]
         out[f] = stats
     return out
 
@@ -609,6 +623,11 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
             f"column name(s) {sorted(reused)} are retired (dropped or renamed "
             "away) and cannot be reintroduced"
         )
+    internal = [c for c in df.columns if c.startswith("__")]
+    if internal:
+        raise ValueError(
+            f"column name(s) {internal}: the __ prefix is reserved for internal columns"
+        )
     evo = _evo_carry(prev)
     evo.pop("physical_names", None)  # all files replaced: mapping is moot
     partition_by = prev["partition_by"] or None
@@ -901,6 +920,7 @@ def _apply_delete_vectors(
         return src
     paths = [os.path.join(path, f) for f in dv_files]
     dv = spark.read.parquet(*paths)
+    _reject_legacy_dv_keys(spark, paths)
     total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
     if total < _DV_BROADCAST_BYTES:
         dv = F.broadcast(dv)
@@ -938,6 +958,37 @@ def _raw_prefilter(m: dict, where: list[tuple]):
             disj = term if disj is None else (disj | term)
         conj = disj if conj is None else (conj & disj)
     return conj
+
+
+def _reject_legacy_dv_keys(spark: SparkSession, dv_paths: list[str]) -> None:
+    """Deletion vectors were briefly keyed by file BASENAME (collides
+    across hive partition dirs); current keys are manifest-relative
+    'data/...' paths. A silent mismatch would RESURRECT deleted rows,
+    so a legacy-keyed vector fails loudly instead (none shipped beyond
+    this repo, but data corruption must never be the failure mode)."""
+    import pyarrow.parquet as pq
+
+    for p in dv_paths:
+        col = pq.read_table(p, columns=["__fname"]).column("__fname")
+        for v in col.to_pylist():
+            if v is not None and not v.startswith("data/"):
+                raise ValueError(
+                    f"deletion vector {p} is keyed by file basename "
+                    f"({v!r}) — a legacy format whose keys are ambiguous "
+                    "across partitions; restore the pre-delete snapshot "
+                    "(rollback) and re-apply the delete"
+                )
+            break  # one entry decides the keying style per vector
+
+
+def _snapshot_asof(path: str, ts_ms: int) -> int:
+    """Latest snapshot committed at or before ``ts_ms`` (FOR SYSTEM_TIME
+    AS OF) — shared by read() and the format('table_log') options."""
+    eligible = [s for s in _list_snapshots(path)
+                if _read_manifest(path, s)["ts_ms"] <= ts_ms]
+    if not eligible:
+        raise ValueError(f"no snapshot at or before ts {ts_ms}")
+    return eligible[-1]
 
 
 def _scan(
@@ -1246,10 +1297,7 @@ def read(
     if not snaps:
         raise ValueError(f"no table at {path}")
     if snapshot is None and as_of_ts_ms is not None:
-        eligible = [s for s in snaps if _read_manifest(path, s)["ts_ms"] <= as_of_ts_ms]
-        if not eligible:
-            raise ValueError(f"no snapshot at or before ts {as_of_ts_ms}")
-        snapshot = eligible[-1]
+        snapshot = _snapshot_asof(path, as_of_ts_ms)
     if snapshot is None:
         snapshot = snaps[-1]
     m = _read_manifest(path, snapshot)
@@ -1749,19 +1797,49 @@ def read_staged(spark: SparkSession, path: str, staged: dict) -> DataFrame:
     return _scan(spark, path, {"schema": staged["schema"]}, staged["files"])
 
 
+def _staged_already_published(path: str, staged: dict) -> bool:
+    snaps = _list_snapshots(path)
+    if not snaps:
+        return False
+    return bool(set(staged["files"]) & set(_read_manifest(path, snaps[-1])["files"]))
+
+
 def publish_staged(spark: SparkSession, path: str, staged: dict,
                    txn: tuple[str, int] | None = None) -> int:
     """PUBLISH step: commit the staged files as one atomic append
     snapshot — the ordinary append protocol (optimistic retry, additive
     schema evolution, retired-name guard, CHECK constraints, idempotent
     ``txn``), just with the data files already on disk. Readers flip
-    from not-seeing to seeing the batch in one manifest publish."""
+    from not-seeing to seeing the batch in one manifest publish.
+
+    A receipt whose files are already referenced by the latest manifest
+    refuses to publish again (re-publishing would duplicate every row);
+    for crash-safe retries pass ``txn`` — a replay is then skipped by
+    the idempotency contract before this guard is even consulted."""
+    snaps = _list_snapshots(path)
+    if snaps and txn is not None:
+        prev = _read_manifest(path, snaps[-1])
+        if _txns_of(path, snaps, prev).get(txn[0], -1) >= txn[1]:
+            return snaps[-1]  # replayed publish: already committed
+    if _staged_already_published(path, staged):
+        raise ValueError(
+            "staged files are already referenced by the current snapshot; "
+            "publishing again would duplicate the rows (use txn=... for "
+            "replay-safe publishes)"
+        )
     return _append_loop(path, lambda _pb: staged["files"], staged["schema"], txn)
 
 
 def discard_staged(path: str, staged: dict) -> None:
     """Drop an audited-and-rejected stage immediately (vacuum would get
-    it eventually)."""
+    it eventually). Refuses if the receipt was already PUBLISHED —
+    unlinking committed data files would corrupt the table."""
+    if _staged_already_published(path, staged):
+        raise ValueError(
+            "staged files are referenced by the current snapshot; "
+            "discarding them would delete committed data — use "
+            "delete/rollback/vacuum for published snapshots"
+        )
     for f in staged["files"]:
         try:
             os.unlink(os.path.join(path, f))
@@ -1994,22 +2072,37 @@ def _enforce_constraints(path: str, m: dict, new_files: list[str],
             n = _stats_verdict(new_stats.get(f), col_names, spec)
             if n is None:
                 if spec[0] in part_cols:
-                    # partition-value stat absent: a NULL partition
-                    # (stats deliberately drop the unusable bound) or a
-                    # legacy manifest. Recover from the hive path —
-                    # never scan, the column is not in the file.
-                    raw = dict(
-                        seg.split("=", 1) for seg in f.split(os.sep)[:-1]
-                        if "=" in seg
-                    ).get(spec[0])
-                    pv = _coerce_partition_value(raw) if raw is not None else None
-                    if pv is None:
+                    # partition-value verdict undecided (absent stat —
+                    # NULL partition or legacy manifest — or a coerced
+                    # type that mismatches the constraint value).
+                    # Recover from the hive path and decide AT the
+                    # constraint value's type; never scan (the column is
+                    # not in the file) and never fail OPEN — an
+                    # undecidable comparison raises (review finding: a
+                    # numeric-looking value in a string partition column
+                    # coerces to int and silently bypassed enforcement).
+                    raw = _partition_raw_values(f).get(spec[0])
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        raw = None
+                    if raw is None:
                         # NULL partition value: passes a comparison
                         # CHECK (SQL), violates NOT NULL
                         n = 1 if spec[1] == "not_null" else 0
+                    elif spec[1] == "not_null":
+                        n = 0
                     else:
+                        pv = raw if isinstance(spec[2], str) else (
+                            _coerce_partition_value(raw, unescape=False)
+                        )
                         st = {spec[0]: [pv, pv, 0], "__nrows": 1}
-                        n = 1 if _stats_verdict(st, [spec[0]], spec) else 0
+                        v = _stats_verdict(st, [spec[0]], spec)
+                        if v is None:
+                            raise ValueError(
+                                f"constraint {name!r} ({spec}) cannot be "
+                                f"decided for partition value {raw!r} in {f} "
+                                "(type mismatch); nothing was committed"
+                            )
+                        n = 1 if v else 0
                 else:
                     n = _scan_violations(path, f, col_names, spec)
             if n:

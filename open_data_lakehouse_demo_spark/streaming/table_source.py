@@ -61,12 +61,7 @@ class _FilePart(InputPartition):
 
 
 def _partition_values(rel_path: str) -> dict:
-    out = {}
-    for seg in rel_path.split("/")[:-1]:
-        if "=" in seg:
-            k, _, v = seg.partition("=")
-            out[k] = tl._unescape_path_name(v)
-    return out
+    return tl._partition_raw_values(rel_path)
 
 
 def _deleted_positions(path: str, m: dict) -> dict:
@@ -169,12 +164,7 @@ def _resolve_snapshot(options) -> int | None:
             raise ValueError(f"no tag {name!r}; have {sorted(refs)}")
         return refs[name]
     if "asoftimestamp" in options:
-        ts = int(options["asoftimestamp"])
-        eligible = [s for s in tl._list_snapshots(path)
-                    if tl._read_manifest(path, s)["ts_ms"] <= ts]
-        if not eligible:
-            raise ValueError(f"no snapshot at or before ts {ts}")
-        return eligible[-1]
+        return tl._snapshot_asof(path, int(options["asoftimestamp"]))
     return None
 
 
@@ -229,12 +219,16 @@ class _TableLogStreamReader(DataSourceStreamReader):
         def inspect(s, m, kind):
             # Delta-style schema-change stop: a snapshot in the range
             # whose committed contract differs from the QUERY's schema
-            # stops the stream — both explicit alters AND an append
-            # whose additive union evolved the schema (silently dropping
-            # its new column would lose data with no retraction). An
-            # alter that predates the stream — or a restart that already
-            # picked the change up — matches exactly and passes.
-            if kind == "metadata" or (kind == "append" and m.get("schema_evolved")):
+            # stops the stream — explicit alters, an append whose
+            # additive union evolved the schema, AND a rewrite that
+            # changed it (e.g. overwrite with a new column): silently
+            # conforming away the new column would lose data with no
+            # retraction, and ignoreRewrites waives ROW changes, never
+            # contract changes. A change that predates the stream — or a
+            # restart that already picked it up — matches exactly and
+            # passes.
+            if (kind in ("metadata", "rewrite")
+                    or (kind == "append" and m.get("schema_evolved"))):
                 got = [
                     (f["name"], f["type"])
                     for f in json.loads(m["schema"])["fields"]
@@ -412,7 +406,14 @@ class TableLogDataSource(DataSource):
             raise ValueError(f"no table at {self.options['path']}")
         snap = _resolve_snapshot(self.options)
         m = tl._read_manifest(self.options["path"], snaps[-1] if snap is None else snap)
-        return T.StructType.fromJson(json.loads(m["schema"]))
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        # all-nullable: schema evolution means files written before a
+        # column existed null-fill it, regardless of how the committing
+        # DataFrame declared nullability
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata)
+             for f in schema.fields]
+        )
 
     def reader(self, schema):
         return _TableLogBatchReader(schema, self.options)

@@ -190,3 +190,24 @@ def test_not_null_is_metadata_only_both_ways(spark, tbl, monkeypatch):
     with pytest.raises(ValueError, match="violated"):
         tl.append(spark, tbl, _df(spark, [(6, None)]))
     assert len(opened) == 1
+
+
+def test_string_partition_constraint_fails_closed(spark, tmp_path):
+    """Regression (r10 review #2): a numeric-looking value in a STRING
+    partition column coerces to int in the stats, type-mismatches the
+    string constraint value, and previously fell OPEN (committed). It
+    must decide at the constraint value's type — or raise — never pass."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, pt string")
+    tl.create(spark, path, df, partition_by=["pt"])
+    tl.add_constraint(path, "pt_is_a", "pt", "=", "a")
+    tl.append(
+        spark, path,
+        spark.createDataFrame([(2, "a")], "id long, pt string").coalesce(1),
+    )
+    with pytest.raises(ValueError, match="pt_is_a.*(violated|cannot be decided)"):
+        tl.append(
+            spark, path,
+            spark.createDataFrame([(3, "7")], "id long, pt string").coalesce(1),
+        )
+    assert tl.read(spark, path).count() == 2

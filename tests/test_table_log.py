@@ -1219,3 +1219,49 @@ def test_write_audit_publish(spark, base, tmp_path, commit_protocol):
     assert not any(os.path.exists(os.path.join(path, f))
                    for f in staged_bad["files"])
     assert tl.read(spark, path).count() == 13
+
+
+def test_wap_guards_double_publish_and_discard(spark, base, tmp_path):
+    """Regression (r10 review #5): a receipt must not publish twice
+    without a txn (duplicate manifest references) nor discard after
+    publish (unlinking committed data)."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    staged = tl.stage_append(
+        spark, path,
+        spark.range(10, 12).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket"),
+            F.lit("v2").alias("tag")),
+    )
+    tl.publish_staged(spark, path, staged)
+    with pytest.raises(ValueError, match="already referenced"):
+        tl.publish_staged(spark, path, staged)
+    with pytest.raises(ValueError, match="committed data"):
+        tl.discard_staged(path, staged)
+    assert tl.read(spark, path).count() == 12  # intact
+
+
+def test_legacy_basename_deletion_vector_fails_loud(spark, base, tmp_path):
+    """Regression (r10 review #2/legacy): a deletion vector keyed by
+    file basename (the briefly-shipped format) is ambiguous across
+    partitions — reads must fail loudly, never silently resurrect the
+    deleted rows."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    snap = tl.delete_rows_mor(spark, path, [("id", "<", 2)])
+    m = tl._read_manifest(path, snap)
+    # rewrite the vector with basename keys (what the old code wrote)
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dv_rel = m["delete_vectors"][0]
+    dv_abs = os.path.join(path, dv_rel)
+    t = pq.read_table(dv_abs)
+    legacy = pa.table({
+        "__fname": [v.rsplit("/", 1)[-1] for v in t.column("__fname").to_pylist()],
+        "__ri": t.column("__ri"),
+    })
+    pq.write_table(legacy, dv_abs)
+    with pytest.raises(Exception, match="basename"):
+        tl.read(spark, path).collect()

@@ -343,3 +343,29 @@ def test_batch_read_time_travel_by_tag_and_timestamp(registered, tbl, spark):
             spark.read.format("table_log").option("path", tbl)
             .option("tag", "v1").option("snapshot", "0").load().collect()
         )
+
+
+def test_stream_stops_on_schema_changing_rewrite_even_when_ignored(
+    registered, tbl, spark, tmp_path
+):
+    """Regression (r10 review #3): ignoreRewrites waives ROW changes,
+    never CONTRACT changes — an overwrite that adds a column must stop
+    the stream instead of silently conforming the new column away on
+    every later append."""
+    pre_schema = tl.read(spark, tbl).schema  # the mid-flight contract
+    widened = tl.read(spark, tbl).withColumn("w", F.lit(1))
+    tl.overwrite(spark, tbl, widened)
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(50, 500, 0, 2)], "id long, v int, pt int, w int")
+        .coalesce(1),
+    )
+    reader = ts._TableLogStreamReader(
+        pre_schema, {"path": tbl, "ignorerewrites": "true"}
+    )
+    with pytest.raises(ValueError, match="changed the table schema"):
+        reader.partitions({"snapshot": 0}, reader.latestOffset())
+    # a restarted query resolves the widened contract and flows
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    got = _drain(spark, tbl, out2, ck2, ignoreRewrites="true")
+    assert "w" in got.columns and 50 in {r["id"] for r in got.collect()}
