@@ -318,13 +318,14 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
 
     tl.create(spark, path, df_of(schema, rows))
     states = {0: (dict(schema), {k: dict(v) for k, v in rows.items()})}
+    tagged: dict[str, int] = {}
     next_id = 100
 
     for step in range(16):
         data_cols = [c for c in schema if c != "id"]
         op = rnd.choice(
             ["append", "add", "rename", "widen", "drop", "delete", "mor",
-             "compact", "rollback"]
+             "compact", "rollback", "tag"]
         )
         if op == "append":
             n = rnd.randrange(1, 4)
@@ -385,6 +386,13 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
                 k: r for k, r in rows.items()
                 if r.get(c) is None or not (r[c] < cut)
             }
+        elif op == "tag":
+            # metadata-only named ref: no state change, but the tagged
+            # snapshot must read back as its recorded state at the end
+            name = f"t{step}"
+            s = tl.tag(path, name)
+            tagged[name] = s
+            s = tl._list_snapshots(path)[-1]  # no new snapshot
         elif op == "compact":
             s = tl.compact(spark, path)
         else:  # rollback
@@ -402,6 +410,15 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
         cols, got = read_state(snap)
         assert cols == list(sch), f"snapshot {snap} schema"
         assert got == rws, f"snapshot {snap} rows"
+    # and every tag still resolves to exactly its recorded state
+    assert tl.tags(path) == tagged
+    for name, snap in tagged.items():
+        df = tl.read_tag(spark, path, name)
+        sch, rws = states[snap]
+        assert df.columns == list(sch), f"tag {name}"
+        got = {r["id"]: {c: r[c] for c in df.columns if c != "id"}
+               for r in df.collect()}
+        assert got == rws, f"tag {name}"
 
 
 def test_read_where_pushes_filters_through_rename(spark, tbl):
