@@ -18,6 +18,34 @@ Policy:
     reflect steady-state engine throughput, which is what the 100 TB
     design cares about;
   - per-query numbers are the median of N_RUNS runs.
+
+Self-defense (r10 post-mortem: BENCH_r10 shipped load-poisoned — noisy_n
+10, loadavg 4-7 at measurement, 31 rows uniformly ~1.5x inflated on this
+shared-CPU VM; refined r11 after two rejected runs isolated the box's
+TWO distinct noise modes):
+  - SETTLE-WAIT before any Spark work: pre-suite, an idle box reads
+    load1 < ~1.5 AND CPU steal < ~5%; anything higher is FOREIGN load
+    (we haven't started), so wait for it to decay before measuring.
+    Mid-suite loadavg can't serve this role — our own 32-thread bursts
+    push load1 to ~6-11 on a provably-clean run (commit 40631f9) — and
+    steal is the one signal loadavg can't see (a neighbor VM stealing
+    cycles leaves OUR run queue clean).
+  - BOX FACTOR: the suite-wide median ratio to the BENCH_VS_DUCK.md
+    5-run warm medians. The box drifts ~1.25x slower for whole windows
+    with only ~2% steal; that is box STATE, not row noise — raw-ref
+    flagging would reject honest runs wholesale. Rows are anomalies
+    only RELATIVE to it (> 2x * box_factor * ref, refs >= 0.15s), and
+    the factor ships in the artifact so rounds compare honestly.
+  - RETRY noisy rows at the END of the suite (a later time window, the
+    fix for row-local bursts like pq_adc_topk 4.85s in-suite vs 1.56s
+    standalone minutes later), keeping the MINIMUM — contention only
+    ever adds time. Each retry pass is preceded by a steal-settle.
+  - REFUSE to poison the artifact: if rows remain anomalous after the
+    retry passes (or the pre-suite settle timed out), BENCH_QUERIES.json
+    is NOT overwritten (the last clean run stays); the evidence lands in
+    BENCH_QUERIES_REJECTED.json and the stdout line carries
+    {"error": "load_noisy", ...} so the driver records an explicit
+    refusal instead of a silently-inflated suite number.
 """
 
 from __future__ import annotations
@@ -32,6 +60,91 @@ import time
 # Driver tail capture is ~2 KB; stay well under it (measured r03 cut point).
 _STDOUT_BUDGET = 1800
 
+# Pre-suite settle: load1 must drop below this before measurement starts.
+# 1.5 on a 32-CPU box = essentially idle; our own suite hasn't started yet
+# so anything above it is a foreign process.
+_SETTLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "1.5"))
+_SETTLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_TIMEOUT", "600"))
+# Per-row remeasure attempts when a median exceeds 2x its warm reference.
+_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+
+def _load1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return 0.0
+
+
+def _cpu_sample() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(a, b) -> float | None:
+    """CPU steal %% between two /proc/stat samples. Steal is the signal
+    loadavg CANNOT see on a shared-CPU VM: a neighbor burst steals our
+    cycles while our own run queue — and therefore loadavg — stays
+    clean (exactly the r11 rejected-run signature: settle entry_load1
+    0.09, suite still 1.3x inflated)."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total > 0 and len(d) > 7 else None
+
+
+def _steal_now(interval_s: float = 1.0) -> float | None:
+    a = _cpu_sample()
+    time.sleep(interval_s)
+    return _steal_pct(a, _cpu_sample())
+
+
+# A shared-VM neighbor stealing more than this fraction of cycles makes
+# timing numbers meaningless; wait for it to pass before measuring.
+_STEAL_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_LIMIT", "5.0"))
+
+
+def _settle_wait(threshold: float, timeout_s: float,
+                 check_load: bool = True) -> dict:
+    """Block until the box is measurably quiet, or timeout.
+
+    Quiet = 1-min loadavg < threshold (skippable: mid-suite our OWN
+    finished bursts keep load1 at 6-11 for minutes, so the check only
+    discriminates BEFORE any Spark work) AND CPU steal < _STEAL_LIMIT
+    (meaningful at any point — steal is the neighbor's load, never
+    ours). Returns a dict recorded in the artifact so a reader can tell
+    a clean-from-the-start run from one that out-waited a burst.
+    load1 is an exponentially-weighted 1-minute average, so a finished
+    burst decays ~e^(-t/60): a reading of 6 needs ~90 s of true idle to
+    cross 1.5. Sleeping in 10 s steps keeps the wait responsive without
+    busy-polling."""
+    entry = _load1()
+    entry_steal = _steal_now()
+    t0 = time.monotonic()
+    cur, cur_steal = entry, entry_steal
+
+    def busy() -> bool:
+        if check_load and cur >= threshold:
+            return True
+        return cur_steal is not None and cur_steal >= _STEAL_LIMIT
+
+    while busy() and time.monotonic() - t0 < timeout_s:
+        time.sleep(10)
+        cur = _load1()
+        cur_steal = _steal_now()
+    return {
+        "entry_load1": round(entry, 2),
+        "exit_load1": round(cur, 2),
+        "entry_steal_pct": entry_steal,
+        "exit_steal_pct": cur_steal,
+        "waited_s": round(time.monotonic() - t0, 1),
+        "timed_out": busy(),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +156,9 @@ def main() -> None:
 
     from open_data_lakehouse_demo_spark.plans.inventory import QUERIES
     from open_data_lakehouse_demo_spark.session import get_spark
+
+    # Foreign-load gate BEFORE any Spark work — see module docstring.
+    settle = _settle_wait(_SETTLE_LOAD1, _SETTLE_TIMEOUT_S)
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
@@ -57,38 +173,75 @@ def main() -> None:
     # phantom "regression" used to cost a judge rerun to dismiss.
     ref = _load_reference_medians(sf_dir)
 
-    per_query: dict[str, float] = {}
-    query_load: dict[str, float] = {}
-    noisy: list[str] = []
-    for name, q in QUERIES.items():
-        # Untimed warm-up: JVM JIT + codegen compile dominate first runs
-        # (observed 110s cold vs 8.5s warm on the fan-out query); steady
-        # state is what a long-running cluster sees.
-        execute(q.spark(spark, sf_dir))
+    def measure(q) -> float:
+        """Median of n_runs timed executions (warm-up NOT included)."""
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             execute(q.spark(spark, sf_dir))
             times.append(time.perf_counter() - t0)
-        med = round(statistics.median(times), 4)
-        per_query[name] = med
-        try:
-            load1 = os.getloadavg()[0]
-        except OSError:
-            load1 = 0.0
-        query_load[name] = round(load1, 2)
-        # A row is NOISE-SUSPECT (not a regression claim) when the box
-        # was already busy while it ran, or when it exceeds 2x its 5-run
-        # warm median from BENCH_VS_DUCK.md — compare THOSE medians
-        # across rounds, not single-pass rows.
-        if load1 > cpus / 2 or (name in ref and med > 2.0 * ref[name]):
-            noisy.append(name)
+        return round(statistics.median(times), 4)
+
+    per_query: dict[str, float] = {}
+    query_load: dict[str, float] = {}
+    attempts_used: dict[str, int] = {}
+    suite_cpu0 = _cpu_sample()
+    for name, q in QUERIES.items():
+        # Untimed warm-up: JVM JIT + codegen compile dominate first runs
+        # (observed 110s cold vs 8.5s warm on the fan-out query); steady
+        # state is what a long-running cluster sees.
+        execute(q.spark(spark, sf_dir))
+        per_query[name] = measure(q)
+        query_load[name] = round(_load1(), 2)
         # Release dropped DataFrames' JVM state (checkpoint blocks, shuffle
         # files) between queries: Spark's ContextCleaner only runs when the
         # Python references are collected, and letting them pile up taxes
         # later queries' JVM heap (measured ~40% inflation late in the
         # suite vs standalone runs).
         gc.collect()
+
+    # --- noise detection, box-factor-normalized (r11 redesign) --------
+    # The shared VM has two distinct failure modes, observed across the
+    # r10/r11 artifacts:
+    #   * box-state drift: the WHOLE suite runs a uniform ~1.25x slower
+    #     (suite steal ~2%, clean settle) than the round-10 reference
+    #     window. Flagging rows against raw BENCH_VS_DUCK medians then
+    #     rejects honest rows wholesale, so the ROW rule normalizes by
+    #     the suite-wide median ratio first (the "box factor" R): a row
+    #     is an anomaly when it exceeds 2x what the rest of the suite
+    #     says this box currently delivers.
+    #   * row-local bursts: one query's window hits a 3-5x neighbor
+    #     burst (pq_adc_topk 4.85s in-suite vs 1.56s standalone minutes
+    #     later). Those retry at the END of the suite — a later window —
+    #     keeping the MINIMUM (contention only ever adds time).
+    # Tiny refs are floor-dominated and flap; only rows with a
+    # reference median >= 0.15 s participate in flagging.
+    def box_factor() -> float:
+        rs = sorted(per_query[n] / ref[n] for n in per_query
+                    if n in ref and ref[n] >= 0.15)
+        return rs[len(rs) // 2] if rs else 1.0
+
+    def flagged(r: float) -> list[str]:
+        return [n for n in per_query
+                if n in ref and ref[n] >= 0.15
+                and per_query[n] > 2.0 * r * ref[n]]
+
+    bf = box_factor()
+    for _retry_pass in range(_MAX_ATTEMPTS - 1):
+        bad = flagged(bf)
+        if not bad:
+            break
+        # out-wait a neighbor burst before the retry window. Steal-only:
+        # mid-suite loadavg reflects our own finished work and would
+        # always time out uselessly.
+        _settle_wait(_SETTLE_LOAD1, 120, check_load=False)
+        for name in bad:
+            per_query[name] = round(
+                min(per_query[name], measure(QUERIES[name])), 4)
+            attempts_used[name] = attempts_used.get(name, 1) + 1
+            gc.collect()
+        bf = box_factor()
+    noisy = flagged(bf)
 
     # Capture the warm suite's load triple BEFORE the cold block below
     # (r10 review): the ~13 cold runs are multi-second Spark jobs that
@@ -136,30 +289,56 @@ def main() -> None:
     # 1/5/15-minute load triple is the cheapest honest context for
     # whoever compares artifacts across rounds. (Captured above, before
     # the cold block, so it reflects the warm suite it contextualizes.)
-    queries_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
-    with open(queries_path, "w") as f:
-        json.dump(
-            {**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus,
-             "loadavg_after": [load1, load5, load15],
-             "query_loadavg1": query_load,
-             "cold_s": cold_s,
-             "cached_structure": cached_structure,
-             "cold_rule": "queries listed in cold_s reuse a session-cached "
-                          "structure; their warm medians exclude its build. "
-                          "cold_s = ONE run with that cache cleared (scan "
-                          "cache warm) — the one-time per-session cost "
-                          "before the warm numbers apply.",
-             "noisy": sorted(noisy),
-             "noisy_rule": "loadavg1 > cpus/2 at measurement, or > 2x the "
-                           "5-run warm median in BENCH_VS_DUCK.md — treat "
-                           "these rows as load artifacts, not regressions"},
-            f, indent=1,
-        )
+    detail = {**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus,
+              "settle": settle,
+              "suite_steal_pct": _steal_pct(suite_cpu0, _cpu_sample()),
+              "box_factor_vs_ref": round(bf, 3),
+              "box_factor_rule": "suite-wide median of (this run / "
+                                 "BENCH_VS_DUCK.md 5-run warm median) over "
+                                 "rows with ref >= 0.15s — the shared VM's "
+                                 "current speed vs the reference window; "
+                                 "compare ACROSS rounds via this factor, "
+                                 "not raw suite seconds",
+              "loadavg_after": [load1, load5, load15],
+              "query_loadavg1": query_load,
+              "retry_attempts": {k: v for k, v in attempts_used.items() if v > 1},
+              "cold_s": cold_s,
+              "cached_structure": cached_structure,
+              "cold_rule": "queries listed in cold_s reuse a session-cached "
+                           "structure; their warm medians exclude its build. "
+                           "cold_s = ONE run with that cache cleared (scan "
+                           "cache warm) — the one-time per-session cost "
+                           "before the warm numbers apply.",
+              "noisy": sorted(noisy),
+              "noisy_rule": "median > 2x * box_factor * the 5-run warm "
+                            "median in BENCH_VS_DUCK.md (rows with ref >= "
+                            "0.15s) after up to %d end-of-suite remeasure "
+                            "passes (min kept — contention only adds); a "
+                            "noisy or settle-timed-out run REFUSES to "
+                            "overwrite BENCH_QUERIES.json"
+                            % (_MAX_ATTEMPTS - 1)}
+    here = os.path.dirname(os.path.abspath(__file__))
+    if noisy or settle.get("timed_out"):
+        # Load-poisoned even after retries: keep the last clean artifact
+        # in place, park the evidence, and tell the driver explicitly.
+        with open(os.path.join(here, "BENCH_QUERIES_REJECTED.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+        print(json.dumps(
+            {"metric": "inventory_suite_seconds", "error": "load_noisy",
+             "noisy_n": len(noisy), "value": total, "unit": "sec", "sf": sf,
+             "detail_file": "BENCH_QUERIES_REJECTED.json"},
+            separators=(",", ":")))
+        sys.stdout.flush()
+        spark.stop()
+        return
+
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+        json.dump(detail, f, indent=1)
 
     # stdout: embed per-query times only if the line fits the driver's
     # capture window; 2dp is plenty of precision for a headline artifact.
     compact = {name: round(t, 2) for name, t in per_query.items()}
-    noise = {"noisy_n": len(noisy)}
+    noise = {"noisy_n": 0}
     line = json.dumps({**base, **noise, "queries": compact}, separators=(",", ":"))
     if len(line) > _STDOUT_BUDGET:
         line = json.dumps(
