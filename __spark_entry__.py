@@ -31,7 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 # plans.inventory registration are unchanged — tests and direct callers
 # still reach it; only the driver-facing queries()/oracle_sql() surface
 # excludes it.
-_DRIVER_EXCLUDE = {"bpe_merges"}
+#
+# r11: the two r9 bisecting canaries (scrub_spans_meta,
+# scrub_text_digest) are RETIRED from the driver surface — the
+# documented second half of the endgame policy (VERDICT r10 item #2).
+# They existed to localize the scrub_duplicated_spans driver-hash
+# divergence; r10 recorded the whole family green (CORRECTNESS_r10:
+# scrub_duplicated_spans, incremental_scrub_batch, scrub_spans_meta all
+# hash-match), so the diagnostic has served its purpose. Their logic is
+# session-shared with scrub_duplicated_spans (each is a projection of
+# the one materialized scrub result), which stays driver-checked; the
+# canaries keep full per-round oracle coverage in pytest
+# (tests/test_inventory_oracle.py runs every registered query against
+# its DuckDB oracle) plus an explicit frame-identity twin
+# (tests/test_inventory_oracle.py::test_scrub_canary_twins). Headroom
+# returns to 95/100.
+_DRIVER_EXCLUDE = {"bpe_merges", "scrub_spans_meta", "scrub_text_digest"}
 
 
 def _inventory():
@@ -74,41 +89,27 @@ def _inventory():
 # surface, and retire/consolidate a query for each one added beyond
 # that. driver_sim --gate fails loudly if this is violated.
 #
-# ENDGAME POLICY (r10, VERDICT r9 item #3): the driver inventory is
-# FROZEN at 97 (98 registered minus the bpe_merges demotion at
-# _DRIVER_EXCLUDE). The three red rows (scrub_duplicated_spans,
-# incremental_scrub_batch, scrub_spans_meta) are pinned so the HUGEINT
-# cast fix lands green driver rows in CORRECTNESS_r10; they take
-# exactly the three slots the 47 forced r8-rows leave open.
-# scrub_text_digest needs no pin — its r9 row is GREEN and the cast fix
-# does not change its shipped values (doc_id + md5 only). Once r10
-# shows the family green, round 11 retires both canaries
-# (scrub_spans_meta, scrub_text_digest) from the registry — their logic
-# is session-shared with scrub_duplicated_spans and each has a pytest
-# twin — restoring headroom to 95/100. If r10 is somehow still red, the
-# canaries stay (their bisection is the diagnostic) and new coverage
-# routes through widened queries / pytest machinery instead.
+# ENDGAME POLICY (r10, VERDICT r9 item #3; second half EXECUTED r11):
+# the driver inventory is FROZEN. r10 froze it at 97 (98 registered
+# minus the bpe_merges demotion) and pinned the three red scrub rows so
+# the HUGEINT cast fix could land green driver rows — it did
+# (CORRECTNESS_r10: whole family hash-green). r11 therefore executed
+# the policy's second half: the two bisecting canaries
+# (scrub_spans_meta, scrub_text_digest) retire to their pytest twins
+# (see _DRIVER_EXCLUDE note), bringing the driver surface to 95 against
+# the 2-round-union ceiling of 100. New coverage continues to route
+# through widened queries or pytest-only machinery; any future
+# registration beyond 100 requires retiring a slot first (driver_sim
+# --gate fails loudly).
 _FORCE_FRESH: list[str] = [
-    # r9: BOTH red r8 driver rows (hash_match false; locally green at
-    # sf0.01 AND in the sf0.1 sweep, every round). Their r8-fresh
-    # timestamps mean staleness alone would NOT re-record them, so they
-    # stay pinned until a green driver row lands (VERDICT r8 item #1).
-    # r9 rewrote their oracles onto the driver-proven construct set
-    # (inventory_corpus.py _SCRUB_ORACLE) and added the scrub_spans_meta
-    # / scrub_text_digest canaries (never-recorded → auto-prioritized)
-    # so a further red round bisects itself.
-    # r10: the three RED scrub rows pinned until a green driver row
-    # lands (VERDICT r9 item #1). Root cause isolated to the oracles'
-    # uncast SUM(e-s+1) — DuckDB SUM(BIGINT) returns HUGEINT (INT128),
-    # whose pandas conversion differs across DuckDB versions. Fixed r10:
-    # CAST(... AS BIGINT) on every column the scrub oracles ship
-    # (inventory_corpus.py _SCRUB_ORACLE / _SCRUB_META_ORACLE).
-    # scrub_text_digest is NOT pinned: its r9 row is green, the cast fix
-    # leaves its shipped values unchanged, and the artifact has exactly
-    # three free slots (see ENDGAME POLICY).
-    "scrub_duplicated_spans",
-    "incremental_scrub_batch",
-    "scrub_spans_meta",
+    # r11: EMPTY. The r9/r10 scrub pins (scrub_duplicated_spans,
+    # incremental_scrub_batch, scrub_spans_meta) are released — all
+    # three landed GREEN driver rows in CORRECTNESS_r10 after the
+    # HUGEINT oracle-cast fix (the pins' exit condition, VERDICT r9
+    # item #1 / r10 headline), so the normal staleness rotation governs
+    # again. The slot remains as the manual supplement for changes git
+    # can't see (e.g. an oracle embedded in an unchanged module, or
+    # testdata semantics).
 ]
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -34,7 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
-    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction; since r10: full ALTER TABLE schema evolution (add/rename/widen/drop as metadata-only commits, physical-name mapping + retired-name reuse guard, conform reads with explicit-schema upcasts and rename-aware stats pruning — tests/test_schema_evolution.py incl. a random-op model check), merge-on-read DELETE via deletion-vector sidecars over _metadata.row_index (tests/test_mor_delete.py), incremental table_changes tailing + exactly-once sync_increment table-to-table steps checkpointed in the txn map, and a first-class Spark data source (streaming/table_source.py: spark.read/readStream.format('table_log'), Arrow-batched per-file worker reads, snapshot-id streaming offsets for checkpointed exactly-once tailing, batch + exactly-once streaming WRITERS with worker-staged parquet and txn-stamped micro-batch commits, and an end-to-end bronze-to-silver medallion pipeline test — tests/test_table_source.py), snapshot tags (immutable named refs via the put-if-absent commit primitive, vacuum-retained), metadata-only COUNT(*) from manifest row counts (deletion-vector-aware), CHECK/NOT NULL constraints enforced footer-stats-first at the one commit choke point (bounds prove compliance OR the exact violation count; partition columns decide from their exact [v,v] stats — tests/test_constraints.py), write-audit-publish staging (stage/read_staged/publish_staged — Iceberg's WAP), batch time travel by tag/timestamp options, and describe() metadata summaries — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
+    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction; since r10: full ALTER TABLE schema evolution (add/rename/widen/drop as metadata-only commits, physical-name mapping + retired-name reuse guard, conform reads with explicit-schema upcasts and rename-aware stats pruning — tests/test_schema_evolution.py incl. a random-op model check), merge-on-read DELETE via deletion-vector sidecars over _metadata.row_index (tests/test_mor_delete.py), incremental table_changes tailing + exactly-once sync_increment table-to-table steps checkpointed in the txn map, and a first-class Spark data source (streaming/table_source.py: spark.read/readStream.format('table_log'), Arrow-batched per-file worker reads, snapshot-id streaming offsets for checkpointed exactly-once tailing, batch + exactly-once streaming WRITERS with worker-staged parquet and txn-stamped micro-batch commits, and an end-to-end bronze-to-silver medallion pipeline test — tests/test_table_source.py), snapshot tags (immutable named refs via the put-if-absent commit primitive, vacuum-retained), metadata-only COUNT(*) from manifest row counts (deletion-vector-aware), CHECK/NOT NULL constraints enforced footer-stats-first at the one commit choke point (bounds prove compliance OR the exact violation count; partition columns decide from their exact [v,v] stats — tests/test_constraints.py), write-audit-publish staging (stage/read_staged/publish_staged — Iceberg's WAP; r11: the duplicate-publish/discard guard checks ALL retained manifests, so a rewrite can't reopen it), batch time travel by tag/timestamp options, and describe() metadata summaries; since r11: table_changes_feed CHANGE DATA FEED (_change_type insert/delete + _commit_snapshot — MoR deletes emitted as retraction rows, Delta readChangeFeed parity) with sync_increment(keys=...) applying the feed as an exactly-once MERGE-with-delete-branch step, chunked constant-memory DSv2 writers (fixed-size Arrow row groups through one ParquetWriter per file) with option('partitionBy',...) hive-layout destinations and a REQUIRED streaming writerId (txnAppId semantics — no path-keyed default that two writers could share), and a 15-op-kind random model check (4 seeds x 50 steps: alters + MoR deletes + tags + constraints + WAP + compaction + rollback interleavings, failure-predicting) — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
@@ -77,6 +77,16 @@ DEMOTED_NOTES = {
         "operators/bpe.py learn_bpe_local — python-reference equivalence "
         "+ distributed/local parity, tests/test_text.py",
     )),
+    "scrub_spans_meta": ("DD8", (
+        "— (r11: canary retired to pytest twin, see endgame note)",
+        "projection of the shared scrub result; oracle-checked every "
+        "pytest run + frame-identity twin, tests/test_inventory_oracle.py",
+    )),
+    "scrub_text_digest": ("DD8", (
+        "— (r11: canary retired to pytest twin, see endgame note)",
+        "md5 projection of the shared scrub result; oracle-checked every "
+        "pytest run + frame-identity twin, tests/test_inventory_oracle.py",
+    )),
 }
 assert set(DEMOTED_NOTES) == set(_entry._DRIVER_EXCLUDE), (
     "gen_coverage DEMOTED_NOTES out of sync with __spark_entry__._DRIVER_EXCLUDE"
@@ -103,35 +113,51 @@ print("`__spark_entry__.queries()` inventory; every non-(rows-only) query is")
 print("hash-checked against its DuckDB oracle at sf0.01 (t2 gate).\n")
 print("| op | queries covering it | notes |")
 print("|---|---|---|")
-demoted_rows = {op: cells for _q, (op, cells) in DEMOTED_NOTES.items()}
-ops = sorted(set(by_op) | set(STATIC) | set(demoted_rows), key=sort_key)
+demoted_by_op: dict[str, list[str]] = defaultdict(list)
+for q_name, (op, cells) in DEMOTED_NOTES.items():
+    demoted_by_op[op].append((q_name, cells))
+ops = sorted(set(by_op) | set(STATIC) | set(demoted_by_op), key=sort_key)
 for op in ops:
-    if op in demoted_rows and op not in by_op:
-        q_cell, note = demoted_rows[op]
+    if op in demoted_by_op and op not in by_op:
+        # op has no live driver query left: the demoted entry IS the row
+        q_cell, note = demoted_by_op[op][0][1]
         print(f"| {op} | {q_cell} | {note} |")
         continue
     queries = ", ".join(sorted(by_op.get(op, []))) or "—"
     static = STATIC.get(op)
     note = f"{static[0]} — {static[1]}" if static else ""
+    if op in demoted_by_op:
+        # op still covered by live queries: surface the retired ones in
+        # the notes column so the mapping stays line-by-line auditable
+        retired = "; ".join(
+            f"`{q_name}` retired to pytest ({cells[1]})"
+            for q_name, cells in sorted(demoted_by_op[op])
+        )
+        note = f"{note}; {retired}" if note else retired
     print(f"| {op} | {queries} | {note} |")
 
 driver = {n: q for n, q in QUERIES.items() if n not in DEMOTED_NOTES}
 n_oracle = sum(1 for q in driver.values() if q.oracle)
 print(f"""
 {len(driver)} driver queries ({n_oracle} oracle-checked, {len(driver) - n_oracle} rows-only non-SQL-expressible)
-+ {len(DEMOTED_NOTES)} pytest-only demotion (`bpe_merges`, below).
++ {len(DEMOTED_NOTES)} pytest-only demotions (`bpe_merges` r10; `scrub_spans_meta`,
+`scrub_text_digest` r11 — see below).
 
-**Rotation-capacity endgame (r10 policy, VERDICT r9 item #3):** the
-driver inventory is frozen. The 2-round-union contract forces the 48
-r8-recorded rows into CORRECTNESS_r10's 50 slots, leaving two — but
-THREE red scrub rows need fresh green evidence after the HUGEINT
-oracle-cast fix. Resolution: `bpe_merges` (TX10) is demoted from the
-driver registry to pytest-only coverage (`__spark_entry__._DRIVER_EXCLUDE`)
-— it was rows-only by design, and its python-reference BPE equivalence
-test (tests/test_text.py) is strictly stronger evidence than a
-row-count driver check; the freed slot takes the third pin
-(`scrub_spans_meta`). `scrub_text_digest` keeps its green r9 row (the
-cast fix does not change its shipped values). Once r10 shows the scrub
-family green, round 11 retires both canaries to their pytest twins,
-restoring headroom to 95/100. All other new coverage routes through
-widened queries or pytest-only machinery.""")
+**Rotation-capacity endgame (r10 policy, VERDICT r9 item #3; completed
+r11):** the driver inventory is frozen. r10: the 2-round-union contract
+forced the 48 r8-recorded rows into CORRECTNESS_r10's 50 slots, leaving
+two — but THREE red scrub rows needed fresh green evidence after the
+HUGEINT oracle-cast fix, so `bpe_merges` (TX10, rows-only by design,
+with a strictly-stronger python-reference equivalence test in
+tests/test_text.py) was demoted to free the third slot. r10 recorded
+the whole scrub family hash-green, so r11 executed the policy's second
+half: the two bisecting canaries (`scrub_spans_meta`,
+`scrub_text_digest`) retire to pytest — each stays registered in
+plans/inventory (so tests/test_inventory_oracle.py still oracle-checks
+them every run, and bench.py still times them) but leaves the driver
+surface via `__spark_entry__._DRIVER_EXCLUDE`; an explicit twin
+(test_scrub_canary_twins) additionally pins each as a projection of the
+driver-checked `scrub_duplicated_spans` frame. Driver surface: 95/100.
+All new coverage routes through widened queries or pytest-only
+machinery; registering past 100 requires retiring a slot first
+(driver_sim --gate fails loudly).""")
