@@ -261,6 +261,38 @@ def _unescape_path_name(s: str) -> str:
     return "".join(out)
 
 
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def _escape_path_name(s: str) -> str:
+    """Spark's hive-path escaping (ExternalCatalogUtils.escapePathName):
+    percent-encode the path-hostile set + control chars. The inverse of
+    _unescape_path_name, used when this package writes hive segments
+    itself (the format("table_log") partitioned writer) instead of
+    delegating to Spark's parquet writer."""
+    out = []
+    for c in s:
+        if c in _ESCAPE_CHARS or c < " ":
+            out.append(f"%{ord(c):02X}")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _reject_reserved_columns(cols) -> None:
+    """The shared __-prefix guard for every path that can CREATE a
+    table: the namespace is reserved for internal machinery (__nrows
+    stats, __fname/__ri MoR lineage, __z clustering), which a same-named
+    user column would silently corrupt. create() and the
+    format("table_log") writer's create path both route here; appends
+    onto an existing table re-check only NEW fields (_append_loop)."""
+    bad = [c for c in cols if c.startswith("__")]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad}: the __ prefix is reserved for internal columns"
+        )
+
+
 def _coerce_partition_value(v: str, unescape: bool = True):
     """Hive path segments are strings; unescape Spark's path encoding,
     then coerce numerics so partition 'stats' compare correctly against
@@ -427,11 +459,7 @@ def create(
     silently corrupt."""
     if _list_snapshots(path):
         raise ValueError(f"table already exists at {path}")
-    bad = [c for c in df.columns if c.startswith("__")]
-    if bad:
-        raise ValueError(
-            f"column name(s) {bad}: the __ prefix is reserved for internal columns"
-        )
+    _reject_reserved_columns(df.columns)
     files = _write_data_files(df, path, partition_by)
     _commit(
         path,
@@ -1629,6 +1657,17 @@ _METADATA_ONLY_OPS = (
 )
 
 
+def _op_kind(op: str) -> str:
+    """Classify a manifest operation for the change walkers: "append"
+    adds rows only, "metadata" touches no rows, "rewrite" removes or
+    rewrites rows. ONE classifier shared by walk_appends (append-only
+    faces) and table_changes_feed (CDF face), so the faces agree on
+    what each snapshot did."""
+    return ("append" if op in ("create", "append")
+            else "metadata" if op in _METADATA_ONLY_OPS
+            else "rewrite")
+
+
 def walk_appends(path: str, from_snapshot: int, to_snapshot: int,
                  ignore_rewrites: bool = False, inspect=None) -> list[str]:
     """THE append-tailing range walk shared by table_changes and the
@@ -1657,9 +1696,7 @@ def walk_appends(path: str, from_snapshot: int, to_snapshot: int,
         m = _read_manifest(path, s)
         cur = set(m["files"])
         op = m["operation"]
-        kind = ("append" if op in ("create", "append")
-                else "metadata" if op in _METADATA_ONLY_OPS
-                else "rewrite")
+        kind = _op_kind(op)
         if inspect is not None:
             inspect(s, m, kind)
         if kind == "append":
@@ -1699,7 +1736,9 @@ def table_changes(
     or widen in the range applies to older appends too. Deletion
     vectors are deliberately NOT applied — appended content is
     immutable once emitted; the deletes surface as the rewrite error /
-    skip above.
+    skip above. The format("table_log") streaming source (the other
+    face of the shared walk_appends) applies the SAME no-retraction
+    rule, so the two faces deliver identical rows for the same range.
 
     Raises when a needed manifest has been vacuumed away (history
     expired): the consumer must re-seed with a full read."""
@@ -1717,6 +1756,148 @@ def table_changes(
     return _scan(spark, path, emit_m, new_files), latest
 
 
+#: CDF metadata columns appended to every table_changes_feed row
+_CDF_COLS = ("_change_type", "_commit_snapshot")
+
+
+def table_changes_feed(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    ignore_rewrites: bool = False,
+) -> tuple[DataFrame, int]:
+    """CHANGE DATA FEED: every row-level change strictly after
+    ``from_snapshot``, as table rows plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_snapshot`` (the snapshot that
+    committed the change) — Delta CDF's readChangeFeed contract. Where
+    ``table_changes`` (append-only) must raise on a merge-on-read
+    DELETE, this face REPRESENTS it: the snapshot's new deletion-vector
+    entries are resolved back to full rows and emitted as retractions,
+    so a downstream incremental consumer can drop dead rows instead of
+    silently keeping them (the r10 ignore_rewrites trade this closes).
+    A row appended and then MoR-deleted inside the range emits BOTH its
+    insert and its delete, in `_commit_snapshot` order — exactly Delta.
+
+    Still unrepresentable (raise, or skip under ``ignore_rewrites``):
+    copy-on-write rewrites (overwrite / delete_where / merge / compact /
+    zorder / rollback), whose manifests record file churn, not row
+    identity. Emitted rows read under the LATEST manifest's contract
+    (renames/widens apply to old appends AND old retractions alike).
+    Raises on vacuumed history, like every incremental face.
+
+    Scale shape: inserts read only the appended files; retractions read
+    only the files the delta deletion vectors touch (MoR's premise is
+    deletes ≪ data), each joined against a broadcast file→snapshot map
+    — never the whole table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    snaps = _list_snapshots(path)
+    if not snaps:
+        raise ValueError(f"no table at {path}")
+    latest = snaps[-1]
+    m_latest = _read_manifest(path, latest)
+    schema = T.StructType.fromJson(json.loads(m_latest["schema"]))
+    clash = set(_CDF_COLS) & {f.name for f in schema.fields}
+    if clash:
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the change-feed "
+            "metadata namespace"
+        )
+    emit_m = {k: v for k, v in m_latest.items() if k != "delete_vectors"}
+    cols = [f.name for f in schema.fields]
+
+    def _with_meta(df: DataFrame, change_type=None) -> DataFrame:
+        sel = list(cols)
+        if change_type is not None:
+            sel.append(F.lit(change_type).alias("_change_type"))
+        sel.append(F.col("_commit_snapshot").cast("long").alias("_commit_snapshot"))
+        return df.select(*sel)
+
+    if from_snapshot >= latest:
+        empty = _scan(spark, path, emit_m, []).withColumns({
+            "_change_type": F.lit(None).cast("string"),
+            "_commit_snapshot": F.lit(None).cast("long"),
+        })
+        return empty, latest
+    have = set(snaps)
+    missing = [s for s in range(max(from_snapshot, 0), latest + 1)
+               if s not in have]
+    if missing:
+        raise ValueError(
+            f"history expired: snapshots {missing} were vacuumed; "
+            "re-seed the consumer with a full read"
+        )
+    insert_files: dict[str, int] = {}  # rel data file -> committing snapshot
+    dv_delta: dict[str, int] = {}  # rel DV file -> committing snapshot
+    prev_files: set[str] = set()
+    prev_dvs: set[str] = set()
+    if from_snapshot >= 0:
+        m0 = _read_manifest(path, from_snapshot)
+        prev_files = set(m0["files"])
+        prev_dvs = set(m0.get("delete_vectors") or [])
+    for s in range(from_snapshot + 1, latest + 1):
+        m = _read_manifest(path, s)
+        cur = set(m["files"])
+        cur_dvs = set(m.get("delete_vectors") or [])
+        op = m["operation"]
+        kind = _op_kind(op)
+        if kind == "append":
+            for f in sorted(cur - prev_files):
+                insert_files[f] = s
+        elif op == "delete-mor":
+            for dv in sorted(cur_dvs - prev_dvs):
+                dv_delta[dv] = s
+        elif kind == "rewrite" and not ignore_rewrites:
+            raise ValueError(
+                f"snapshot {s} ({op}) rewrote rows copy-on-write; the "
+                "change feed cannot attribute row identity across a file "
+                "rewrite — re-seed with a full read, or pass "
+                "ignore_rewrites=True to skip it (merge-on-read deletes "
+                "ARE represented; prefer delete_rows_mor on CDF-consumed "
+                "tables)"
+            )
+        prev_files = cur
+        prev_dvs = cur_dvs
+
+    parts: list[DataFrame] = []
+    if insert_files:
+        ins = _scan(spark, path, emit_m, sorted(insert_files), with_lineage=True)
+        fmap = spark.createDataFrame(
+            [(f, s) for f, s in insert_files.items()],
+            "__fname string, _commit_snapshot long",
+        )
+        parts.append(_with_meta(ins.join(F.broadcast(fmap), "__fname"), "insert"))
+    if dv_delta:
+        dv_paths = [os.path.join(path, dv) for dv in dv_delta]
+        _reject_legacy_dv_keys(spark, dv_paths)
+        import pyarrow.parquet as pq
+
+        touched: set[str] = set()
+        for p in dv_paths:
+            touched |= set(pq.read_table(p, columns=["__fname"])
+                           .column("__fname").to_pylist())
+        dv_df = None
+        for dv, s in dv_delta.items():
+            one = spark.read.parquet(os.path.join(path, dv)).withColumn(
+                "_commit_snapshot", F.lit(s).cast("long")
+            )
+            dv_df = one if dv_df is None else dv_df.unionByName(one)
+        rows = _scan(spark, path, emit_m, sorted(touched), with_lineage=True)
+        dels = rows.join(F.broadcast(dv_df), ["__fname", "__ri"])
+        parts.append(_with_meta(dels, "delete"))
+    if not parts:
+        empty = _scan(spark, path, emit_m, []).withColumns({
+            "_change_type": F.lit(None).cast("string"),
+            "_commit_snapshot": F.lit(None).cast("long"),
+        })
+        return empty, latest
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+    return feed, latest
+
+
 def sync_increment(
     spark: SparkSession,
     src_path: str,
@@ -1724,6 +1905,7 @@ def sync_increment(
     transform=None,
     writer_id: str | None = None,
     ignore_rewrites: bool = False,
+    keys: list[str] | None = None,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE incremental table-to-table pipeline step: read the
     source rows appended since the last sync (``table_changes``),
@@ -1740,7 +1922,21 @@ def sync_increment(
     Creates the destination on first sync (from the transformed batch's
     schema). Returns ``(rows_synced, src_snapshot_consumed_through)``;
     a no-change call returns ``(0, current high water)`` without
-    committing."""
+    committing.
+
+    ``keys=[...]`` switches the step to the CHANGE-DATA-FEED apply
+    (r11): the batch comes from ``table_changes_feed`` — inserts AND
+    merge-on-read delete retractions — and lands on the destination as
+    the SQL MERGE the CDC shape needs: delete rows whose key matches a
+    retraction, append the surviving inserts, one atomic txn-stamped
+    snapshot (see _sync_changes_apply). Without ``keys`` a MoR delete
+    upstream raises (or is skipped under ``ignore_rewrites``, silently
+    keeping dead rows downstream — the gap the keys mode closes)."""
+    if keys is not None:
+        return _sync_changes_apply(
+            spark, src_path, dst_path, list(keys), transform, writer_id,
+            ignore_rewrites,
+        )
     writer_id = writer_id or f"sync:{os.path.abspath(src_path)}"
     from_snap = -1
     dst_exists = bool(_list_snapshots(dst_path))
@@ -1768,6 +1964,110 @@ def sync_increment(
     finally:
         out.unpersist()
     return n, hw
+
+
+def _sync_changes_apply(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    transform,
+    writer_id: str | None,
+    ignore_rewrites: bool,
+) -> tuple[int, int]:
+    """The ``keys=...`` mode of sync_increment: exactly-once incremental
+    CDC apply. Reads the source's change feed since the destination's
+    checkpointed high water (the carried txn map — no side state),
+    then applies it in ONE atomic snapshot:
+
+      * no changes → nothing committed;
+      * inserts only → ordinary txn-stamped append (no rewrite paid);
+      * any delete retraction → MERGE: destination rows whose key
+        matches a retraction are dropped, inserts whose key was NOT
+        deleted at a later `_commit_snapshot` are added, committed as
+        one "merge" snapshot. Within-batch ordering is honored by
+        snapshot id: insert@s1 + delete@s2 nets to absent, delete@s1 +
+        re-insert@s2 nets to present — the replay-the-log semantics.
+        Copy-on-write at table granularity, like merge() (HONEST
+        LIMIT documented there).
+
+    Either branch stamps ``(writer_id, src high water)`` into the same
+    commit, so a crashed or replayed step re-offers the same txn and is
+    skipped — never double-applied (the exactly-once contract shared
+    with the append-only mode). ``transform`` sees the feed INCLUDING
+    the _change_type/_commit_snapshot columns and must preserve them
+    and the key columns."""
+    from pyspark.sql import functions as F
+
+    writer_id = writer_id or f"sync:{os.path.abspath(src_path)}"
+    from_snap = -1
+    dst_exists = bool(_list_snapshots(dst_path))
+    if dst_exists:
+        _latest, _prev, txns = _pin_latest(dst_path)
+        from_snap = txns.get(writer_id, -1)
+    feed, hw = table_changes_feed(
+        spark, src_path, from_snap, ignore_rewrites=ignore_rewrites
+    )
+    if hw == from_snap:
+        return 0, hw
+    out = transform(feed) if transform is not None else feed
+    missing = [c for c in [*keys, *_CDF_COLS] if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"transformed change batch lost required column(s) {missing}"
+        )
+    data_cols = [c for c in out.columns if c not in _CDF_COLS]
+    if not dst_exists:
+        # seed empty first, then deliver through the txn-stamped commit
+        # (same crash-window reasoning as the append-only mode)
+        create(spark, dst_path, out.select(*data_cols).limit(0))
+    latest, prev, txns = _pin_latest(dst_path)
+    if txns.get(writer_id, -1) >= hw:
+        return 0, hw  # replayed step: already applied
+    out = out.persist()
+    try:
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in out.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        n_ins = by_type.get("insert", 0)
+        n_del = by_type.get("delete", 0)
+        ins = out.filter(F.col("_change_type") == "insert")
+        if n_del == 0:
+            # pure-append delta: pay an append, not a table rewrite
+            append(spark, dst_path, ins.select(*data_cols),
+                   txn=(writer_id, hw))
+            return n_ins, hw
+        target = read(spark, dst_path, snapshot=latest)
+        dels = out.filter(F.col("_change_type") == "delete")
+        last_del = dels.groupBy(*keys).agg(
+            F.max("_commit_snapshot").alias("__del_snap")
+        )
+        ins_keep = (
+            ins.join(last_del, keys, "left")
+            .filter(F.col("__del_snap").isNull()
+                    | (F.col("_commit_snapshot") > F.col("__del_snap")))
+            .select(*target.columns)
+        )
+        survivors = target.join(dels.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(ins_keep)
+        partition_by = prev["partition_by"] or None
+        files = _write_data_files(merged, dst_path, partition_by)
+        stats = _collect_stats(dst_path, files)
+        _enforce_constraints(dst_path, prev, files, stats)
+        _commit(
+            dst_path,
+            latest + 1,
+            _manifest(
+                "merge", files, prev["schema"], partition_by,
+                {"merge_on": keys, "txns": {**txns, writer_id: hw},
+                 "txn_app": writer_id, "txn_version": hw, **_evo_carry(prev)},
+                file_stats=stats,
+            ),
+        )
+        return n_ins + n_del, hw
+    finally:
+        out.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1798,10 +2098,20 @@ def read_staged(spark: SparkSession, path: str, staged: dict) -> DataFrame:
 
 
 def _staged_already_published(path: str, staged: dict) -> bool:
-    snaps = _list_snapshots(path)
-    if not snaps:
-        return False
-    return bool(set(staged["files"]) & set(_read_manifest(path, snaps[-1])["files"]))
+    """True when any retained manifest references a staged file. The
+    LATEST manifest alone is not enough (r10 advice): after a published
+    stage is rewritten away (compact/delete/overwrite), the staged files
+    leave the current file set, so a duplicate publish_staged (without
+    txn) would pass a latest-only guard and re-commit them — duplicating
+    rows, and leaving the re-published files vacuumable the moment the
+    re-publishing snapshot is itself rewritten. History is the truth:
+    publish is rare and manifests are small JSON, so the O(snapshots)
+    walk is fine (and vacuum keeps the log bounded)."""
+    staged_set = set(staged["files"])
+    for s in _list_snapshots(path):
+        if staged_set & set(_read_manifest(path, s)["files"]):
+            return True
+    return False
 
 
 def publish_staged(spark: SparkSession, path: str, staged: dict,
@@ -1812,10 +2122,11 @@ def publish_staged(spark: SparkSession, path: str, staged: dict,
     ``txn``), just with the data files already on disk. Readers flip
     from not-seeing to seeing the batch in one manifest publish.
 
-    A receipt whose files are already referenced by the latest manifest
-    refuses to publish again (re-publishing would duplicate every row);
-    for crash-safe retries pass ``txn`` — a replay is then skipped by
-    the idempotency contract before this guard is even consulted."""
+    A receipt whose files are already referenced by ANY retained
+    manifest refuses to publish again (re-publishing would duplicate
+    every row — even after a rewrite dropped the files from the current
+    set); for crash-safe retries pass ``txn`` — a replay is then skipped
+    by the idempotency contract before this guard is even consulted."""
     snaps = _list_snapshots(path)
     if snaps and txn is not None:
         prev = _read_manifest(path, snaps[-1])
@@ -1823,7 +2134,7 @@ def publish_staged(spark: SparkSession, path: str, staged: dict,
             return snaps[-1]  # replayed publish: already committed
     if _staged_already_published(path, staged):
         raise ValueError(
-            "staged files are already referenced by the current snapshot; "
+            "staged files are already referenced by a retained snapshot; "
             "publishing again would duplicate the rows (use txn=... for "
             "replay-safe publishes)"
         )
@@ -1836,9 +2147,10 @@ def discard_staged(path: str, staged: dict) -> None:
     unlinking committed data files would corrupt the table."""
     if _staged_already_published(path, staged):
         raise ValueError(
-            "staged files are referenced by the current snapshot; "
-            "discarding them would delete committed data — use "
-            "delete/rollback/vacuum for published snapshots"
+            "staged files are referenced by a retained snapshot; "
+            "discarding them would delete committed data (live or "
+            "time-travelable history) — use delete/rollback/vacuum for "
+            "published snapshots"
         )
     for f in staged["files"]:
         try:
@@ -2084,10 +2396,14 @@ def _enforce_constraints(path: str, m: dict, new_files: list[str],
                     raw = _partition_raw_values(f).get(spec[0])
                     if raw == "__HIVE_DEFAULT_PARTITION__":
                         raw = None
+                    # every row of the file shares its partition value,
+                    # so a violation is by the WHOLE file (r10 verdict
+                    # cosmetic: the error used to undercount as n=1)
+                    nrows = (new_stats.get(f) or {}).get("__nrows", 1)
                     if raw is None:
                         # NULL partition value: passes a comparison
                         # CHECK (SQL), violates NOT NULL
-                        n = 1 if spec[1] == "not_null" else 0
+                        n = nrows if spec[1] == "not_null" else 0
                     elif spec[1] == "not_null":
                         n = 0
                     else:
@@ -2102,7 +2418,7 @@ def _enforce_constraints(path: str, m: dict, new_files: list[str],
                                 f"decided for partition value {raw!r} in {f} "
                                 "(type mismatch); nothing was committed"
                             )
-                        n = 1 if v else 0
+                        n = nrows if v else 0
                 else:
                     n = _scan_violations(path, f, col_names, spec)
             if n:

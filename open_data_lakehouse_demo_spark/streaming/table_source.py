@@ -67,12 +67,18 @@ def _partition_values(rel_path: str) -> dict:
 def _deleted_positions(path: str, m: dict) -> dict:
     """Driver-side: the snapshot's deletion vectors grouped per data
     file ({rel_path: [row_index, ...]}); MoR's premise is deletes ≪
-    data, so this is a small metadata read."""
+    data, so this is a small metadata read. Legacy basename-keyed
+    vectors fail loudly (tl._reject_legacy_dv_keys) — silently skipping
+    a key that matches no manifest path would RESURRECT deleted rows,
+    the exact corruption mode the Python read path refuses."""
     dv_files = m.get("delete_vectors") or []
     if not dv_files:
         return {}
     import pyarrow.parquet as pq
 
+    tl._reject_legacy_dv_keys(
+        None, [os.path.join(path, dv) for dv in dv_files]
+    )
     present = set(m["files"])
     out: dict = {}
     for dv in dv_files:
@@ -248,7 +254,17 @@ class _TableLogStreamReader(DataSourceStreamReader):
             ignore_rewrites=self.ignore_rewrites, inspect=inspect,
         )
         end_m = tl._read_manifest(self.path, hi)
-        parts = _file_partitions(self.path, end_m, new_files, self.schema)
+        # Deletion vectors are deliberately NOT applied to the emitted
+        # appends — the same no-retraction contract as table_changes
+        # (the other face of the shared walk_appends): appended content
+        # is immutable once emitted, and a MoR delete in the range
+        # already surfaced as the rewrite error above (or was waived by
+        # ignoreRewrites, Delta's ignoreDeletes trade — rows deleted in
+        # the range are NOT retracted downstream). Applying the end
+        # manifest's DVs here would make the two faces deliver different
+        # rows for the same range.
+        emit_m = {k: v for k, v in end_m.items() if k != "delete_vectors"}
+        parts = _file_partitions(self.path, emit_m, new_files, self.schema)
         return parts or [_FilePart(abs_path="")]
 
     def read(self, part):
@@ -262,25 +278,73 @@ class _TableLogStreamReader(DataSourceStreamReader):
 
 @dataclass
 class _StagedFiles(WriterCommitMessage):
-    """Absolute paths of the parquet files one worker staged under the
-    table's _staging/ dir."""
+    """Files one worker staged under the table's _staging/ dir, as
+    ``(abs_path, rel_path_under_the_task's_staging_root)`` pairs — the
+    rel part carries the hive partition dirs (``k=v/part-x.parquet``)
+    so the driver-side publish can place each file in its final
+    ``data/k=v/`` location without re-parsing anything."""
 
     staged: list = field(default_factory=list)
 
 
 class _TableLogWriterBase:
-    """Worker-side write shared by the batch and streaming writers: each
-    partition's rows become ONE staged parquet file (written via
-    pyarrow, cast to the query schema); only the driver-side commit
-    moves files into data/ and claims a manifest, so a failed task
-    leaves nothing visible (vacuum's age-gated staging sweep collects
-    the garbage). Destinations must be unpartitioned — hive-layout
-    splitting inside arbitrary tasks is out of scope."""
+    """Worker-side write shared by the batch and streaming writers.
+
+    Each task streams its row iterator through fixed-size chunks
+    (``option("chunkRows", n)``, default 65536) into pyarrow
+    ParquetWriters — one per destination file, each chunk an appended
+    row group — so a skewed multi-GB Spark partition costs O(chunk)
+    worker memory, never O(partition) (the Python DataSourceWriter API
+    delivers rows, so SOME batching layer must exist; this one is
+    constant-memory by construction).
+
+    ``option("partitionBy", "a,b")`` writes hive-layout destinations:
+    rows are routed by partition value to per-value files under
+    ``k=v/`` dirs (partition columns excluded from the file contents,
+    exactly like table_log._write_data_files / Spark's own layout).
+    One ParquetWriter stays open per DISTINCT partition value seen by
+    the task — repartition the stream by the partition columns first if
+    values-per-task is unbounded (the same discipline Spark's native
+    writer solves with its sort-based fallback).
+
+    Only the driver-side commit moves files into data/ and claims a
+    manifest, so a failed task leaves nothing visible (vacuum's
+    age-gated staging sweep collects the garbage)."""
 
     def __init__(self, schema, options):
         self.path = options["path"]
         self.schema = schema
-        self.arrow_schema = _arrow_schema(schema)
+        self.chunk_rows = int(options.get("chunkrows", "65536"))
+        if self.chunk_rows <= 0:
+            raise ValueError("chunkRows must be positive")
+        names = [f.name for f in schema.fields]
+        pb = options.get("partitionby", "")
+        self.partition_by = [c.strip() for c in pb.split(",") if c.strip()]
+        missing = [c for c in self.partition_by if c not in names]
+        if missing:
+            raise ValueError(
+                f"partitionBy column(s) {missing} not in the written "
+                f"schema {names}"
+            )
+        full = _arrow_schema(schema)
+        self._part_idx = [names.index(c) for c in self.partition_by]
+        data_idx = [i for i, n in enumerate(names) if n not in self.partition_by]
+        self._data_names = [names[i] for i in data_idx]
+        # hive layout: partition values live in the path, not the file
+        import pyarrow as pa
+
+        self.file_arrow_schema = pa.schema([full.field(i) for i in data_idx])
+
+    @staticmethod
+    def _hive_segment(col: str, v) -> str:
+        """One ``col=value`` path segment, Spark-compatible: NULL gets
+        the hive default marker, booleans lowercase, everything else
+        str() + ExternalCatalogUtils escaping."""
+        if v is None:
+            return f"{col}=__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool):
+            v = "true" if v else "false"
+        return f"{col}={tl._escape_path_name(str(v))}"
 
     def write(self, iterator):
         import uuid
@@ -289,38 +353,81 @@ class _TableLogWriterBase:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
-            return _StagedFiles(staged=[])
-        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
-        table = pa.Table.from_pandas(
-            pdf, schema=self.arrow_schema, preserve_index=False
-        )
         token = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, "_staging", f"dsw-{token}")
-        os.makedirs(staging, exist_ok=True)
-        dest = os.path.join(staging, f"part-{token}.parquet")
-        pq.write_table(table, dest)
-        return _StagedFiles(staged=[dest])
+        writers: dict[str, pq.ParquetWriter] = {}  # rel path -> writer
+
+        def flush(chunk: list) -> None:
+            groups: dict[str, list] = {}
+            if self.partition_by:
+                for row in chunk:
+                    rel_dir = "/".join(
+                        self._hive_segment(c, row[i])
+                        for c, i in zip(self.partition_by, self._part_idx)
+                    )
+                    groups.setdefault(rel_dir, []).append(row)
+            else:
+                groups[""] = chunk
+            names = [f.name for f in self.schema.fields]
+            for rel_dir, rows in groups.items():
+                rel = os.path.join(rel_dir, f"part-{token}.parquet") if rel_dir \
+                    else f"part-{token}.parquet"
+                w = writers.get(rel)
+                if w is None:
+                    dest = os.path.join(staging, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    w = pq.ParquetWriter(dest, self.file_arrow_schema)
+                    writers[rel] = w
+                pdf = pd.DataFrame(rows, columns=names)[self._data_names]
+                w.write_table(pa.Table.from_pandas(
+                    pdf, schema=self.file_arrow_schema, preserve_index=False
+                ))
+
+        try:
+            chunk: list = []
+            for row in iterator:
+                chunk.append(row)
+                if len(chunk) >= self.chunk_rows:
+                    flush(chunk)
+                    chunk = []
+            if chunk:
+                flush(chunk)
+        finally:
+            for w in writers.values():
+                w.close()
+        return _StagedFiles(
+            staged=[(os.path.join(staging, rel), rel) for rel in sorted(writers)]
+        )
 
     def _publish(self, messages, txn):
-        """Driver-side: move every staged file into data/ and claim one
-        append manifest (tl._append_loop — optimistic retry, additive
-        schema evolution, idempotent txn skip). Creates the table when
-        absent; a creation race falls back to a plain append."""
-        staged = [f for m in messages if m is not None for f in m.staged]
-        token = None
-        rels = []
-        for src in staged:
-            if token is None:
-                import uuid
+        """Driver-side: move every staged file into its final data/
+        location (hive dirs preserved) and claim one append manifest
+        (tl._append_loop — optimistic retry, additive schema evolution,
+        idempotent txn skip). Creates the table when absent — through
+        the same reserved-__-prefix guard as table_log.create, so the
+        data-source face can't mint a table whose column names later
+        corrupt zorder/MoR internals; a creation race falls back to a
+        plain append. A partitioned destination must be written with a
+        matching ``partitionBy`` option (fail-loud: silently appending
+        layout-less files to a partitioned table would null-fill the
+        partition columns on read)."""
+        import shutil
+        import uuid
 
-                token = uuid.uuid4().hex[:12]
-            data_dir = tl._data_dir(self.path)
-            os.makedirs(data_dir, exist_ok=True)
-            final = os.path.join(data_dir, f"{token}-{os.path.basename(src)}")
+        staged = [e for m in messages if m is not None for e in m.staged]
+        tl._reject_reserved_columns([f.name for f in self.schema.fields])
+        token = uuid.uuid4().hex[:12]
+        rels = []
+        roots = set()
+        for src, rel in staged:
+            roots.add(src[: len(src) - len(rel) - 1])
+            final_dir = os.path.join(tl._data_dir(self.path), os.path.dirname(rel))
+            os.makedirs(final_dir, exist_ok=True)
+            final = os.path.join(final_dir, f"{token}-{os.path.basename(rel)}")
             os.rename(src, final)
             rels.append(os.path.relpath(final, self.path))
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)  # now-empty staging tree
         rels.sort()
         schema_json = self.schema.json()
         if not tl._list_snapshots(self.path):
@@ -329,7 +436,7 @@ class _TableLogWriterBase:
                     self.path,
                     0,
                     tl._manifest(
-                        "create", rels, schema_json, None,
+                        "create", rels, schema_json, self.partition_by or None,
                         {"txns": {txn[0]: txn[1]}} if txn else None,
                         file_stats=tl._collect_stats(self.path, rels),
                     ),
@@ -339,11 +446,12 @@ class _TableLogWriterBase:
                 pass  # another first-writer won: append onto their table
 
         def placed(partition_by):
-            if partition_by:
+            if (partition_by or []) != (self.partition_by or []):
                 raise ValueError(
-                    "format('table_log') writer supports unpartitioned "
-                    "destinations only; use table_log.append for "
-                    "hive-partitioned tables"
+                    f"destination table is partitioned by {partition_by or []} "
+                    f"but the writer declared partitionBy={self.partition_by} "
+                    "— pass option('partitionBy', ...) matching the table "
+                    "layout"
                 )
             return rels
 
@@ -353,7 +461,7 @@ class _TableLogWriterBase:
         for m in messages:
             if m is None:
                 continue
-            for f in m.staged:
+            for f, _rel in m.staged:
                 try:
                     os.unlink(f)
                 except FileNotFoundError:
@@ -365,11 +473,30 @@ class _TableLogStreamWriter(_TableLogWriterBase, DataSourceStreamWriter):
     as ONE snapshot with txn=(writer id, batchId), so a replayed batch
     after a crash is skipped by the append idempotency contract —
     exactly-once end to end, the native-sink twin of
-    table_log.foreach_batch_appender."""
+    table_log.foreach_batch_appender.
+
+    ``option("writerId", ...)`` is REQUIRED, and must be unique per
+    logical stream (Delta's txnAppId). There is deliberately no
+    default: the obvious one (keyed to the destination path) makes two
+    different queries writing the same table — or one query restarted
+    with a fresh checkpoint, whose batchIds restart at 0 — share a txn
+    high-water mark and silently SKIP each other's micro-batches, and
+    the Python DataSource API exposes no per-query id to derive a safe
+    default from."""
 
     def __init__(self, schema, options):
         super().__init__(schema, options)
-        self.writer_id = options.get("writerid", f"dsw:{self.path}")
+        wid = options.get("writerid")
+        if not wid:
+            raise ValueError(
+                "format('table_log') streaming writes require "
+                "option('writerId', <unique id per logical stream>): it is "
+                "the exactly-once transaction key (Delta's txnAppId), and a "
+                "path-derived default would make a second writer — or a "
+                "fresh-checkpoint restart — silently skip micro-batches "
+                "whose batchId is below the other writer's high-water mark"
+            )
+        self.writer_id = wid
 
     def commit(self, messages, batchId) -> None:
         self._publish(messages, (self.writer_id, batchId))

@@ -156,6 +156,15 @@ def test_partition_column_constraints_enforced(spark, tmp_path):
             spark.createDataFrame([(3, 30, 0)], "id long, v int, pt int").coalesce(1),
         )
     assert tl.read(spark, path).count() == 2
+    # r11 (r10 verdict cosmetic): the violation count is the FILE's row
+    # count — every row shares the partition value — not a hardcoded 1
+    with pytest.raises(ValueError, match="violated by 2 row"):
+        tl.append(
+            spark, path,
+            spark.createDataFrame([(5, 50, 0), (6, 60, 0)],
+                                  "id long, v int, pt int").coalesce(1),
+        )
+    assert tl.read(spark, path).count() == 2
     # NULL partition value: passes the comparison CHECK (SQL), but
     # violates a NOT NULL constraint on the partition column
     tl.append(

