@@ -48,6 +48,10 @@ def get_spark(
         # -- python interchange -----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python DataSource filter pushdown (Spark 4.1): lets the
+        # format("table_log") reader's option("pushdown","true") variant
+        # prune files from manifest stats; harmless otherwise
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # -- semantics ---------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # INT64 micros, not legacy INT96: INT96 carries NO parquet

@@ -11,7 +11,10 @@ Built on Spark 4's Python DataSource API (pyspark.sql.datasource):
     append never changes a running scan), Arrow record batches from the
     workers (never row-at-a-time Python), schema-evolution conform
     applied per file (rename/widen/add) from the manifest contract.
-    ``option("snapshot", n)`` time-travels.
+    ``option("snapshot", n)`` time-travels. Filters push down as
+    PRUNE-ONLY split planning (r11): manifest column bounds + hive
+    partition values skip files that provably cannot match, and Spark
+    re-applies every filter on what remains.
   * STREAMING: ``spark.readStream.format("table_log").load(path)`` —
     offsets ARE snapshot ids, so Spark's own checkpointing provides
     exactly-once consumption of appends (the Delta streaming-source
@@ -38,7 +41,12 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -180,12 +188,23 @@ class _TableLogBatchReader(DataSourceReader):
         self.snapshot = _resolve_snapshot(options)
         self.schema = schema
         self.arrow_schema = _arrow_schema(schema)
+        self.where: list[tuple] = []  # populated by the pushdown subclass
 
     def partitions(self):
         snaps = tl._list_snapshots(self.path)
         snap = self.snapshot if self.snapshot is not None else snaps[-1]
         m = tl._read_manifest(self.path, snap)
-        parts = _file_partitions(self.path, m, m["files"], self.schema)
+        files = m["files"]
+        if self.where:
+            stats_map = m.get("file_stats", {})
+            files = [
+                f for f in files
+                if tl._may_match(
+                    stats_map.get(f),
+                    tl._translate_where(m, self.where, stats_map.get(f)),
+                )
+            ]
+        parts = _file_partitions(self.path, m, files, self.schema)
         # an empty table still needs one no-op partition (the API
         # requires at least one)
         return parts or [_FilePart(abs_path="")]
@@ -194,6 +213,39 @@ class _TableLogBatchReader(DataSourceReader):
         if not part.abs_path:
             return iter([])
         return _read_file_part(part, self.arrow_schema)
+
+
+class _TableLogBatchReaderPushdown(_TableLogBatchReader):
+    """The batch reader + Spark 4.1 pushFilters, selected by
+    ``option("pushdown", "true")``. A SEPARATE class because merely
+    implementing pushFilters makes Spark fail every read when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default)
+    — a plain session must keep reading this format; opting in takes
+    the option AND the conf (session.get_spark sets the conf)."""
+
+    def pushFilters(self, filters):
+        """PRUNE-ONLY filter pushdown: simple single-column comparisons
+        are translated to the table's predicate form and used in
+        partitions() to SKIP files whose manifest column bounds prove
+        no row can match — the same driver-side planning Iceberg/Delta
+        do before handing splits to the engine (shared machinery:
+        tl._may_match + tl._translate_where, so rename-aware stats and
+        hive partition values prune here too). EVERY filter is returned
+        to Spark for re-evaluation, so correctness never depends on the
+        pruning — bounds only ever prove absence. At 100 TB this is the
+        difference between opening every file of a table and opening
+        the files a predicate actually touches."""
+        ops = {
+            EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+            LessThan: "<", LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if (op is not None and len(f.attribute) == 1
+                    and isinstance(f.value, (int, float, str))
+                    and not isinstance(f.value, bool)):
+                self.where.append((f.attribute[0], op, f.value))
+        return filters  # Spark applies everything; we only pruned splits
 
 
 class _TableLogStreamReader(DataSourceStreamReader):
@@ -543,6 +595,8 @@ class TableLogDataSource(DataSource):
         )
 
     def reader(self, schema):
+        if self.options.get("pushdown", "false").lower() == "true":
+            return _TableLogBatchReaderPushdown(schema, self.options)
         return _TableLogBatchReader(schema, self.options)
 
     def streamReader(self, schema):

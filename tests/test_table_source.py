@@ -135,6 +135,85 @@ def test_stream_stops_on_rewrite_unless_ignored(registered, tbl, spark, tmp_path
     assert got.count() == 9  # 8 original + the append; no retraction of id=0
 
 
+def test_batch_reader_filter_pushdown_prunes_files(registered, spark, tmp_path):
+    """r11: the batch reader implements Spark 4.1 pushFilters as
+    PRUNE-ONLY split planning — manifest column bounds (and hive
+    partition values) skip files a conjunction provably cannot match,
+    while EVERY filter is returned for Spark to re-apply, so pruning
+    can only ever remove provably-empty reads. Same machinery as
+    plan_scan (tl._may_match/_translate_where), so rename-aware stats
+    prune here too."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    p = str(tmp_path / "t")
+    # three files with disjoint id ranges -> disjoint manifest bounds
+    tl.create(spark, p, spark.range(0, 100).select(
+        "id", (F.col("id") % 2).alias("pt")).coalesce(1), partition_by=["pt"])
+    tl.append(spark, p, spark.range(100, 200).select(
+        "id", (F.col("id") % 2).alias("pt")).coalesce(1))
+    tl.append(spark, p, spark.range(200, 300).select(
+        "id", (F.col("id") % 2).alias("pt")).coalesce(1))
+    m = tl._read_manifest(p, tl._list_snapshots(p)[-1])
+    n_files = len(m["files"])
+
+    # direct-reader observation: partitions() after pushFilters
+    schema = spark.read.format("table_log").option("path", p).load().schema
+    r = ts._TableLogBatchReaderPushdown(schema, {"path": p})
+    residual = list(r.pushFilters([GreaterThan(("id",), 199)]))
+    assert len(residual) == 1  # everything handed back to Spark
+    pruned = [x for x in r.partitions() if x.abs_path]
+    assert 0 < len(pruned) < n_files  # only the id>=200 generation's files
+
+    # partition-value pruning rides the same path
+    r2 = ts._TableLogBatchReaderPushdown(schema, {"path": p})
+    r2.pushFilters([EqualTo(("pt",), 1)])
+    pruned2 = [x for x in r2.partitions() if x.abs_path]
+    assert pruned2 and all("pt=1" in x.abs_path for x in pruned2)
+
+    # end-to-end: results match the unpruned scan + post-filter
+    got = (
+        spark.read.format("table_log").option("path", p)
+        .option("pushdown", "true").load()
+        .filter("id > 199 and pt = 1")
+    )
+    assert sorted(x["id"] for x in got.collect()) == [
+        i for i in range(200, 300) if i % 2 == 1
+    ]
+    # conservative on constructs we don't prune (OR never reaches
+    # pushFilters as a conjunct; unknown types are passed through)
+    got2 = (
+        spark.read.format("table_log").option("path", p)
+        .option("pushdown", "true").load()
+        .filter("id > 250 or pt = 0")
+    )
+    assert got2.count() == 100 + 50 + 25  # pt=0 half + id 251..299 odd
+
+
+def test_batch_reader_pushdown_follows_rename(registered, spark, tmp_path):
+    """A file written before a rename carries stats under the OLD
+    physical name; pruning on the new name must still skip it (or keep
+    it) via the historical-name translation — and never lose rows."""
+    p = str(tmp_path / "t")
+    tl.create(spark, p, spark.range(0, 100).select(
+        F.col("id").alias("v")).coalesce(1))
+    tl.rename_column(p, "v", "value")
+    tl.append(spark, p, spark.range(100, 200).select(
+        F.col("id").alias("value")).coalesce(1))
+    got = (
+        spark.read.format("table_log").option("path", p)
+        .option("pushdown", "true").load()
+        .filter("value >= 150")
+    )
+    assert sorted(x["value"] for x in got.collect()) == list(range(150, 200))
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    schema = spark.read.format("table_log").option("path", p).load().schema
+    r = ts._TableLogBatchReaderPushdown(schema, {"path": p})
+    r.pushFilters([GreaterThanOrEqual(("value",), 150)])
+    pruned = [x for x in r.partitions() if x.abs_path]
+    assert len(pruned) == 1  # the pre-rename file (bounds 0..99) skipped
+
+
 def test_stream_mor_delete_no_retraction_matches_table_changes(
     registered, tbl, spark, tmp_path
 ):
