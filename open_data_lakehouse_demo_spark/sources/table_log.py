@@ -1760,6 +1760,60 @@ def table_changes(
 _CDF_COLS = ("_change_type", "_commit_snapshot")
 
 
+def _changes_walk(
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    ignore_rewrites: bool = False,
+    inspect=None,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """THE change-feed range walk, shared by table_changes_feed and the
+    format("table_log") CDF readers (one implementation, like
+    walk_appends for the append-only faces): returns
+    ``({appended rel file: snapshot}, {new DV rel file: snapshot})``
+    for ``(from_snapshot, to_snapshot]``. Merge-on-read deletes are
+    REPRESENTED (their new deletion vectors come back attributed to the
+    committing snapshot); copy-on-write rewrites raise unless
+    ``ignore_rewrites`` — their manifests record file churn, not row
+    identity. ``inspect(snapshot, manifest, kind)`` runs first for each
+    in-range snapshot (the streaming CDF source's schema-change stop).
+    The caller is responsible for the expired-history check."""
+    insert_files: dict[str, int] = {}
+    dv_delta: dict[str, int] = {}
+    prev_files: set[str] = set()
+    prev_dvs: set[str] = set()
+    if from_snapshot >= 0:
+        m0 = _read_manifest(path, from_snapshot)
+        prev_files = set(m0["files"])
+        prev_dvs = set(m0.get("delete_vectors") or [])
+    for s in range(from_snapshot + 1, to_snapshot + 1):
+        m = _read_manifest(path, s)
+        cur = set(m["files"])
+        cur_dvs = set(m.get("delete_vectors") or [])
+        op = m["operation"]
+        kind = _op_kind(op)
+        if inspect is not None:
+            inspect(s, m, kind)
+        if kind == "append":
+            for f in sorted(cur - prev_files):
+                insert_files[f] = s
+        elif op == "delete-mor":
+            for dv in sorted(cur_dvs - prev_dvs):
+                dv_delta[dv] = s
+        elif kind == "rewrite" and not ignore_rewrites:
+            raise ValueError(
+                f"snapshot {s} ({op}) rewrote rows copy-on-write; the "
+                "change feed cannot attribute row identity across a file "
+                "rewrite — re-seed with a full read, or pass "
+                "ignore_rewrites=True to skip it (merge-on-read deletes "
+                "ARE represented; prefer delete_rows_mor on CDF-consumed "
+                "tables)"
+            )
+        prev_files = cur
+        prev_dvs = cur_dvs
+    return insert_files, dv_delta
+
+
 def table_changes_feed(
     spark: SparkSession,
     path: str,
@@ -1828,37 +1882,9 @@ def table_changes_feed(
             f"history expired: snapshots {missing} were vacuumed; "
             "re-seed the consumer with a full read"
         )
-    insert_files: dict[str, int] = {}  # rel data file -> committing snapshot
-    dv_delta: dict[str, int] = {}  # rel DV file -> committing snapshot
-    prev_files: set[str] = set()
-    prev_dvs: set[str] = set()
-    if from_snapshot >= 0:
-        m0 = _read_manifest(path, from_snapshot)
-        prev_files = set(m0["files"])
-        prev_dvs = set(m0.get("delete_vectors") or [])
-    for s in range(from_snapshot + 1, latest + 1):
-        m = _read_manifest(path, s)
-        cur = set(m["files"])
-        cur_dvs = set(m.get("delete_vectors") or [])
-        op = m["operation"]
-        kind = _op_kind(op)
-        if kind == "append":
-            for f in sorted(cur - prev_files):
-                insert_files[f] = s
-        elif op == "delete-mor":
-            for dv in sorted(cur_dvs - prev_dvs):
-                dv_delta[dv] = s
-        elif kind == "rewrite" and not ignore_rewrites:
-            raise ValueError(
-                f"snapshot {s} ({op}) rewrote rows copy-on-write; the "
-                "change feed cannot attribute row identity across a file "
-                "rewrite — re-seed with a full read, or pass "
-                "ignore_rewrites=True to skip it (merge-on-read deletes "
-                "ARE represented; prefer delete_rows_mor on CDF-consumed "
-                "tables)"
-            )
-        prev_files = cur
-        prev_dvs = cur_dvs
+    insert_files, dv_delta = _changes_walk(
+        path, from_snapshot, latest, ignore_rewrites
+    )
 
     parts: list[DataFrame] = []
     if insert_files:

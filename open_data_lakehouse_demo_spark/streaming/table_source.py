@@ -22,6 +22,15 @@ Built on Spark 4's Python DataSource API (pyspark.sql.datasource):
     deletes in the range fail the stream (``ignoreRewrites`` skips
     them, the no-retraction trade); a schema-changing alter fails the
     stream with a restart instruction, like Delta's schema-change stop.
+  * CHANGE DATA FEED (r11): ``option("readChangeFeed", "true")`` on
+    either face — rows plus ``_change_type`` ('insert'|'delete') and
+    ``_commit_snapshot``, Delta's readChangeFeed. Merge-on-read deletes
+    are RESOLVED to retraction rows instead of stopping the stream
+    (retractions travel as data records — Structured Streaming sources
+    are append-only, exactly how Delta ships CDC); batch supports
+    ``startingSnapshot`` (exclusive) / ``endingSnapshot`` (inclusive).
+    Shares tl._changes_walk with table_changes_feed, one walk for every
+    face.
 
 Scale shape: driver-side work is manifest JSON only (file lists +
 bounds); each worker reads exactly one immutable parquet file via
@@ -66,6 +75,10 @@ class _FilePart(InputPartition):
     fields: list = field(default_factory=list)  # [(name, [phys...]), ...]
     part_values: dict = field(default_factory=dict)  # {col: raw string}
     deleted: list = field(default_factory=list)  # sorted row indices
+    # change-feed parts only (option("readChangeFeed", "true")):
+    change_type: str = ""  # "" = plain scan part; "insert" | "delete"
+    commit_snapshot: int = -1  # insert parts: the committing snapshot
+    delete_rows: list = field(default_factory=list)  # [(row_index, snap)]
 
 
 def _partition_values(rel_path: str) -> dict:
@@ -112,12 +125,15 @@ def _file_partitions(path: str, m: dict, files: list[str], schema) -> list:
     ]
 
 
-def _read_file_part(part: _FilePart, arrow_schema):
+def _conform_table(part: _FilePart, arrow_schema):
     """Worker-side: read ONE immutable parquet file and conform it to
-    the query's Arrow schema — resolve each field through its historical
+    the given Arrow schema — resolve each field through its historical
     physical names (exactly one exists per file), null-fill absent
     fields (pre-add files), cast narrow physical types up (pre-widen
-    files), materialize hive partition values. Yields Arrow batches."""
+    files), materialize hive partition values, and drop this file's
+    deleted row positions (merge-on-read) when the part carries any.
+    Returns one pyarrow Table; row order is FILE order when
+    part.deleted is empty."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -151,14 +167,84 @@ def _read_file_part(part: _FilePart, arrow_schema):
         else:
             arr = pa.nulls(n, type=target.type)
         arrays.append(arr)
-    out = pa.table(arrays, schema=arrow_schema)
-    yield from out.to_batches()
+    return pa.table(arrays, schema=pa.schema(list(arrow_schema)[: len(arrays)]))
+
+
+def _read_file_part(part: _FilePart, arrow_schema):
+    """Yield Arrow batches for one plain-scan file part."""
+    yield from _conform_table(part, arrow_schema).to_batches()
+
+
+def _read_cdf_part(part: _FilePart, arrow_schema):
+    """Yield Arrow batches for one change-feed part: the conformed table
+    rows plus the _change_type/_commit_snapshot metadata columns. An
+    insert part emits the WHOLE file stamped with its committing
+    snapshot; a delete part emits only the rows named by the range's new
+    deletion-vector entries (positions index FILE order — conform
+    preserves it), each stamped with the deleting snapshot."""
+    import pyarrow as pa
+
+    base = pa.schema(list(arrow_schema)[:-2])
+    tbl = _conform_table(part, base)
+    if part.change_type == "insert":
+        n = tbl.num_rows
+        snaps = pa.array([part.commit_snapshot] * n, type=pa.int64())
+    else:
+        idx = [ri for ri, _s in part.delete_rows]
+        tbl = tbl.take(pa.array(idx, type=pa.int64()))
+        n = tbl.num_rows
+        snaps = pa.array([s for _ri, s in part.delete_rows], type=pa.int64())
+    out = tbl.append_column(
+        "_change_type", pa.array([part.change_type] * n, type=pa.string())
+    ).append_column("_commit_snapshot", snaps)
+    yield from out.cast(pa.schema(list(arrow_schema))).to_batches()
 
 
 def _arrow_schema(schema):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return to_arrow_schema(schema)
+
+
+def _cdf_partitions(path: str, lo: int, hi: int, schema,
+                    ignore_rewrites: bool, inspect=None) -> list:
+    """Driver-side planning for a change-feed range ``(lo, hi]``: one
+    insert part per appended file (stamped with its committing
+    snapshot) and one delete part per data file named by the range's
+    NEW deletion vectors (positions + their deleting snapshots). Shares
+    tl._changes_walk with table_changes_feed, so the DataFrame face and
+    the data-source face cannot drift. Parts read under the END
+    manifest's contract (renames/widens apply to old appends and
+    retractions alike)."""
+    import pyarrow.parquet as pq
+
+    ins, dvd = tl._changes_walk(path, lo, hi, ignore_rewrites, inspect=inspect)
+    end_m = tl._read_manifest(path, hi)
+    fields = [(f.name, tl._phys_names(end_m, f.name))
+              for f in schema.fields if f.name not in tl._CDF_COLS]
+    parts = []
+    for f, s in sorted(ins.items()):
+        parts.append(_FilePart(
+            abs_path=os.path.join(path, f), fields=fields,
+            part_values=_partition_values(f),
+            change_type="insert", commit_snapshot=s,
+        ))
+    if dvd:
+        dv_paths = [os.path.join(path, dv) for dv in dvd]
+        tl._reject_legacy_dv_keys(None, dv_paths)
+        per_file: dict[str, list] = {}
+        for dv, s in dvd.items():
+            t = pq.read_table(os.path.join(path, dv))
+            for fname, ri in zip(t.column("__fname").to_pylist(),
+                                 t.column("__ri").to_pylist()):
+                per_file.setdefault(fname, []).append((ri, s))
+        for f, rows in sorted(per_file.items()):
+            parts.append(_FilePart(
+                abs_path=os.path.join(path, f), fields=fields,
+                part_values=_partition_values(f),
+                change_type="delete", delete_rows=sorted(rows),
+            ))
+    return parts
 
 
 def _resolve_snapshot(options) -> int | None:
@@ -248,6 +334,38 @@ class _TableLogBatchReaderPushdown(_TableLogBatchReader):
         return filters  # Spark applies everything; we only pruned splits
 
 
+def _stop_on_schema_change(want):
+    """Delta-style schema-change stop for the streaming readers: a
+    snapshot in the range whose committed contract differs from the
+    QUERY's schema stops the stream — explicit alters, an append whose
+    additive union evolved the schema, AND a rewrite that changed it
+    (e.g. overwrite with a new column): silently conforming away the
+    new column would lose data with no retraction, and ignoreRewrites
+    waives ROW changes, never contract changes. A change that predates
+    the stream — or a restart that already picked it up — matches
+    exactly and passes. ``want`` = [(name, type), ...] of the query's
+    TABLE columns (CDF metadata columns excluded by the caller)."""
+
+    def inspect(s, m, kind):
+        if (kind in ("metadata", "rewrite")
+                or (kind == "append" and m.get("schema_evolved"))):
+            got = [
+                (f["name"], f["type"])
+                for f in json.loads(m["schema"])["fields"]
+            ]
+            if got != want:
+                raise ValueError(
+                    f"snapshot {s} ({m['operation']}) changed the table "
+                    "schema; restart the stream to pick up the new "
+                    "contract (offsets are snapshot ids, so the "
+                    "checkpoint remains valid; if the change predates "
+                    "the offsets you need, start a fresh checkpoint "
+                    "with option('startingSnapshot', ...))"
+                )
+
+    return inspect
+
+
 class _TableLogStreamReader(DataSourceStreamReader):
     """Offsets are snapshot ids: {"snapshot": n} means 'everything
     through snapshot n has been delivered'."""
@@ -266,40 +384,16 @@ class _TableLogStreamReader(DataSourceStreamReader):
         snaps = tl._list_snapshots(self.path)
         return {"snapshot": snaps[-1] if snaps else -1}
 
+    def _want(self):
+        return [
+            (f.name, json.loads(f.json())["type"]) for f in self.schema.fields
+        ]
+
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
         if hi <= lo:
             return [_FilePart(abs_path="")]
-        want = [
-            (f.name, json.loads(f.json())["type"]) for f in self.schema.fields
-        ]
-
-        def inspect(s, m, kind):
-            # Delta-style schema-change stop: a snapshot in the range
-            # whose committed contract differs from the QUERY's schema
-            # stops the stream — explicit alters, an append whose
-            # additive union evolved the schema, AND a rewrite that
-            # changed it (e.g. overwrite with a new column): silently
-            # conforming away the new column would lose data with no
-            # retraction, and ignoreRewrites waives ROW changes, never
-            # contract changes. A change that predates the stream — or a
-            # restart that already picked it up — matches exactly and
-            # passes.
-            if (kind in ("metadata", "rewrite")
-                    or (kind == "append" and m.get("schema_evolved"))):
-                got = [
-                    (f["name"], f["type"])
-                    for f in json.loads(m["schema"])["fields"]
-                ]
-                if got != want:
-                    raise ValueError(
-                        f"snapshot {s} ({m['operation']}) changed the table "
-                        "schema; restart the stream to pick up the new "
-                        "contract (offsets are snapshot ids, so the "
-                        "checkpoint remains valid; if the change predates "
-                        "the offsets you need, start a fresh checkpoint "
-                        "with option('startingSnapshot', ...))"
-                    )
+        inspect = _stop_on_schema_change(self._want())
 
         new_files = tl.walk_appends(
             self.path, lo, hi,
@@ -326,6 +420,84 @@ class _TableLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to clean up
+
+
+class _TableLogStreamCdfReader(_TableLogStreamReader):
+    """``option("readChangeFeed", "true")`` streaming: Delta's streaming
+    readChangeFeed. Each micro-batch delivers the range's changes AS
+    ROWS — appended rows with _change_type='insert', merge-on-read
+    deletes RESOLVED to full rows with _change_type='delete' — plus the
+    _commit_snapshot that made the change. Structured Streaming sources
+    are append-only, so retractions travel as data records (exactly how
+    Delta ships CDC); the downstream consumer applies them (e.g.
+    foreachBatch MERGE, or table_log.sync_increment(keys=...) batch
+    twin). delete_rows_mor in the range is therefore REPRESENTED, not a
+    stream-stopping rewrite; copy-on-write rewrites still stop the
+    stream unless ignoreRewrites."""
+
+    def _want(self):
+        # the two CDF metadata columns are ours, not the table's
+        return [
+            (f.name, json.loads(f.json())["type"])
+            for f in self.schema.fields if f.name not in tl._CDF_COLS
+        ]
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["snapshot"], end["snapshot"]
+        if hi <= lo:
+            return [_FilePart(abs_path="")]
+        parts = _cdf_partitions(
+            self.path, lo, hi, self.schema, self.ignore_rewrites,
+            inspect=_stop_on_schema_change(self._want()),
+        )
+        return parts or [_FilePart(abs_path="")]
+
+    def read(self, part):
+        if not part.abs_path:
+            return iter([])
+        return _read_cdf_part(part, self.arrow_schema)
+
+
+class _TableLogBatchCdfReader(DataSourceReader):
+    """``option("readChangeFeed", "true")`` batch: the data-source face
+    of table_changes_feed (same tl._changes_walk, so they cannot
+    drift). ``option("startingSnapshot", n)`` is EXCLUSIVE — changes
+    strictly after n, matching the streaming offset meaning and
+    table_changes_feed's from_snapshot; default -1 reads from the
+    table's creation. ``option("endingSnapshot", n)`` (inclusive)
+    bounds the range; default latest."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.schema = schema
+        self.arrow_schema = _arrow_schema(schema)
+        self.start = int(options.get("startingsnapshot", "-1"))
+        self.end = (int(options["endingsnapshot"])
+                    if "endingsnapshot" in options else None)
+        self.ignore_rewrites = options.get("ignorerewrites", "false") == "true"
+
+    def partitions(self):
+        snaps = tl._list_snapshots(self.path)
+        hi = snaps[-1] if self.end is None else self.end
+        lo = self.start
+        if hi <= lo:
+            return [_FilePart(abs_path="")]
+        have = set(snaps)
+        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
+        if missing:
+            raise ValueError(
+                f"history expired: snapshots {missing} were vacuumed; "
+                "re-seed the consumer with a full read"
+            )
+        parts = _cdf_partitions(
+            self.path, lo, hi, self.schema, self.ignore_rewrites
+        )
+        return parts or [_FilePart(abs_path="")]
+
+    def read(self, part):
+        if not part.abs_path:
+            return iter([])
+        return _read_cdf_part(part, self.arrow_schema)
 
 
 @dataclass
@@ -579,6 +751,9 @@ class TableLogDataSource(DataSource):
     def name(cls) -> str:
         return "table_log"
 
+    def _cdf(self) -> bool:
+        return self.options.get("readchangefeed", "false").lower() == "true"
+
     def schema(self):
         snaps = tl._list_snapshots(self.options["path"])
         if not snaps:
@@ -589,17 +764,31 @@ class TableLogDataSource(DataSource):
         # all-nullable: schema evolution means files written before a
         # column existed null-fill it, regardless of how the committing
         # DataFrame declared nullability
-        return T.StructType(
-            [T.StructField(f.name, f.dataType, True, f.metadata)
-             for f in schema.fields]
-        )
+        fields = [T.StructField(f.name, f.dataType, True, f.metadata)
+                  for f in schema.fields]
+        if self._cdf():
+            clash = set(tl._CDF_COLS) & {f.name for f in fields}
+            if clash:
+                raise ValueError(
+                    f"table columns {sorted(clash)} collide with the "
+                    "change-feed metadata namespace"
+                )
+            fields += [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_snapshot", T.LongType(), True),
+            ]
+        return T.StructType(fields)
 
     def reader(self, schema):
+        if self._cdf():
+            return _TableLogBatchCdfReader(schema, self.options)
         if self.options.get("pushdown", "false").lower() == "true":
             return _TableLogBatchReaderPushdown(schema, self.options)
         return _TableLogBatchReader(schema, self.options)
 
     def streamReader(self, schema):
+        if self._cdf():
+            return _TableLogStreamCdfReader(schema, self.options)
         return _TableLogStreamReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):

@@ -237,6 +237,104 @@ def test_stream_mor_delete_no_retraction_matches_table_changes(
     assert sorted(r["id"] for r in cur.collect()) == list(range(3, 8))
 
 
+def test_batch_cdf_read_matches_table_changes_feed(registered, tbl, spark):
+    """option('readChangeFeed','true') batch: the data-source face of
+    table_changes_feed — same walk (tl._changes_walk), same rows. MoR
+    deletes come back as _change_type='delete' retraction rows instead
+    of failing the read."""
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(8, 80, 0), (9, 90, 1)], "id long, v int, pt int")
+        .coalesce(1),
+    )                                                  # snap 1
+    tl.delete_rows_mor(spark, tbl, [("v", "<", 20)])   # snap 2: ids 0,1
+    got = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true").load()
+    )
+    assert got.columns[-2:] == ["_change_type", "_commit_snapshot"]
+    feed, hw = tl.table_changes_feed(spark, tbl, -1)
+    assert _rows(got) == _rows(feed)
+    dels = [(r["id"], r["_commit_snapshot"]) for r in got.collect()
+            if r["_change_type"] == "delete"]
+    assert sorted(dels) == [(0, 2), (1, 2)]
+    # exclusive startingSnapshot / inclusive endingSnapshot bound the range
+    mid = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshot", "0").load()
+    )
+    assert sorted((r["id"], r["_change_type"]) for r in mid.collect()) == [
+        (0, "delete"), (1, "delete"), (8, "insert"), (9, "insert")
+    ]
+    first = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshot", "0").option("endingSnapshot", "1").load()
+    )
+    assert sorted(r["id"] for r in first.collect()) == [8, 9]
+
+
+def test_stream_cdf_delivers_retractions_exactly_once(
+    registered, tbl, spark, tmp_path
+):
+    """Streaming readChangeFeed: retraction rows travel as data records
+    (append-only source, Delta's CDC shape) with exactly-once delivery
+    across restarts; a MoR delete no longer stops the stream."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    assert set(r["_change_type"] for r in got.collect()) == {"insert"}
+    # a MoR delete flows as retractions on the next micro-batch
+    tl.delete_rows_mor(spark, tbl, [("v", "<", 20)])
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    new = [(r["id"], r["_change_type"]) for r in got.collect()]
+    assert sorted(new).count((0, "delete")) == 1
+    assert sorted(new).count((1, "delete")) == 1
+    assert len(new) == 10  # 8 inserts + 2 retractions, no duplicates
+    # no new changes -> nothing delivered
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    assert got.count() == 10
+    # appends keep flowing after the delete
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(50, 500, 0)], "id long, v int, pt int")
+        .coalesce(1),
+    )
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    assert got.count() == 11
+    assert (50, "insert") in {(r["id"], r["_change_type"]) for r in got.collect()}
+
+
+def test_stream_cdf_stops_on_schema_change(registered, tbl, spark, tmp_path):
+    """The CDF stream keeps the Delta schema-change stop for a
+    MID-FLIGHT query (whose resolved contract predates the alter) — and
+    the reader's own metadata columns must not trip the comparison. A
+    restarted query resolves the new contract and flows."""
+    from pyspark.sql import types as T
+
+    pre = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true").load().schema
+    )  # the mid-flight contract: pre-rename table cols + CDF meta cols
+    assert pre.fieldNames()[-2:] == ["_change_type", "_commit_snapshot"]
+    tl.rename_column(tbl, "v", "value")
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(100, 1000, 0)], "id long, value int, pt int")
+        .coalesce(1),
+    )
+    reader = ts._TableLogStreamCdfReader(pre, {"path": tbl})
+    with pytest.raises(ValueError, match="changed the table schema"):
+        reader.partitions({"snapshot": 0}, reader.latestOffset())
+    # a restarted query (fresh resolution) flows under the new contract —
+    # the meta columns alone never trip the stop
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    got = _drain(spark, tbl, out2, ck2, readChangeFeed="true")
+    assert "value" in got.columns and got.count() == 9
+    assert set(r["_change_type"] for r in got.collect()) == {"insert"}
+
+
 def test_stream_schema_change_stops_midflight_restarts_clean(
     registered, tbl, spark, tmp_path
 ):
