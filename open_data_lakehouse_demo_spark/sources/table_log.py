@@ -2023,12 +2023,9 @@ def _sync_changes_apply(
     with the append-only mode). ``transform`` sees the feed INCLUDING
     the _change_type/_commit_snapshot columns and must preserve them
     and the key columns."""
-    from pyspark.sql import functions as F
-
     writer_id = writer_id or f"sync:{os.path.abspath(src_path)}"
     from_snap = -1
-    dst_exists = bool(_list_snapshots(dst_path))
-    if dst_exists:
+    if _list_snapshots(dst_path):
         _latest, _prev, txns = _pin_latest(dst_path)
         from_snap = txns.get(writer_id, -1)
     feed, hw = table_changes_feed(
@@ -2037,20 +2034,41 @@ def _sync_changes_apply(
     if hw == from_snap:
         return 0, hw
     out = transform(feed) if transform is not None else feed
-    missing = [c for c in [*keys, *_CDF_COLS] if c not in out.columns]
+    return _apply_changes(spark, dst_path, out, keys, (writer_id, hw)), hw
+
+
+def _apply_changes(
+    spark: SparkSession,
+    dst_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int],
+) -> int:
+    """Apply one CDC batch (table rows + _change_type/_commit_snapshot)
+    to a logged destination as ONE atomic txn-stamped snapshot — the
+    shared core of sync_increment(keys=...) (batch) and
+    foreach_batch_changes_applier (streaming). Semantics documented on
+    _sync_changes_apply: pure-insert batches append; any retraction
+    takes the MERGE path with within-batch ordering honored by
+    _commit_snapshot. Creates the destination (empty seed) when absent;
+    a replayed txn is skipped — exactly-once either way."""
+    from pyspark.sql import functions as F
+
+    missing = [c for c in [*keys, *_CDF_COLS] if c not in changes.columns]
     if missing:
         raise ValueError(
-            f"transformed change batch lost required column(s) {missing}"
+            f"change batch lost required column(s) {missing}"
         )
-    data_cols = [c for c in out.columns if c not in _CDF_COLS]
-    if not dst_exists:
+    data_cols = [c for c in changes.columns if c not in _CDF_COLS]
+    if not _list_snapshots(dst_path):
         # seed empty first, then deliver through the txn-stamped commit
-        # (same crash-window reasoning as the append-only mode)
-        create(spark, dst_path, out.select(*data_cols).limit(0))
+        # (a crash between the two replays into 'table exists, txn
+        # absent' and the retry delivers exactly once)
+        create(spark, dst_path, changes.select(*data_cols).limit(0))
     latest, prev, txns = _pin_latest(dst_path)
-    if txns.get(writer_id, -1) >= hw:
-        return 0, hw  # replayed step: already applied
-    out = out.persist()
+    if txns.get(txn[0], -1) >= txn[1]:
+        return 0  # replayed batch: already applied
+    out = changes.persist()
     try:
         by_type = {
             r["_change_type"]: r["n"]
@@ -2061,9 +2079,8 @@ def _sync_changes_apply(
         ins = out.filter(F.col("_change_type") == "insert")
         if n_del == 0:
             # pure-append delta: pay an append, not a table rewrite
-            append(spark, dst_path, ins.select(*data_cols),
-                   txn=(writer_id, hw))
-            return n_ins, hw
+            append(spark, dst_path, ins.select(*data_cols), txn=txn)
+            return n_ins
         target = read(spark, dst_path, snapshot=latest)
         dels = out.filter(F.col("_change_type") == "delete")
         last_del = dels.groupBy(*keys).agg(
@@ -2086,14 +2103,42 @@ def _sync_changes_apply(
             latest + 1,
             _manifest(
                 "merge", files, prev["schema"], partition_by,
-                {"merge_on": keys, "txns": {**txns, writer_id: hw},
-                 "txn_app": writer_id, "txn_version": hw, **_evo_carry(prev)},
+                {"merge_on": keys, "txns": {**txns, txn[0]: txn[1]},
+                 "txn_app": txn[0], "txn_version": txn[1], **_evo_carry(prev)},
                 file_stats=stats,
             ),
         )
-        return n_ins + n_del, hw
+        return n_ins + n_del
     finally:
         out.unpersist()
+
+
+def foreach_batch_changes_applier(path: str, keys: list[str], writer_id: str):
+    """Structured-Streaming CDC APPLY sink — the streaming face of
+    sync_increment(keys=...), pairing with the CDF stream source:
+
+        (spark.readStream.format("table_log")
+              .option("path", src).option("readChangeFeed", "true")
+              .load()
+              .writeStream.foreachBatch(
+                  foreach_batch_changes_applier(dst, ["id"], "my-pipe"))
+              ...)
+
+    Each micro-batch's insert rows append and its delete retractions
+    become the MERGE delete branch on the destination, committed as one
+    atomic snapshot tagged ``txn=(writer_id, batch_id)`` — a replayed
+    batch (foreachBatch's at-least-once half) is skipped by the
+    idempotency contract, upgrading the pipeline to exactly-once end to
+    end: the Delta CDC pattern (readChangeFeed -> foreachBatch MERGE)
+    natively on the logged format."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_changes(
+            batch_df.sparkSession, path, batch_df, list(keys),
+            (writer_id, int(batch_id)),
+        )
+
+    return _sink
 
 
 # ---------------------------------------------------------------------------

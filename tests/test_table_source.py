@@ -306,6 +306,49 @@ def test_stream_cdf_delivers_retractions_exactly_once(
     assert (50, "insert") in {(r["id"], r["_change_type"]) for r in got.collect()}
 
 
+def test_stream_cdc_pipeline_applies_retractions_exactly_once(
+    registered, tbl, spark, tmp_path
+):
+    """The full Delta CDC pattern natively: CDF stream source ->
+    foreach_batch_changes_applier -> downstream logged table. Inserts
+    append, retractions MERGE-delete, each micro-batch one txn-stamped
+    snapshot — exactly-once across restarts — and the downstream state
+    equals an independent batch replay of the source's log."""
+    dst, ck = str(tmp_path / "dst"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("table_log").option("path", tbl)
+            .option("readChangeFeed", "true").load()
+            .writeStream.foreachBatch(
+                tl.foreach_batch_changes_applier(dst, ["id"], "pipe"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert sorted(r["id"] for r in tl.read(spark, dst).collect()) == list(range(8))
+    drain()  # replay: nothing new, nothing double-applied
+    assert tl.read(spark, dst).count() == 8
+    # upstream MoR delete + append flow through as retraction + insert
+    tl.delete_rows_mor(spark, tbl, [("v", "<", 20)])  # ids 0, 1
+    tl.append(
+        spark, tbl,
+        spark.createDataFrame([(50, 500, 0)], "id long, v int, pt int")
+        .coalesce(1),
+    )
+    drain()
+    got = sorted(r["id"] for r in tl.read(spark, dst).collect())
+    assert got == [2, 3, 4, 5, 6, 7, 50]
+    assert [h["operation"] for h in tl.history(dst)][-1] == "merge"
+    # downstream state == an independent batch replay of the source log
+    dst2 = str(tmp_path / "dst2")
+    tl.sync_increment(spark, tbl, dst2, keys=["id"])
+    assert sorted(tuple(r) for r in tl.read(spark, dst2).collect()) == \
+        sorted(tuple(r) for r in tl.read(spark, dst).collect())
+
+
 def test_stream_cdf_stops_on_schema_change(registered, tbl, spark, tmp_path):
     """The CDF stream keeps the Delta schema-change stop for a
     MID-FLIGHT query (whose resolved contract predates the alter) — and
