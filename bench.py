@@ -289,9 +289,10 @@ def main() -> None:
     # 1/5/15-minute load triple is the cheapest honest context for
     # whoever compares artifacts across rounds. (Captured above, before
     # the cold block, so it reflects the warm suite it contextualizes.)
+    suite_steal = _steal_pct(suite_cpu0, _cpu_sample())
     detail = {**base, "queries": per_query, "n_runs": n_runs, "cpus": cpus,
               "settle": settle,
-              "suite_steal_pct": _steal_pct(suite_cpu0, _cpu_sample()),
+              "suite_steal_pct": suite_steal,
               "box_factor_vs_ref": round(bf, 3),
               "box_factor_rule": "suite-wide median of (this run / "
                                  "BENCH_VS_DUCK.md 5-run warm median) over "
@@ -318,14 +319,26 @@ def main() -> None:
                             "overwrite BENCH_QUERIES.json"
                             % (_MAX_ATTEMPTS - 1)}
     here = os.path.dirname(os.path.abspath(__file__))
-    if noisy or settle.get("timed_out"):
+    # Acceptance gate: per-row anomalies after retries, a settle that
+    # never cleared, or suite-wide steal above the limit (the case the
+    # row rule can't see: rows WITHOUT a usable reference median have no
+    # flag basis, so a burst landing on them ships undetected unless the
+    # whole-suite steal number gates).
+    steal_poisoned = suite_steal is not None and suite_steal >= _STEAL_LIMIT
+    if noisy or settle.get("timed_out") or steal_poisoned:
         # Load-poisoned even after retries: keep the last clean artifact
         # in place, park the evidence, and tell the driver explicitly.
+        # NOTE for whoever reads a PERSISTENT rejection on a quiet box
+        # (settle clean, steal low, box_factor ~1): that is the
+        # signature of a genuine per-query regression, not load — the
+        # flagged rows are the suspects; diagnose with
+        # tools/check_query.py instead of rerunning.
         with open(os.path.join(here, "BENCH_QUERIES_REJECTED.json"), "w") as f:
             json.dump(detail, f, indent=1)
         print(json.dumps(
             {"metric": "inventory_suite_seconds", "error": "load_noisy",
              "noisy_n": len(noisy), "value": total, "unit": "sec", "sf": sf,
+             "suite_steal_pct": suite_steal,
              "detail_file": "BENCH_QUERIES_REJECTED.json"},
             separators=(",", ":")))
         sys.stdout.flush()

@@ -272,7 +272,7 @@ def _escape_path_name(s: str) -> str:
     delegating to Spark's parquet writer."""
     out = []
     for c in s:
-        if c in _ESCAPE_CHARS or c < " ":
+        if c in _ESCAPE_CHARS or c < " " or c == "\x7f":
             out.append(f"%{ord(c):02X}")
         else:
             out.append(c)
@@ -1753,11 +1753,61 @@ def table_changes(
                              ignore_rewrites=ignore_rewrites)
     latest_m = _read_manifest(path, latest)
     emit_m = {k: v for k, v in latest_m.items() if k != "delete_vectors"}
-    return _scan(spark, path, emit_m, new_files), latest
+    emitted = _fill_to_contract(
+        _scan(spark, path, emit_m, new_files), latest_m["schema"]
+    )
+    return emitted, latest
 
 
 #: CDF metadata columns appended to every table_changes_feed row
 _CDF_COLS = ("_change_type", "_commit_snapshot")
+
+
+def _fill_to_contract(df: DataFrame, schema_json: str) -> DataFrame:
+    """Conform a SUBSET scan to the manifest contract: a range/file
+    subset may predate a column another file's additive append
+    introduced, and mergeSchema can only union the schemas of the files
+    actually read — the contract's missing columns null-fill here (the
+    same rule the conform/alter path and the data-source worker apply),
+    and the select pins the contract's column order. Lineage columns
+    (__fname/__ri), when present, ride along untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    extras = [c for c in df.columns if c not in {f.name for f in schema.fields}]
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in schema.fields], *extras)
+
+
+def _dv_entries(path: str, dv_delta: dict[str, int]) -> list[tuple]:
+    """Read a range's new deletion vectors ONCE: [(rel data file,
+    row_index, committing snapshot), ...], with the legacy
+    basename-key rejection applied inline on the same pass (review
+    finding: the feed used to read each DV parquet three times —
+    legacy check, touched-set scan, per-file Spark read). MoR's premise
+    is deletes ≪ data, so the driver-side materialization is small by
+    construction."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for dv, s in sorted(dv_delta.items()):
+        t = pq.read_table(os.path.join(path, dv))
+        fnames = t.column("__fname").to_pylist()
+        for v in fnames[:1]:  # one entry decides the keying style
+            if v is not None and not v.startswith("data/"):
+                raise ValueError(
+                    f"deletion vector {dv} is keyed by file basename "
+                    f"({v!r}) — a legacy format whose keys are ambiguous "
+                    "across partitions; restore the pre-delete snapshot "
+                    "(rollback) and re-apply the delete"
+                )
+        out.extend(
+            (f, ri, s) for f, ri in zip(fnames, t.column("__ri").to_pylist())
+        )
+    return out
 
 
 def _changes_walk(
@@ -1888,28 +1938,25 @@ def table_changes_feed(
 
     parts: list[DataFrame] = []
     if insert_files:
-        ins = _scan(spark, path, emit_m, sorted(insert_files), with_lineage=True)
+        ins = _fill_to_contract(
+            _scan(spark, path, emit_m, sorted(insert_files), with_lineage=True),
+            m_latest["schema"],
+        )
         fmap = spark.createDataFrame(
             [(f, s) for f, s in insert_files.items()],
             "__fname string, _commit_snapshot long",
         )
         parts.append(_with_meta(ins.join(F.broadcast(fmap), "__fname"), "insert"))
     if dv_delta:
-        dv_paths = [os.path.join(path, dv) for dv in dv_delta]
-        _reject_legacy_dv_keys(spark, dv_paths)
-        import pyarrow.parquet as pq
-
-        touched: set[str] = set()
-        for p in dv_paths:
-            touched |= set(pq.read_table(p, columns=["__fname"])
-                           .column("__fname").to_pylist())
-        dv_df = None
-        for dv, s in dv_delta.items():
-            one = spark.read.parquet(os.path.join(path, dv)).withColumn(
-                "_commit_snapshot", F.lit(s).cast("long")
-            )
-            dv_df = one if dv_df is None else dv_df.unionByName(one)
-        rows = _scan(spark, path, emit_m, sorted(touched), with_lineage=True)
+        entries = _dv_entries(path, dv_delta)
+        touched = sorted({f for f, _ri, _s in entries})
+        dv_df = spark.createDataFrame(
+            entries, "__fname string, __ri long, _commit_snapshot long"
+        )
+        rows = _fill_to_contract(
+            _scan(spark, path, emit_m, touched, with_lineage=True),
+            m_latest["schema"],
+        )
         dels = rows.join(F.broadcast(dv_df), ["__fname", "__ri"])
         parts.append(_with_meta(dels, "delete"))
     if not parts:
@@ -2090,10 +2137,36 @@ def _apply_changes(
             ins.join(last_del, keys, "left")
             .filter(F.col("__del_snap").isNull()
                     | (F.col("_commit_snapshot") > F.col("__del_snap")))
-            .select(*target.columns)
+            .select(*data_cols)
         )
         survivors = target.join(dels.select(*keys).distinct(), keys, "left_anti")
-        merged = survivors.unionByName(ins_keep)
+        # additive schema evolution, SAME contract as the append branch
+        # (review finding: projecting inserts onto target.columns made a
+        # source-evolved column's survival depend on batch composition —
+        # a delete in the batch silently dropped the new column's
+        # values). The union null-fills both sides; the committed schema
+        # evolves exactly like _append_loop's.
+        merged = survivors.unionByName(ins_keep, allowMissingColumns=True)
+        prev_schema = json.loads(prev["schema"])
+        prev_cols = {f["name"] for f in prev_schema["fields"]}
+        new_fields = [
+            f for f in json.loads(merged.schema.json())["fields"]
+            if f["name"] not in prev_cols
+        ]
+        reused = {f["name"] for f in new_fields} & _reserved_names(prev)
+        if reused:
+            raise ValueError(
+                f"column name(s) {sorted(reused)} were previously dropped or "
+                "renamed away; reuse would resurrect old physical values "
+                "(see schema-evolution docstring)"
+            )
+        _reject_reserved_columns([f["name"] for f in new_fields])
+        if new_fields:
+            schema_json = json.dumps(
+                {**prev_schema, "fields": prev_schema["fields"] + new_fields}
+            )
+        else:
+            schema_json = prev["schema"]
         partition_by = prev["partition_by"] or None
         files = _write_data_files(merged, dst_path, partition_by)
         stats = _collect_stats(dst_path, files)
@@ -2102,7 +2175,7 @@ def _apply_changes(
             dst_path,
             latest + 1,
             _manifest(
-                "merge", files, prev["schema"], partition_by,
+                "merge", files, schema_json, partition_by,
                 {"merge_on": keys, "txns": {**txns, txn[0]: txn[1]},
                  "txn_app": txn[0], "txn_version": txn[1], **_evo_carry(prev)},
                 file_stats=stats,
@@ -2205,9 +2278,11 @@ def publish_staged(spark: SparkSession, path: str, staged: dict,
             return snaps[-1]  # replayed publish: already committed
     if _staged_already_published(path, staged):
         raise ValueError(
-            "staged files are already referenced by a retained snapshot; "
-            "publishing again would duplicate the rows (use txn=... for "
-            "replay-safe publishes)"
+            "staged files are already referenced by a retained snapshot: "
+            "publishing into the CURRENT snapshot would duplicate the rows, "
+            "and after a rewrite/rollback the staged rows may already be "
+            "materialized elsewhere in history — re-stage from source data "
+            "(use txn=... for replay-safe publishes)"
         )
     return _append_loop(path, lambda _pb: staged["files"], staged["schema"], txn)
 

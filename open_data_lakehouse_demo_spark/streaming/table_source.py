@@ -216,8 +216,6 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
     the data-source face cannot drift. Parts read under the END
     manifest's contract (renames/widens apply to old appends and
     retractions alike)."""
-    import pyarrow.parquet as pq
-
     ins, dvd = tl._changes_walk(path, lo, hi, ignore_rewrites, inspect=inspect)
     end_m = tl._read_manifest(path, hi)
     fields = [(f.name, tl._phys_names(end_m, f.name))
@@ -230,14 +228,9 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
             change_type="insert", commit_snapshot=s,
         ))
     if dvd:
-        dv_paths = [os.path.join(path, dv) for dv in dvd]
-        tl._reject_legacy_dv_keys(None, dv_paths)
         per_file: dict[str, list] = {}
-        for dv, s in dvd.items():
-            t = pq.read_table(os.path.join(path, dv))
-            for fname, ri in zip(t.column("__fname").to_pylist(),
-                                 t.column("__ri").to_pylist()):
-                per_file.setdefault(fname, []).append((ri, s))
+        for fname, ri, s in tl._dv_entries(path, dvd):
+            per_file.setdefault(fname, []).append((ri, s))
         for f, rows in sorted(per_file.items()):
             parts.append(_FilePart(
                 abs_path=os.path.join(path, f), fields=fields,
@@ -446,6 +439,16 @@ class _TableLogStreamCdfReader(_TableLogStreamReader):
         lo, hi = start["snapshot"], end["snapshot"]
         if hi <= lo:
             return [_FilePart(abs_path="")]
+        # expired-history guard, like every incremental face (review
+        # finding: without it a post-vacuum resume died with a raw
+        # manifest FileNotFoundError instead of the re-seed instruction)
+        have = set(tl._list_snapshots(self.path))
+        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
+        if missing:
+            raise ValueError(
+                f"history expired: snapshots {missing} were vacuumed; "
+                "re-seed the consumer with a full read"
+            )
         parts = _cdf_partitions(
             self.path, lo, hi, self.schema, self.ignore_rewrites,
             inspect=_stop_on_schema_change(self._want()),

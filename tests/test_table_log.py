@@ -1212,6 +1212,51 @@ def test_sync_increment_cdf_apply_exactly_once(spark, base, tmp_path):
         sorted(tuple(r) for r in tl.read(spark, dst).collect())
 
 
+def test_sync_cdf_apply_preserves_evolved_columns_with_deletes(
+    spark, base, tmp_path
+):
+    """Review regression (r11): the CDC apply's MERGE path used to
+    project inserts onto the DESTINATION's columns, so a source-evolved
+    column survived only when the batch happened to contain no delete —
+    batch composition must never decide schema. A batch carrying both
+    an additive-evolution append and a retraction lands with the new
+    column's values intact, the destination schema evolved, and the
+    state equal to an independent full replay."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tl.create(spark, src, base)
+    tl.sync_increment(spark, src, dst, keys=["id"])
+    # one upstream range containing BOTH an evolving append and a delete
+    tl.append(spark, src, spark.createDataFrame(
+        [(100, 1, "v2", "E1")], "id long, bucket long, tag string, extra string"))
+    tl.delete_rows_mor(spark, src, [("id", "=", 3)])
+    n, _hw = tl.sync_increment(spark, src, dst, keys=["id"])
+    assert n == 2  # 1 insert + 1 retraction
+    got = tl.read(spark, dst)
+    assert "extra" in got.columns
+    vals = {r["id"]: r["extra"] for r in got.collect()}
+    assert vals[100] == "E1"          # evolved value survived the MERGE
+    assert 3 not in vals              # retraction applied
+    assert set(vals) == {0, 1, 2, 4, 5, 6, 7, 8, 9, 100}
+    assert all(v is None for k, v in vals.items() if k != 100)
+    # a LATER append that itself lacks the evolved column still emits
+    # under the full contract (the insert branch's subset scan must
+    # null-fill what mergeSchema cannot see in the files it reads)
+    tl.append(spark, src, spark.createDataFrame(
+        [(101, 2, "v3")], "id long, bucket long, tag string"))
+    tl.sync_increment(spark, src, dst, keys=["id"])
+    vals = {r["id"]: r["extra"] for r in tl.read(spark, dst).collect()}
+    assert 101 in vals and vals[101] is None and vals[100] == "E1"
+    # table_changes (the append-only face) honors the same contract
+    cdf, _ = tl.table_changes(spark, src, 1, ignore_rewrites=True)
+    assert "extra" in cdf.columns
+    # equal to replaying the whole log from scratch
+    dst2 = str(tmp_path / "dst2")
+    tl.sync_increment(spark, src, dst2, keys=["id"])
+    assert sorted(tuple(r) for r in tl.read(spark, dst2).collect()) == \
+        sorted(tuple(r) for r in tl.read(spark, dst).collect())
+
+
 def test_tags_immutable_named_refs(spark, base, tmp_path, commit_protocol):
     """Snapshot tags: immutable named refs (Iceberg tags) whose
     immutability IS the commit protocol's put-if-absent — over both

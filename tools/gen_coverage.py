@@ -119,9 +119,10 @@ for q_name, (op, cells) in DEMOTED_NOTES.items():
 ops = sorted(set(by_op) | set(STATIC) | set(demoted_by_op), key=sort_key)
 for op in ops:
     if op in demoted_by_op and op not in by_op:
-        # op has no live driver query left: the demoted entry IS the row
-        q_cell, note = demoted_by_op[op][0][1]
-        print(f"| {op} | {q_cell} | {note} |")
+        # op has no live driver query left: every demoted entry gets its
+        # own row (review finding: [0] silently dropped co-demotions)
+        for _q_name, (q_cell, note) in sorted(demoted_by_op[op]):
+            print(f"| {op} | {q_cell} | {note} |")
         continue
     queries = ", ".join(sorted(by_op.get(op, []))) or "—"
     static = STATIC.get(op)
