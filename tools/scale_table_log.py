@@ -66,6 +66,7 @@ def main() -> None:
     rows_tail = []
     rows_mor = []
     rows_count = []
+    rows_cdf = []
     for mult, snaps in SCALES:
         path = os.path.join(base, f"t{mult}x")
         tl.create(spark, path, batch(0))
@@ -110,6 +111,20 @@ def main() -> None:
         rows_count.append((mult, snaps + 1, _median(
             lambda: tl.count_rows(path), n=5)))
 
+        # ---- CDF feed: one append + one MoR delete at the END of a
+        # log `snaps` deep — the incremental-consumer step. Cost claim:
+        # O(new files + files the delta DVs touch), never table size.
+        cdf_from = tl._list_snapshots(path)[-1]
+        tl.append(spark, path, batch(snaps + 1))
+        a = 3 * ROWS_PER_BATCH + 50_000  # hits one mid-table file
+        tl.delete_rows_mor(spark, path, [("id", ">=", a), ("id", "<", a + 10)])
+
+        def feed_step():
+            df, _hw = tl.table_changes_feed(spark, path, cdf_from)
+            n = df.count()
+            assert n == ROWS_PER_BATCH + 10, n
+        rows_cdf.append((mult, snaps + 2, _median(feed_step, n=3)))
+
     print("\n## Table format (snapshots scale 1x/10x/30x; one file per append)\n")
     print("| face | 1x s | 10x s | 30x s | log depth 1x→30x |")
     print("|---|---|---|---|---|")
@@ -122,6 +137,11 @@ def main() -> None:
     print(f"| metadata COUNT(*) (manifest row counts, DV-aware) "
           f"| {c[1]:.3f} | {c[10]:.3f} | {c[30]:.3f} "
           f"| {rows_count[0][1]}→{rows_count[2][1]} files |")
+    f = {m: s for m, _n, s in rows_cdf}
+    print(f"| CDF feed step: 1 append + 1 MoR delete at the log's end "
+          f"(inserts + retractions; O(new files + touched DV files)) "
+          f"| {f[1]:.3f} | {f[10]:.3f} | {f[30]:.3f} "
+          f"| {rows_cdf[0][1]}→{rows_cdf[2][1]} snapshots |")
     print()
     print("| MoR read | files | DVs | plain read s | MoR read s | tax |")
     print("|---|---|---|---|---|---|")
