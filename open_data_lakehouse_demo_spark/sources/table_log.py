@@ -1557,6 +1557,95 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
     return latest + 1
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+) -> int:
+    """FILE-GRANULAR copy-on-write UPDATE (SQL ``UPDATE ... SET ...
+    WHERE ...`` — the one DML verb delete_rows/merge didn't cover):
+    files whose manifest bounds prove no row matches carry into the new
+    snapshot unchanged (same path, no IO), and only the candidate files
+    are rewritten — matching rows get each ``set_exprs`` column
+    replaced by its SQL expression (evaluated over the row, cast back
+    to the column's declared type so the schema contract cannot drift),
+    non-matching rows copy through. NULL-predicate rows do NOT match
+    (SQL UPDATE semantics). Exactly Iceberg's copy-on-write UPDATE
+    planning.
+
+    Partition columns cannot be updated (rows would have to move
+    between hive directories — delete + append instead). Constraints
+    are enforced on the rewritten files before the commit, so an UPDATE
+    cannot smuggle a violating value past the CHECK choke point.
+    Reads through existing deletion vectors like every rewrite: a
+    touched file's MoR-deleted rows stay deleted (materialized by the
+    rewrite); untouched files keep their carried vectors. Pinned
+    snapshot + commit id (_pin_latest): a concurrent append conflicts,
+    never vanishes. Returns the new snapshot id (or the current one
+    when the predicate provably matches nothing). The walkers classify
+    "update" as a rewrite — an incremental consumer re-seeds (or skips
+    under ignore_rewrites), like every copy-on-write op."""
+    from pyspark.sql import functions as F
+
+    latest, prev, txns = _pin_latest(path)
+    schema = _schema_of(prev)
+    types_by_col = {f.name: f.dataType for f in schema.fields}
+    missing = [c for c in set_exprs if c not in types_by_col]
+    if missing:
+        raise ValueError(f"no column(s) {missing} to update")
+    pb = prev["partition_by"] or []
+    part_hit = sorted(set(set_exprs) & set(pb))
+    if part_hit:
+        raise ValueError(
+            f"cannot update partition column(s) {part_hit}: rows would "
+            "move between hive directories; delete + append instead"
+        )
+    stats_map = prev.get("file_stats", {})
+    touched = [
+        f for f in prev["files"]
+        if _may_match(stats_map.get(f),
+                      _translate_where(prev, where, stats_map.get(f)))
+    ]
+    if not touched:
+        return latest
+    untouched = [f for f in prev["files"] if f not in set(touched)]
+    src = _scan(spark, path, prev, touched)
+    src = _ensure_predicate_columns(src, prev["schema"], where)
+    cond = F.expr(f"coalesce(({_where_sql(where)}), false)")
+    updated = src.select(*[
+        (F.when(cond, F.expr(set_exprs[c]).cast(types_by_col[c]))
+         .otherwise(F.col(c)).alias(c)) if c in set_exprs else F.col(c)
+        for c in src.columns
+    ])
+    new_files = _write_data_files(updated, path, pb or None)
+    new_stats = _collect_stats(path, new_files)
+    _enforce_constraints(path, prev, new_files, new_stats)
+    file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
+    file_stats.update(new_stats)
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "update",
+            sorted(untouched + new_files),
+            prev["schema"],
+            pb or None,
+            {
+                "predicate": _where_sql(where),
+                "set": dict(set_exprs),
+                "txns": txns,
+                "rewritten_files": len(touched),
+                "skipped_files": len(untouched),
+                **_evo_carry(prev),
+                **_dv_carry(prev),
+            },
+            file_stats=file_stats,
+        ),
+    )
+    return latest + 1
+
+
 def _write_delete_vector(df: DataFrame, path: str) -> list[str]:
     """Write a deletion-vector parquet (__fname, __ri) under _deletes/
     with the same stage-then-move discipline as data files; returns the

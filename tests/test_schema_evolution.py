@@ -286,10 +286,10 @@ def test_snapshots_table_shows_alter_operations(spark, tbl):
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])
 def test_model_based_random_op_sequence(spark, tmp_path, seed):
     """Model check over the FULL r10 surface (r11, VERDICT item #5): a
-    seeded random sequence over FIFTEEN op kinds — append / add /
-    rename / widen / drop / delete_rows / delete_rows_mor / compact /
-    rollback / tag / add_constraint / drop_constraint / WAP stage /
-    publish / discard — mirrored against an in-memory model of
+    seeded random sequence over SIXTEEN op kinds — append / add /
+    rename / widen / drop / delete_rows / delete_rows_mor / update_where
+    / compact / rollback / tag / add_constraint / drop_constraint / WAP
+    stage / publish / discard — mirrored against an in-memory model of
     (schema, rows, constraints, live-DV flag). Four seeds x 50 steps =
     200 random operations fuzzing the interaction matrix (constraints
     vs DVs, constraints vs rollback/rename/drop, WAP vs mid-flight
@@ -372,7 +372,7 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
         data_cols = [c for c in schema if c != "id"]
         op = rnd.choice(
             ["append", "add", "rename", "widen", "drop", "delete", "mor",
-             "compact", "rollback", "tag",
+             "update", "compact", "rollback", "tag",
              "addcon", "dropcon", "stage", "publish", "discard"]
         )
         if op == "append":
@@ -454,6 +454,22 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
             if len(survivors) < len(rows):
                 has_dvs = True
             rows = survivors
+        elif op == "update":
+            # copy-on-write UPDATE: matching rows get tgt += k (SQL:
+            # NULL predicate doesn't match; NULL + k stays NULL).
+            # k >= 0 so a ">=" constraint can't be violated, and
+            # not_null constraints can't coexist with NULLs (addcon
+            # refuses them) — the model predicts success.
+            c = rnd.choice(data_cols)
+            tgt = rnd.choice(data_cols)
+            cut = rnd.randrange(500)
+            k = rnd.randrange(50)
+            s = tl.update_where(
+                spark, path, [(c, "<", cut)], {tgt: f"{tgt} + {k}"}
+            )
+            for r in rows.values():
+                if r.get(c) is not None and r[c] < cut and r.get(tgt) is not None:
+                    r[tgt] = r[tgt] + k
         elif op == "tag":
             name = f"t{step}"
             s = tl.tag(path, name)

@@ -1105,6 +1105,65 @@ def test_sync_increment_first_sync_crash_replay(spark, base, tmp_path):
     assert tl.sync_increment(spark, src, dst)[0] == 0  # and replay-safe
 
 
+def test_update_where_file_granular_cow(spark, base, tmp_path):
+    """UPDATE ... SET ... WHERE (r11): file-granular copy-on-write like
+    delete_rows — bounds-skipped files carry by reference, matching
+    rows' columns replaced (cast back to the declared type), NULL
+    predicates don't match, snapshots stay time-travelable."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)  # ids 0..9, bucket=id%3, tag='v1'
+    tl.append(spark, path, spark.range(100, 105).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"),
+        F.lit("v2").alias("tag")).coalesce(1))
+    s = tl.update_where(spark, path, [("id", "<", 3)],
+                        {"tag": "'patched'", "bucket": "bucket + 10"})
+    got = {r["id"]: (r["bucket"], r["tag"]) for r in tl.read(spark, path).collect()}
+    assert got[0] == (10, "patched") and got[2] == (12, "patched")
+    assert got[3] == (0, "v1") and got[100] == (1, "v2")
+    assert len(got) == 15
+    # the second file (ids 100+) was provably unmatched: carried, not rewritten
+    m = tl._read_manifest(path, s)
+    assert m["operation"] == "update" and m["skipped_files"] >= 1
+    # time travel: the pre-update snapshot is untouched
+    pre = {r["id"]: r["tag"] for r in tl.read(spark, path, snapshot=s - 1).collect()}
+    assert pre[0] == "v1"
+    # no-match predicate: metadata no-op, same snapshot
+    assert tl.update_where(spark, path, [("id", ">", 10**9)], {"tag": "'x'"}) == s
+    # type contract: the SET expression casts back to the column's type
+    assert dict(tl.read(spark, path).dtypes)["bucket"] == "bigint"
+    # guards: unknown column, partition column
+    with pytest.raises(ValueError, match="no column"):
+        tl.update_where(spark, path, [("id", "<", 1)], {"nope": "1"})
+    p2 = str(tmp_path / "p2")
+    tl.create(spark, p2, base, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition column"):
+        tl.update_where(spark, p2, [("id", "<", 1)], {"bucket": "0"})
+
+
+def test_update_where_respects_constraints_and_deletion_vectors(
+    spark, base, tmp_path
+):
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    # UPDATE cannot smuggle a violating value past the CHECK choke point
+    tl.add_constraint(path, "id_nonneg", "id", ">=", 0)
+    with pytest.raises(ValueError, match="violated"):
+        tl.update_where(spark, path, [("id", "=", 5)], {"id": "-1"})
+    assert sorted(r["id"] for r in tl.read(spark, path).collect()) == list(range(10))
+    tl.drop_constraint(path, "id_nonneg")
+    # a rewrite reads THROUGH deletion vectors: MoR-deleted rows stay
+    # deleted, never resurrected by the update's file rewrite
+    tl.delete_rows_mor(spark, path, [("id", "=", 1)])
+    tl.update_where(spark, path, [("id", "<", 3)], {"tag": "'u'"})
+    got = {r["id"]: r["tag"] for r in tl.read(spark, path).collect()}
+    assert 1 not in got and got[0] == "u" and got[2] == "u" and got[5] == "v1"
+    # incremental faces treat the update as a rewrite (re-seed contract)
+    with pytest.raises(ValueError, match="rewrote"):
+        tl.table_changes(spark, path, 0)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        tl.table_changes_feed(spark, path, 2)
+
+
 def test_table_changes_feed_emits_inserts_and_delete_retractions(
     spark, base, tmp_path
 ):
