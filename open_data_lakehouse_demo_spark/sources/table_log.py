@@ -778,6 +778,73 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return latest + 1
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> int:
+    """Size-targeted OPTIMIZE (Iceberg rewrite_data_files / Delta
+    OPTIMIZE's bin-packing core): rewrite ONLY files smaller than
+    ``target_bytes``, grouped per hive partition directory (files from
+    different partitions can never merge), coalescing each round of
+    smalls into ~ceil(bytes/target) outputs; files at or above the
+    target — and partition dirs holding fewer than ``min_input_files``
+    smalls — carry into the new snapshot by reference, zero IO. This is
+    the maintenance story that survives 100 TB: a streaming sink's
+    thousand daily micro-batch files compact without ever rewriting the
+    petabytes that are already well-sized (compact() rewrites the whole
+    table — right for materializing deletes or small tables, wrong as
+    recurring maintenance).
+
+    Reads the rewritten smalls THROUGH the snapshot's deletion vectors
+    (their deletes materialize, same as every rewrite); carried files
+    keep their vectors live (_dv_carry — entries naming rewritten files
+    become inert, and every DV consumer filters to manifest-present
+    names). Pinned snapshot + commit id: concurrent appends conflict,
+    never lose rows. Returns the new snapshot id (or the current one
+    when nothing qualifies)."""
+    import math
+
+    latest, prev, txns = _pin_latest(path)
+    by_dir: dict[str, list[str]] = {}
+    sizes: dict[str, int] = {}
+    for f in prev["files"]:
+        sz = os.path.getsize(os.path.join(path, f))
+        if sz < target_bytes:
+            sizes[f] = sz
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+    small = sorted(
+        f for fs in by_dir.values() if len(fs) >= min_input_files for f in fs
+    )
+    if not small:
+        return latest
+    small_set = set(small)
+    carried = [f for f in prev["files"] if f not in small_set]
+    src = _scan(spark, path, prev, small)
+    n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
+    partition_by = prev["partition_by"] or None
+    new_files = _write_data_files(src.coalesce(n_out), path, partition_by)
+    stats_map = prev.get("file_stats", {})
+    file_stats = {f: stats_map[f] for f in carried if f in stats_map}
+    file_stats.update(_collect_stats(path, new_files))
+    _commit(
+        path,
+        latest + 1,
+        _manifest(
+            "compact",
+            sorted(carried + new_files),
+            prev["schema"],
+            partition_by,
+            {"compacted_from": len(small), "skipped_files": len(carried),
+             "target_bytes": target_bytes, "txns": txns,
+             **_evo_carry(prev), **_dv_carry(prev)},
+            file_stats=file_stats,
+        ),
+    )
+    return latest + 1
+
+
 def optimize_zorder(
     spark: SparkSession,
     path: str,

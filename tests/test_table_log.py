@@ -1105,6 +1105,69 @@ def test_sync_increment_first_sync_crash_replay(spark, base, tmp_path):
     assert tl.sync_increment(spark, src, dst)[0] == 0  # and replay-safe
 
 
+def test_compact_small_files_bin_packing(spark, base, tmp_path):
+    """Size-targeted OPTIMIZE (r11): only sub-target files rewrite,
+    per partition dir; well-sized files carry by reference — the
+    maintenance shape that never rewrites the already-compacted bulk."""
+    import os
+
+    path = str(tmp_path / "t")
+    # one "big" file (5k rows) + four tiny micro-batch files
+    tl.create(spark, path, spark.range(5000).select(
+        "id", (F.col("id") % 3).alias("bucket"),
+        F.lit("bulk").alias("tag")).coalesce(1))
+    for i in range(4):
+        tl.append(spark, path, spark.createDataFrame(
+            [(10000 + i, 0, "tiny")],
+            "id long, bucket long, tag string").coalesce(1))
+    m0 = tl._read_manifest(path, tl._list_snapshots(path)[-1])
+    big = [f for f in m0["files"]
+           if os.path.getsize(os.path.join(path, f)) >= 10_000]
+    n_small = len(m0["files"]) - len(big)
+    assert n_small >= 4 and len(big) == 1
+    s = tl.compact_small_files(spark, path, target_bytes=10_000)
+    m = tl._read_manifest(path, s)
+    # the big file carried BY REFERENCE (same rel path); tinies merged
+    assert big[0] in m["files"]
+    assert m["operation"] == "compact" and m["compacted_from"] == n_small
+    assert len(m["files"]) == 2
+    assert tl.read(spark, path).count() == 5004
+    assert tl.count_rows(path) == 5004
+    # rows identical, time travel intact
+    assert sorted(r["id"] for r in tl.read(spark, path).collect())[-4:] == \
+        [10000, 10001, 10002, 10003]
+    assert tl.read(spark, path, snapshot=s - 1).count() == 5004
+    # idempotent-ish: nothing small enough remains in groups >= 2 → no-op
+    assert tl.compact_small_files(spark, path, target_bytes=10_000) == s
+
+
+def test_compact_small_files_partitioned_and_mor(spark, tmp_path):
+    """Partition dirs never merge across; deletion vectors on rewritten
+    smalls materialize, carried files keep theirs live."""
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.range(8).select("id", (F.col("id") % 2).alias("pt"))
+    tl.create(spark, path, df.coalesce(1), partition_by=["pt"])
+    for i in range(2):  # two more tiny files per partition value
+        tl.append(spark, path, spark.createDataFrame(
+            [(100 + i, 0), (200 + i, 1)], "id long, pt long").coalesce(1))
+    tl.delete_rows_mor(spark, path, [("id", "=", 100)])  # DV on a small
+    tl.delete_rows_mor(spark, path, [("id", "=", 2)])    # DV on create file
+    before = tl.count_rows(path)
+    s = tl.compact_small_files(spark, path, target_bytes=10**6)
+    m = tl._read_manifest(path, s)
+    # every output file still lives under its pt= dir
+    assert all("pt=" in f for f in m["files"])
+    got = sorted(r["id"] for r in tl.read(spark, path).collect())
+    assert 100 not in got and 2 not in got  # deletes survived the rewrite
+    assert len(got) == before == tl.count_rows(path)
+    # single-file groups are left alone
+    p2 = str(tmp_path / "single")
+    tl.create(spark, p2, spark.range(3).coalesce(1).select("id"))
+    assert tl.compact_small_files(spark, p2, target_bytes=10**6) == 0
+
+
 def test_update_where_file_granular_cow(spark, base, tmp_path):
     """UPDATE ... SET ... WHERE (r11): file-granular copy-on-write like
     delete_rows — bounds-skipped files carry by reference, matching
