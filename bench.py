@@ -325,7 +325,10 @@ def main() -> None:
     # flag basis, so a burst landing on them ships undetected unless the
     # whole-suite steal number gates).
     steal_poisoned = suite_steal is not None and suite_steal >= _STEAL_LIMIT
-    if noisy or settle.get("timed_out") or steal_poisoned:
+    reasons = ([f"{len(noisy)} row anomalies"] if noisy else []) \
+        + (["pre-suite settle timed out"] if settle.get("timed_out") else []) \
+        + ([f"suite steal {suite_steal}% >= {_STEAL_LIMIT}%"] if steal_poisoned else [])
+    if reasons:
         # Load-poisoned even after retries: keep the last clean artifact
         # in place, park the evidence, and tell the driver explicitly.
         # NOTE for whoever reads a PERSISTENT rejection on a quiet box
@@ -337,6 +340,7 @@ def main() -> None:
             json.dump(detail, f, indent=1)
         print(json.dumps(
             {"metric": "inventory_suite_seconds", "error": "load_noisy",
+             "reason": "; ".join(reasons),
              "noisy_n": len(noisy), "value": total, "unit": "sec", "sf": sf,
              "suite_steal_pct": suite_steal,
              "detail_file": "BENCH_QUERIES_REJECTED.json"},

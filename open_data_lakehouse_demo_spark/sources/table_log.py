@@ -799,11 +799,13 @@ def compact_small_files(
 
     Reads the rewritten smalls THROUGH the snapshot's deletion vectors
     (their deletes materialize, same as every rewrite); carried files
-    keep their vectors live (_dv_carry — entries naming rewritten files
-    become inert, and every DV consumer filters to manifest-present
-    names). Pinned snapshot + commit id: concurrent appends conflict,
-    never lose rows. Returns the new snapshot id (or the current one
-    when nothing qualifies)."""
+    keep their vectors live, and DV files whose every entry names a
+    rewritten small are SHED from the manifest — recurring maintenance
+    must reduce the per-read MoR anti-join tax, never ratchet it (the
+    remaining vectors' entries for rewritten files are inert: every DV
+    consumer filters to manifest-present names). Pinned snapshot +
+    commit id: concurrent appends conflict, never lose rows. Returns
+    the new snapshot id (or the current one when nothing qualifies)."""
     import math
 
     latest, prev, txns = _pin_latest(path)
@@ -828,6 +830,23 @@ def compact_small_files(
     stats_map = prev.get("file_stats", {})
     file_stats = {f: stats_map[f] for f in carried if f in stats_map}
     file_stats.update(_collect_stats(path, new_files))
+    # shed deletion-vector files the rewrite just made fully inert
+    # (every entry names a rewritten small): the recurring maintenance
+    # op must REDUCE the per-read MoR anti-join tax, not ratchet it up
+    # forever (r11 review; compact() clears all vectors, this one keeps
+    # exactly those still naming carried files)
+    dv_keep = []
+    if prev.get("delete_vectors"):
+        import pyarrow.parquet as pq
+
+        carried_set = set(carried)
+        for dv in prev["delete_vectors"]:
+            names = set(
+                pq.read_table(os.path.join(path, dv), columns=["__fname"])
+                .column("__fname").to_pylist()
+            )
+            if names & carried_set:
+                dv_keep.append(dv)
     _commit(
         path,
         latest + 1,
@@ -838,7 +857,8 @@ def compact_small_files(
             partition_by,
             {"compacted_from": len(small), "skipped_files": len(carried),
              "target_bytes": target_bytes, "txns": txns,
-             **_evo_carry(prev), **_dv_carry(prev)},
+             **_evo_carry(prev),
+             **({"delete_vectors": dv_keep} if dv_keep else {})},
             file_stats=file_stats,
         ),
     )
@@ -1676,8 +1696,14 @@ def update_where(
     ]
     if not touched:
         return latest
-    untouched = [f for f in prev["files"] if f not in set(touched)]
-    src = _scan(spark, path, prev, touched)
+    touched_set = set(touched)
+    untouched = [f for f in prev["files"] if f not in touched_set]
+    # conform the SUBSET scan to the full contract before applying SETs:
+    # a touched file may predate a column an additive append introduced,
+    # and mergeSchema only unions the files actually read — without the
+    # fill, a SET on such a column would silently vanish from the
+    # rewrite (r11 review: lost update, manifest claiming otherwise)
+    src = _fill_to_contract(_scan(spark, path, prev, touched), prev["schema"])
     src = _ensure_predicate_columns(src, prev["schema"], where)
     cond = F.expr(f"coalesce(({_where_sql(where)}), false)")
     updated = src.select(*[
@@ -1836,14 +1862,7 @@ def walk_appends(path: str, from_snapshot: int, to_snapshot: int,
     — kind ∈ {"append", "metadata", "rewrite"} — runs first for every
     in-range snapshot and may raise to impose a stricter policy (the
     streaming source's schema-change stop)."""
-    have = set(_list_snapshots(path))
-    missing = [s for s in range(max(from_snapshot, 0), to_snapshot + 1)
-               if s not in have]
-    if missing:
-        raise ValueError(
-            f"history expired: snapshots {missing} were vacuumed; "
-            "re-seed the consumer with a full read"
-        )
+    _require_history(path, from_snapshot, to_snapshot)
     new_files: list[str] = []
     prev_files: set[str] = set()
     if from_snapshot >= 0:
@@ -1936,6 +1955,22 @@ def _fill_to_contract(df: DataFrame, schema_json: str) -> DataFrame:
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     return df.select(*[f.name for f in schema.fields], *extras)
+
+
+def _require_history(path: str, from_snapshot: int, to_snapshot: int) -> None:
+    """THE expired-history guard every incremental face shares
+    (walk_appends, table_changes_feed, both format("table_log") CDF
+    readers): an in-range snapshot vacuumed away means the consumer
+    must re-seed with a full read — one implementation, so the faces'
+    range rule cannot drift (r11 review: it had four verbatim copies)."""
+    have = set(_list_snapshots(path))
+    missing = [s for s in range(max(from_snapshot, 0), to_snapshot + 1)
+               if s not in have]
+    if missing:
+        raise ValueError(
+            f"history expired: snapshots {missing} were vacuumed; "
+            "re-seed the consumer with a full read"
+        )
 
 
 def _dv_entries(path: str, dv_delta: dict[str, int]) -> list[tuple]:
@@ -2080,14 +2115,7 @@ def table_changes_feed(
             "_commit_snapshot": F.lit(None).cast("long"),
         })
         return empty, latest
-    have = set(snaps)
-    missing = [s for s in range(max(from_snapshot, 0), latest + 1)
-               if s not in have]
-    if missing:
-        raise ValueError(
-            f"history expired: snapshots {missing} were vacuumed; "
-            "re-seed the consumer with a full read"
-        )
+    _require_history(path, from_snapshot, latest)
     insert_files, dv_delta = _changes_walk(
         path, from_snapshot, latest, ignore_rewrites
     )

@@ -439,16 +439,7 @@ class _TableLogStreamCdfReader(_TableLogStreamReader):
         lo, hi = start["snapshot"], end["snapshot"]
         if hi <= lo:
             return [_FilePart(abs_path="")]
-        # expired-history guard, like every incremental face (review
-        # finding: without it a post-vacuum resume died with a raw
-        # manifest FileNotFoundError instead of the re-seed instruction)
-        have = set(tl._list_snapshots(self.path))
-        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
-        if missing:
-            raise ValueError(
-                f"history expired: snapshots {missing} were vacuumed; "
-                "re-seed the consumer with a full read"
-            )
+        tl._require_history(self.path, lo, hi)
         parts = _cdf_partitions(
             self.path, lo, hi, self.schema, self.ignore_rewrites,
             inspect=_stop_on_schema_change(self._want()),
@@ -485,13 +476,7 @@ class _TableLogBatchCdfReader(DataSourceReader):
         lo = self.start
         if hi <= lo:
             return [_FilePart(abs_path="")]
-        have = set(snaps)
-        missing = [s for s in range(max(lo, 0), hi + 1) if s not in have]
-        if missing:
-            raise ValueError(
-                f"history expired: snapshots {missing} were vacuumed; "
-                "re-seed the consumer with a full read"
-            )
+        tl._require_history(self.path, lo, hi)
         parts = _cdf_partitions(
             self.path, lo, hi, self.schema, self.ignore_rewrites
         )

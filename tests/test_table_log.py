@@ -1139,6 +1139,19 @@ def test_compact_small_files_bin_packing(spark, base, tmp_path):
     assert tl.read(spark, path, snapshot=s - 1).count() == 5004
     # idempotent-ish: nothing small enough remains in groups >= 2 → no-op
     assert tl.compact_small_files(spark, path, target_bytes=10_000) == s
+    # DV shedding (r11 review): vectors fully inert after the rewrite
+    # are dropped from the manifest; vectors naming carried files stay
+    tl.delete_rows_mor(spark, path, [("id", "=", 7)])       # big file
+    tl.delete_rows_mor(spark, path, [("id", "=", 10001)])   # merged smalls
+    tl.append(spark, path, spark.createDataFrame(
+        [(10100, 0, "tiny")], "id long, bucket long, tag string").coalesce(1))
+    s2 = tl.compact_small_files(spark, path, target_bytes=10_000)
+    m2 = tl._read_manifest(path, s2)
+    assert big[0] in m2["files"]
+    assert len(m2["delete_vectors"]) == 1  # big's vector kept, other shed
+    got = sorted(r["id"] for r in tl.read(spark, path).collect())
+    assert 7 not in got and 10001 not in got and 10100 in got
+    assert len(got) == 5003 == tl.count_rows(path)
 
 
 def test_compact_small_files_partitioned_and_mor(spark, tmp_path):
@@ -1162,6 +1175,8 @@ def test_compact_small_files_partitioned_and_mor(spark, tmp_path):
     got = sorted(r["id"] for r in tl.read(spark, path).collect())
     assert 100 not in got and 2 not in got  # deletes survived the rewrite
     assert len(got) == before == tl.count_rows(path)
+    # every file was rewritten → both vectors fully inert → SHED
+    assert not m.get("delete_vectors")
     # single-file groups are left alone
     p2 = str(tmp_path / "single")
     tl.create(spark, p2, spark.range(3).coalesce(1).select("id"))
@@ -1201,6 +1216,26 @@ def test_update_where_file_granular_cow(spark, base, tmp_path):
     tl.create(spark, p2, base, partition_by=["bucket"])
     with pytest.raises(ValueError, match="partition column"):
         tl.update_where(spark, p2, [("id", "<", 1)], {"bucket": "0"})
+
+
+def test_update_where_sets_evolved_column_on_pre_evolution_files(
+    spark, base, tmp_path
+):
+    """Review regression (r11): SET on a column that NO touched file
+    physically carries (it arrived via a later append's additive
+    evolution) must still apply — the subset scan conforms to the full
+    contract first. Before the fix the update silently skipped the
+    column while committing a manifest that claimed set={extra: ...}."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)  # ids 0..9, no 'extra'
+    tl.append(spark, path, spark.createDataFrame(
+        [(100, 1, "v2", "E")],
+        "id long, bucket long, tag string, extra string").coalesce(1))
+    # bounds-prune to ONLY the pre-evolution file
+    tl.update_where(spark, path, [("id", "<", 3)], {"extra": "'patched'"})
+    got = {r["id"]: r["extra"] for r in tl.read(spark, path).collect()}
+    assert got[0] == got[1] == got[2] == "patched"
+    assert got[3] is None and got[100] == "E"
 
 
 def test_update_where_respects_constraints_and_deletion_vectors(

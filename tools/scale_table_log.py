@@ -94,16 +94,26 @@ def main() -> None:
         rows_tail.append((mult, snaps + 1, _median(one_batch)))
 
         # ---- MoR read with accumulating deletion vectors (+1 DV per
-        # delete commit, count scaled with the decade), vs plain read
-        plain = _median(lambda: tl.read(spark, path).count(), n=3)
+        # delete commit, count scaled with the decade), vs plain read.
+        # The box is a shared VM whose bursts only ever ADD time, so the
+        # honest statistic is the MIN of interleaved runs (a burst that
+        # lands on one side of a median pair fabricates a negative tax).
         n_dvs = 2 * mult
+        pre_snap = tl._list_snapshots(path)[-1]
         for j in range(n_dvs):
             a = j * ROWS_PER_BATCH + 7
             tl.delete_rows_mor(
                 spark, path, [("id", ">=", a), ("id", "<", a + 10)]
             )
-        mor = _median(lambda: tl.read(spark, path).count(), n=3)
-        rows_mor.append((mult, snaps + 1, n_dvs, plain, mor))
+        plain_ts, mor_ts = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            tl.read(spark, path, snapshot=pre_snap).count()
+            plain_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            tl.read(spark, path).count()
+            mor_ts.append(time.perf_counter() - t0)
+        rows_mor.append((mult, snaps + 1, n_dvs, min(plain_ts), min(mor_ts)))
 
         # ---- metadata COUNT(*): manifest-only, DV-aware
         expect = (snaps + 1) * ROWS_PER_BATCH - n_dvs * 10
@@ -123,7 +133,11 @@ def main() -> None:
             df, _hw = tl.table_changes_feed(spark, path, cdf_from)
             n = df.count()
             assert n == ROWS_PER_BATCH + 10, n
-        rows_cdf.append((mult, snaps + 2, _median(feed_step, n=3)))
+        # record the TRUE log depth at measurement (review: snaps+2 is
+        # the data-file count, not the snapshot count — the MoR delete
+        # commits and the tail append are snapshots too)
+        depth = len(tl._list_snapshots(path))
+        rows_cdf.append((mult, depth, _median(feed_step, n=5)))
 
     print("\n## Table format (snapshots scale 1x/10x/30x; one file per append)\n")
     print("| face | 1x s | 10x s | 30x s | log depth 1x→30x |")
