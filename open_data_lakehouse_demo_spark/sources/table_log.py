@@ -830,23 +830,6 @@ def compact_small_files(
     stats_map = prev.get("file_stats", {})
     file_stats = {f: stats_map[f] for f in carried if f in stats_map}
     file_stats.update(_collect_stats(path, new_files))
-    # shed deletion-vector files the rewrite just made fully inert
-    # (every entry names a rewritten small): the recurring maintenance
-    # op must REDUCE the per-read MoR anti-join tax, not ratchet it up
-    # forever (r11 review; compact() clears all vectors, this one keeps
-    # exactly those still naming carried files)
-    dv_keep = []
-    if prev.get("delete_vectors"):
-        import pyarrow.parquet as pq
-
-        carried_set = set(carried)
-        for dv in prev["delete_vectors"]:
-            names = set(
-                pq.read_table(os.path.join(path, dv), columns=["__fname"])
-                .column("__fname").to_pylist()
-            )
-            if names & carried_set:
-                dv_keep.append(dv)
     _commit(
         path,
         latest + 1,
@@ -858,7 +841,7 @@ def compact_small_files(
             {"compacted_from": len(small), "skipped_files": len(carried),
              "target_bytes": target_bytes, "txns": txns,
              **_evo_carry(prev),
-             **({"delete_vectors": dv_keep} if dv_keep else {})},
+             **_dv_shed(path, prev, set(carried))},
             file_stats=file_stats,
         ),
     )
@@ -1075,25 +1058,35 @@ def _raw_prefilter(m: dict, where: list[tuple]):
     return conj
 
 
+def _assert_dv_keying(label: str, fnames) -> None:
+    """EVERY deletion-vector entry must be keyed by a manifest-relative
+    'data/...' path. Basename keys (a brief legacy format) are ambiguous
+    across hive partition dirs; an entry that silently matches no
+    manifest path would RESURRECT deleted rows on the read path and
+    silently DROP retractions on the CDF path — so any such entry fails
+    loudly, not just the first (r12 ADVICE: a mixed-key vector used to
+    slip past the first-entry peek)."""
+    for v in fnames:
+        if v is not None and not v.startswith("data/"):
+            raise ValueError(
+                f"deletion vector {label} is keyed by file basename "
+                f"({v!r}) — a legacy format whose keys are ambiguous "
+                "across partitions; restore the pre-delete snapshot "
+                "(rollback) and re-apply the delete"
+            )
+
+
 def _reject_legacy_dv_keys(spark: SparkSession, dv_paths: list[str]) -> None:
-    """Deletion vectors were briefly keyed by file BASENAME (collides
-    across hive partition dirs); current keys are manifest-relative
-    'data/...' paths. A silent mismatch would RESURRECT deleted rows,
-    so a legacy-keyed vector fails loudly instead (none shipped beyond
-    this repo, but data corruption must never be the failure mode)."""
+    """Fail loudly on legacy basename-keyed deletion vectors (see
+    _assert_dv_keying; data corruption must never be the failure
+    mode). Validates every entry of every vector — the column is read
+    in full anyway, and a mixed-key vector is exactly the case the
+    old one-entry peek missed."""
     import pyarrow.parquet as pq
 
     for p in dv_paths:
         col = pq.read_table(p, columns=["__fname"]).column("__fname")
-        for v in col.to_pylist():
-            if v is not None and not v.startswith("data/"):
-                raise ValueError(
-                    f"deletion vector {p} is keyed by file basename "
-                    f"({v!r}) — a legacy format whose keys are ambiguous "
-                    "across partitions; restore the pre-delete snapshot "
-                    "(rollback) and re-apply the delete"
-                )
-            break  # one entry decides the keying style per vector
+        _assert_dv_keying(p, col.to_pylist())
 
 
 def _snapshot_asof(path: str, ts_ms: int) -> int:
@@ -1196,12 +1189,40 @@ def _scan(
 
 
 def _dv_carry(prev: dict) -> dict:
-    """Deletion-vector list an op that keeps prev's data files BY
-    REFERENCE must carry forward (append / alters / partial COW delete).
+    """Deletion-vector list an op that keeps ALL of prev's data files BY
+    REFERENCE must carry forward (append / alters / rollback-to-target).
     Ops that rewrite every file (overwrite/delete_where/merge/compact/
     zorder) read through the DVs and so materialize the deletes — they
-    deliberately do NOT call this, which clears the vectors."""
+    deliberately do NOT call this, which clears the vectors. PARTIAL
+    rewrites (compact_small_files/update_where/delete_rows) use
+    _dv_shed instead, dropping vectors the rewrite made fully inert."""
     return {"delete_vectors": prev["delete_vectors"]} if prev.get("delete_vectors") else {}
+
+
+def _dv_shed(path: str, prev: dict, carried: set[str]) -> dict:
+    """Deletion vectors still worth carrying after a PARTIAL copy-on-write
+    rewrite (compact_small_files / update_where / delete_rows): the
+    rewritten files read THROUGH their vectors, so entries naming them
+    are fully materialized — a vector whose every entry names a
+    rewritten file is inert and is SHED here instead of ratcheting the
+    per-read MoR anti-join tax forever (r11 review found the ratchet in
+    compaction; r12 ADVICE found update_where/delete_rows carrying it
+    via the plain _dv_carry). Vectors still naming any carried
+    (untouched) file stay live — their entries for rewritten files are
+    harmless, every DV consumer filters to manifest-present names."""
+    dvs = prev.get("delete_vectors") or []
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    keep = [
+        dv for dv in dvs
+        if set(
+            pq.read_table(os.path.join(path, dv), columns=["__fname"])
+            .column("__fname").to_pylist()
+        ) & carried
+    ]
+    return {"delete_vectors": keep} if keep else {}
 
 
 def _alter(path: str, operation: str, mutate) -> int:
@@ -1636,7 +1657,7 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
                 **_evo_carry(prev),
-                **_dv_carry(prev),
+                **_dv_shed(path, prev, set(untouched)),
             },
             file_stats=file_stats,
         ),
@@ -1731,7 +1752,7 @@ def update_where(
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
                 **_evo_carry(prev),
-                **_dv_carry(prev),
+                **_dv_shed(path, prev, set(untouched)),
             },
             file_stats=file_stats,
         ),
@@ -1739,25 +1760,43 @@ def update_where(
     return latest + 1
 
 
-def _write_delete_vector(df: DataFrame, path: str) -> list[str]:
-    """Write a deletion-vector parquet (__fname, __ri) under _deletes/
-    with the same stage-then-move discipline as data files; returns the
-    relative file paths (empty part files are kept — they are tiny and
-    harmless to the anti-join)."""
+def _write_sidecar(df: DataFrame, path: str, dirname: str) -> list[str]:
+    """Write a sidecar parquet file set under ``path/dirname/`` with the
+    same stage-then-move discipline as data files; returns the relative
+    file paths (empty part files are kept — they are tiny and harmless
+    to every consumer). Shared by the deletion-vector (_deletes/) and
+    change-data (_changes/) writers; a sidecar orphaned by a lost
+    commit race is ordinary age-gated vacuum garbage."""
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(path, "_staging", token)
     df.write.mode("overwrite").parquet(staging)
-    dv_dir = os.path.join(path, "_deletes")
-    os.makedirs(dv_dir, exist_ok=True)
+    out_dir = os.path.join(path, dirname)
+    os.makedirs(out_dir, exist_ok=True)
     rel_files = []
     for f in os.listdir(staging):
         if not f.endswith(".parquet"):
             continue
-        final = os.path.join(dv_dir, f"{token}-{f}")
+        final = os.path.join(out_dir, f"{token}-{f}")
         os.rename(os.path.join(staging, f), final)
         rel_files.append(os.path.relpath(final, path))
     shutil.rmtree(os.path.join(path, "_staging", token), ignore_errors=True)
     return sorted(rel_files)
+
+
+def _write_delete_vector(df: DataFrame, path: str) -> list[str]:
+    """Deletion-vector sidecar (__fname, __ri) under _deletes/."""
+    return _write_sidecar(df, path, "_deletes")
+
+
+def _write_change_data(df: DataFrame, path: str) -> list[str]:
+    """Change-data sidecar under _changes/ (Delta's _change_data dir):
+    the table-contract columns plus ``_change_type``, written by
+    copy-on-write DML at commit time so the change feed can represent
+    the op row-for-row instead of raising (the manifest records the
+    files under its ``change_data`` key). Partition columns are
+    EMBEDDED as ordinary columns (no hive layout) — sidecars are read
+    flat, never through partition discovery."""
+    return _write_sidecar(df, path, "_changes")
 
 
 def delete_rows_mor(spark: SparkSession, path: str, where: list[tuple]) -> int:
@@ -1987,14 +2026,7 @@ def _dv_entries(path: str, dv_delta: dict[str, int]) -> list[tuple]:
     for dv, s in sorted(dv_delta.items()):
         t = pq.read_table(os.path.join(path, dv))
         fnames = t.column("__fname").to_pylist()
-        for v in fnames[:1]:  # one entry decides the keying style
-            if v is not None and not v.startswith("data/"):
-                raise ValueError(
-                    f"deletion vector {dv} is keyed by file basename "
-                    f"({v!r}) — a legacy format whose keys are ambiguous "
-                    "across partitions; restore the pre-delete snapshot "
-                    "(rollback) and re-apply the delete"
-                )
+        _assert_dv_keying(dv, fnames)  # every entry, not a first-row peek
         out.extend(
             (f, ri, s) for f, ri in zip(fnames, t.column("__ri").to_pylist())
         )

@@ -1595,3 +1595,64 @@ def test_legacy_basename_deletion_vector_fails_loud(spark, base, tmp_path):
 
     with pytest.raises(Exception, match="basename"):
         ts._deleted_positions(path, m)
+
+
+def test_mixed_key_deletion_vector_fails_loud(spark, base, tmp_path):
+    """r12 ADVICE: a MIXED-key vector (first entry a valid 'data/...'
+    path, a later one a basename) used to slip past the one-entry peek
+    — on the CDF path the basename entry joins no scanned file and the
+    retraction silently vanishes. Every guard now checks every entry."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, base)
+    snap = tl.delete_rows_mor(spark, path, [("id", "<", 2)])
+    m = tl._read_manifest(path, snap)
+    dv_abs = os.path.join(path, m["delete_vectors"][0])
+    t = pq.read_table(dv_abs)
+    names = t.column("__fname").to_pylist()
+    ris = t.column("__ri").to_pylist()
+    # valid 'data/...' first entry, corrupt basename-keyed tail entry
+    mixed = names + [names[0].rsplit("/", 1)[-1]]
+    pq.write_table(pa.table({"__fname": mixed, "__ri": ris + [99]}), dv_abs)
+    with pytest.raises(Exception, match="basename"):
+        tl.read(spark, path).collect()
+    with pytest.raises(Exception, match="basename"):
+        tl._dv_entries(path, {m["delete_vectors"][0]: snap})
+    from open_data_lakehouse_demo_spark.streaming import table_source as ts
+
+    with pytest.raises(Exception, match="basename"):
+        ts._deleted_positions(path, m)
+
+
+def test_partial_cow_rewrites_shed_inert_deletion_vectors(spark, tmp_path):
+    """r12 ADVICE: update_where and file-granular delete_rows used to
+    carry EVERY prior deletion vector (plain _dv_carry), permanently
+    ratcheting the per-read MoR anti-join even when the rewrite just
+    materialized a vector's every entry. They now share
+    compact_small_files' shed rule: vectors naming only rewritten files
+    drop; vectors still naming a carried file stay live."""
+    path = str(tmp_path / "t")
+    # two files with disjoint id ranges so bounds-pruning is exact
+    tl.create(spark, path, spark.range(0, 10).select(
+        "id", F.lit("a").alias("tag")).coalesce(1))
+    tl.append(spark, path, spark.range(100, 110).select(
+        "id", F.lit("b").alias("tag")).coalesce(1))
+    tl.delete_rows_mor(spark, path, [("id", "=", 3)])     # vector on file 1
+    tl.delete_rows_mor(spark, path, [("id", "=", 105)])   # vector on file 2
+    # UPDATE touches only file 1 → its vector materializes and is shed;
+    # file 2's vector must survive (its delete is still merge-on-read)
+    s = tl.update_where(spark, path, [("id", "<", 50)], {"tag": "'u'"})
+    m = tl._read_manifest(path, s)
+    assert len(m["delete_vectors"]) == 1
+    got = {r["id"]: r["tag"] for r in tl.read(spark, path).collect()}
+    assert 3 not in got and 105 not in got
+    assert got[0] == "u" and got[100] == "b" and len(got) == 18
+    # COW delete touches only file 2 → the remaining vector sheds too
+    s2 = tl.delete_rows(spark, path, [("id", ">", 101)])
+    m2 = tl._read_manifest(path, s2)
+    assert not m2.get("delete_vectors")
+    got2 = sorted(r["id"] for r in tl.read(spark, path).collect())
+    assert got2 == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100, 101]
