@@ -46,6 +46,10 @@ TWO distinct noise modes):
     BENCH_QUERIES_REJECTED.json and the stdout line carries
     {"error": "load_noisy", ...} so the driver records an explicit
     refusal instead of a silently-inflated suite number.
+  - BOX-FACTOR BOUND (r12): normalization hides a UNIFORM regression —
+    every query slower from a code change looks like box drift. A
+    suite-wide factor > 1.5x refuses the artifact outright and points
+    at per-query diagnosis (tools/check_query.py).
 """
 
 from __future__ import annotations
@@ -106,6 +110,15 @@ def _steal_now(interval_s: float = 1.0) -> float | None:
 # A shared-VM neighbor stealing more than this fraction of cycles makes
 # timing numbers meaningless; wait for it to pass before measuring.
 _STEAL_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_LIMIT", "5.0"))
+
+# r12 ADVICE: box-factor normalization makes a UNIFORM whole-suite
+# regression (a code change slowing every query) indistinguishable from
+# box-state drift — rows are only flagged relative to the suite median
+# ratio, so such a run used to ship clean with noisy_n 0. A suite-wide
+# factor beyond this bound now refuses the artifact and points at
+# per-query diagnosis; observed honest box drift is ~0.95-1.3x.
+_BOX_FACTOR_LIMIT = float(
+    os.environ.get("SPARK_GRAFT_BENCH_BOX_FACTOR_LIMIT", "1.5"))
 
 
 def _settle_wait(threshold: float, timeout_s: float,
@@ -325,9 +338,18 @@ def main() -> None:
     # flag basis, so a burst landing on them ships undetected unless the
     # whole-suite steal number gates).
     steal_poisoned = suite_steal is not None and suite_steal >= _STEAL_LIMIT
+    # Uniform-slowdown gate (r12 ADVICE): a box factor beyond the bound
+    # on an otherwise-clean run is either a bad box window (don't ship)
+    # or a code regression hitting every query (must be diagnosed, not
+    # shipped as clean with noisy_n 0 and only a disclosed factor).
+    box_suspect = bool(ref) and bf > _BOX_FACTOR_LIMIT
     reasons = ([f"{len(noisy)} row anomalies"] if noisy else []) \
         + (["pre-suite settle timed out"] if settle.get("timed_out") else []) \
-        + ([f"suite steal {suite_steal}% >= {_STEAL_LIMIT}%"] if steal_poisoned else [])
+        + ([f"suite steal {suite_steal}% >= {_STEAL_LIMIT}%"] if steal_poisoned else []) \
+        + ([f"box_factor {round(bf, 3)} > {_BOX_FACTOR_LIMIT} (uniform "
+            "suite slowdown: box state OR a code regression on every "
+            "query — diagnose per-query with tools/check_query.py)"]
+           if box_suspect else [])
     if reasons:
         # Load-poisoned even after retries: keep the last clean artifact
         # in place, park the evidence, and tell the driver explicitly.

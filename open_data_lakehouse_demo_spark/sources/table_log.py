@@ -1106,6 +1106,7 @@ def _scan(
     files: list[str],
     with_lineage: bool = False,
     raw_where: list[tuple] | None = None,
+    base_dir: str | None = None,
 ) -> DataFrame:
     """Scan ``files`` under manifest ``m``'s reader contract: the plain
     mergeSchema scan for ordinary tables; for conform (altered) tables,
@@ -1137,6 +1138,11 @@ def _scan(
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f) for f in files]
     need_lineage = with_lineage or bool(m.get("delete_vectors"))
+    # hive partition discovery is anchored at data/; sidecar scans
+    # (change-data files under _changes/, which embed partition values
+    # as ordinary columns) anchor at the table root instead — no k=v
+    # segments below it, so no partition columns are inferred
+    base = base_dir if base_dir is not None else _data_dir(path)
     if m.get("conform"):
         phys_fields = []
         for f in schema.fields:
@@ -1144,12 +1150,12 @@ def _scan(
                 phys_fields.append(T.StructField(p, f.dataType, True))
         src = (
             spark.read.schema(T.StructType(phys_fields))
-            .option("basePath", _data_dir(path))
+            .option("basePath", base)
             .parquet(*paths)
         )
     else:
         src = (
-            spark.read.option("basePath", _data_dir(path))
+            spark.read.option("basePath", base)
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
@@ -1643,6 +1649,19 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
     new_files = _write_data_files(kept_rows, path, partition_by)
     file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
     file_stats.update(_collect_stats(path, new_files))
+    from pyspark.sql import functions as F
+
+    contract_cols = [f["name"] for f in json.loads(prev["schema"])["fields"]]
+    cd: dict = {}
+    if not (set(_CDF_COLS) & set(contract_cols)):
+        # change-data sidecar (r12): the deleted rows as retraction
+        # records, so the change feed represents this COW DELETE
+        # instead of raising (same design as update_where; MoR deletes
+        # were already represented via their deletion vectors)
+        dels = _fill_to_contract(src, prev["schema"]).filter(
+            f"coalesce(({_where_sql(where)}), false)"
+        ).select(*contract_cols).withColumn("_change_type", F.lit("delete"))
+        cd = {"change_data": _write_change_data(dels, path)}
     _commit(
         path,
         latest + 1,
@@ -1656,6 +1675,7 @@ def delete_rows(spark: SparkSession, path: str, where: list[tuple]) -> int:
                 "txns": txns,
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
+                **cd,
                 **_evo_carry(prev),
                 **_dv_shed(path, prev, set(untouched)),
             },
@@ -1688,12 +1708,23 @@ def update_where(
     cannot smuggle a violating value past the CHECK choke point.
     Reads through existing deletion vectors like every rewrite: a
     touched file's MoR-deleted rows stay deleted (materialized by the
-    rewrite); untouched files keep their carried vectors. Pinned
-    snapshot + commit id (_pin_latest): a concurrent append conflicts,
-    never vanishes. Returns the new snapshot id (or the current one
-    when the predicate provably matches nothing). The walkers classify
-    "update" as a rewrite — an incremental consumer re-seeds (or skips
-    under ignore_rewrites), like every copy-on-write op."""
+    rewrite); untouched files keep their carried vectors — vectors the
+    rewrite made fully inert are shed (_dv_shed). Pinned snapshot +
+    commit id (_pin_latest): a concurrent append conflicts, never
+    vanishes. Returns the new snapshot id (or the current one when the
+    predicate provably matches nothing).
+
+    CHANGE FEED (r12, Delta's _change_data design): the matching rows
+    are already in hand at commit time, so they are also written to a
+    ``_changes/`` sidecar — each matched row as an ``update_preimage``
+    and an ``update_postimage`` record — recorded under the manifest's
+    ``change_data`` key. table_changes_feed and both data-source CDF
+    faces emit them instead of raising, so a CDC consumer survives an
+    UPDATE without re-seeding. The append-only face (table_changes /
+    the plain streaming source) still classifies "update" as a rewrite
+    — appends cannot represent it. Tables whose own columns collide
+    with the CDF namespace (_change_type/_commit_snapshot) skip the
+    sidecar: the feed refuses such tables anyway."""
     from pyspark.sql import functions as F
 
     latest, prev, txns = _pin_latest(path)
@@ -1737,6 +1768,23 @@ def update_where(
     _enforce_constraints(path, prev, new_files, new_stats)
     file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
     file_stats.update(new_stats)
+    contract_cols = [f.name for f in schema.fields]
+    cd: dict = {}
+    if not (set(_CDF_COLS) & set(contract_cols)):
+        # change-data sidecar: the matched rows, pre- and post-image —
+        # two more bounds-pruned scans of only the touched files, with
+        # the predicate pushed to parquet (cheap next to the rewrite)
+        matched = src.filter(cond)
+        pre = matched.select(*contract_cols).withColumn(
+            "_change_type", F.lit("update_preimage"))
+        post = matched.select(*[
+            (F.expr(set_exprs[c]).cast(types_by_col[c]).alias(c))
+            if c in set_exprs else F.col(c)
+            for c in contract_cols
+        ]).withColumn("_change_type", F.lit("update_postimage"))
+        # the key's PRESENCE signals feed representability, even when a
+        # stats false-positive rewrote files but matched zero rows
+        cd = {"change_data": _write_change_data(pre.unionByName(post), path)}
     _commit(
         path,
         latest + 1,
@@ -1751,6 +1799,7 @@ def update_where(
                 "txns": txns,
                 "rewritten_files": len(touched),
                 "skipped_files": len(untouched),
+                **cd,
                 **_evo_carry(prev),
                 **_dv_shed(path, prev, set(untouched)),
             },
@@ -2012,14 +2061,47 @@ def _require_history(path: str, from_snapshot: int, to_snapshot: int) -> None:
         )
 
 
+def _dv_delta_df(spark: SparkSession, path: str,
+                 dv_delta: dict[str, int]) -> tuple[DataFrame, list[str]]:
+    """A range's new deletion-vector entries as a DISTRIBUTED DataFrame
+    ``(__fname, __ri, _commit_snapshot)`` plus the sorted list of
+    touched data files (driver-side, bounded by manifest FILE count —
+    never by deleted-position count). Replaces the feed's driver
+    materialization of every position (r12 VERDICT #2): a bulk MoR
+    delete of 10⁶ rows now flows worker-side through the retraction
+    join. One Spark read per committing snapshot (its files get that
+    snapshot as a literal column); legacy basename keys fail loudly
+    from the same distinct-filename pass that plans the touched scan."""
+    from pyspark.sql import functions as F
+
+    by_snap: dict[int, list[str]] = {}
+    for dv, s in dv_delta.items():
+        by_snap.setdefault(s, []).append(dv)
+    out = None
+    for s, fs in sorted(by_snap.items()):
+        d = (
+            spark.read.parquet(*[os.path.join(path, f) for f in sorted(fs)])
+            .withColumn("_commit_snapshot", F.lit(s).cast("long"))
+        )
+        out = d if out is None else out.unionByName(d)
+    touched = [
+        r["__fname"] for r in out.select("__fname").distinct().collect()
+    ]
+    _assert_dv_keying(f"in {sorted(dv_delta)}", touched)
+    return out, sorted(touched)
+
+
 def _dv_entries(path: str, dv_delta: dict[str, int]) -> list[tuple]:
-    """Read a range's new deletion vectors ONCE: [(rel data file,
-    row_index, committing snapshot), ...], with the legacy
+    """Read a range's new deletion vectors ONCE, driver-side: [(rel data
+    file, row_index, committing snapshot), ...], with the legacy
     basename-key rejection applied inline on the same pass (review
     finding: the feed used to read each DV parquet three times —
-    legacy check, touched-set scan, per-file Spark read). MoR's premise
-    is deletes ≪ data, so the driver-side materialization is small by
-    construction."""
+    legacy check, touched-set scan, per-file Spark read). Used only by
+    the data-source CDF planner, whose InputPartitions must carry the
+    positions by API design; the DataFrame feed uses the distributed
+    _dv_delta_df instead (r12). MoR's premise is deletes ≪ data, so
+    this materialization is small by construction — and a table whose
+    vectors outgrow it should compact, which clears them."""
     import pyarrow.parquet as pq
 
     out: list[tuple] = []
@@ -2039,20 +2121,26 @@ def _changes_walk(
     to_snapshot: int,
     ignore_rewrites: bool = False,
     inspect=None,
-) -> tuple[dict[str, int], dict[str, int]]:
+) -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
     """THE change-feed range walk, shared by table_changes_feed and the
     format("table_log") CDF readers (one implementation, like
     walk_appends for the append-only faces): returns
-    ``({appended rel file: snapshot}, {new DV rel file: snapshot})``
-    for ``(from_snapshot, to_snapshot]``. Merge-on-read deletes are
+    ``({appended rel file: snapshot}, {new DV rel file: snapshot},
+    {change-data sidecar rel file: snapshot})`` for
+    ``(from_snapshot, to_snapshot]``. Merge-on-read deletes are
     REPRESENTED (their new deletion vectors come back attributed to the
-    committing snapshot); copy-on-write rewrites raise unless
-    ``ignore_rewrites`` — their manifests record file churn, not row
-    identity. ``inspect(snapshot, manifest, kind)`` runs first for each
-    in-range snapshot (the streaming CDF source's schema-change stop).
-    The caller is responsible for the expired-history check."""
+    committing snapshot), and so are copy-on-write ops that recorded a
+    ``_changes/`` sidecar at commit time (r12: update_where /
+    delete_rows — the manifest's ``change_data`` key IS the
+    representability signal). Sidecar-less rewrites (overwrite / merge
+    / compact / zorder / rollback / legacy snapshots) still raise
+    unless ``ignore_rewrites`` — their manifests record file churn, not
+    row identity. ``inspect(snapshot, manifest, kind)`` runs first for
+    each in-range snapshot (the streaming CDF source's schema-change
+    stop). The caller is responsible for the expired-history check."""
     insert_files: dict[str, int] = {}
     dv_delta: dict[str, int] = {}
+    change_files: dict[str, int] = {}
     prev_files: set[str] = set()
     prev_dvs: set[str] = set()
     if from_snapshot >= 0:
@@ -2073,18 +2161,21 @@ def _changes_walk(
         elif op == "delete-mor":
             for dv in sorted(cur_dvs - prev_dvs):
                 dv_delta[dv] = s
+        elif kind == "rewrite" and m.get("change_data") is not None:
+            for f in m["change_data"]:
+                change_files[f] = s
         elif kind == "rewrite" and not ignore_rewrites:
             raise ValueError(
-                f"snapshot {s} ({op}) rewrote rows copy-on-write; the "
-                "change feed cannot attribute row identity across a file "
-                "rewrite — re-seed with a full read, or pass "
-                "ignore_rewrites=True to skip it (merge-on-read deletes "
-                "ARE represented; prefer delete_rows_mor on CDF-consumed "
-                "tables)"
+                f"snapshot {s} ({op}) rewrote rows copy-on-write without "
+                "a change-data sidecar; the change feed cannot attribute "
+                "row identity across a file rewrite — re-seed with a full "
+                "read, or pass ignore_rewrites=True to skip it "
+                "(merge-on-read deletes and sidecar-recording DML — "
+                "update_where / delete_rows — ARE represented)"
             )
         prev_files = cur
         prev_dvs = cur_dvs
-    return insert_files, dv_delta
+    return insert_files, dv_delta, change_files
 
 
 def table_changes_feed(
@@ -2095,18 +2186,23 @@ def table_changes_feed(
 ) -> tuple[DataFrame, int]:
     """CHANGE DATA FEED: every row-level change strictly after
     ``from_snapshot``, as table rows plus ``_change_type``
-    ('insert' | 'delete') and ``_commit_snapshot`` (the snapshot that
-    committed the change) — Delta CDF's readChangeFeed contract. Where
-    ``table_changes`` (append-only) must raise on a merge-on-read
-    DELETE, this face REPRESENTS it: the snapshot's new deletion-vector
-    entries are resolved back to full rows and emitted as retractions,
-    so a downstream incremental consumer can drop dead rows instead of
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage') and
+    ``_commit_snapshot`` (the snapshot that committed the change) —
+    Delta CDF's readChangeFeed contract. Where ``table_changes``
+    (append-only) must raise on a merge-on-read DELETE, this face
+    REPRESENTS it: the snapshot's new deletion-vector entries are
+    resolved back to full rows and emitted as retractions, so a
+    downstream incremental consumer can drop dead rows instead of
     silently keeping them (the r10 ignore_rewrites trade this closes).
     A row appended and then MoR-deleted inside the range emits BOTH its
     insert and its delete, in `_commit_snapshot` order — exactly Delta.
+    Copy-on-write DML that recorded a ``_changes/`` sidecar at commit
+    time (r12: update_where — pre/post image pairs — and delete_rows —
+    retractions) is emitted from the sidecar, Delta's _change_data
+    design.
 
     Still unrepresentable (raise, or skip under ``ignore_rewrites``):
-    copy-on-write rewrites (overwrite / delete_where / merge / compact /
+    sidecar-less rewrites (overwrite / delete_where / merge / compact /
     zorder / rollback), whose manifests record file churn, not row
     identity. Emitted rows read under the LATEST manifest's contract
     (renames/widens apply to old appends AND old retractions alike).
@@ -2114,8 +2210,9 @@ def table_changes_feed(
 
     Scale shape: inserts read only the appended files; retractions read
     only the files the delta deletion vectors touch (MoR's premise is
-    deletes ≪ data), each joined against a broadcast file→snapshot map
-    — never the whole table."""
+    deletes ≪ data), each joined against a broadcast file→snapshot map;
+    sidecar changes read only the sidecar files (sized by rows the DML
+    actually matched) — never the whole table."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2136,8 +2233,10 @@ def table_changes_feed(
 
     def _with_meta(df: DataFrame, change_type=None) -> DataFrame:
         sel = list(cols)
-        if change_type is not None:
-            sel.append(F.lit(change_type).alias("_change_type"))
+        # change_type=None: the df already carries _change_type as data
+        # (change-data sidecar rows)
+        sel.append(F.lit(change_type).alias("_change_type")
+                   if change_type is not None else F.col("_change_type"))
         sel.append(F.col("_commit_snapshot").cast("long").alias("_commit_snapshot"))
         return df.select(*sel)
 
@@ -2148,7 +2247,7 @@ def table_changes_feed(
         })
         return empty, latest
     _require_history(path, from_snapshot, latest)
-    insert_files, dv_delta = _changes_walk(
+    insert_files, dv_delta, change_files = _changes_walk(
         path, from_snapshot, latest, ignore_rewrites
     )
 
@@ -2164,17 +2263,44 @@ def table_changes_feed(
         )
         parts.append(_with_meta(ins.join(F.broadcast(fmap), "__fname"), "insert"))
     if dv_delta:
-        entries = _dv_entries(path, dv_delta)
-        touched = sorted({f for f, _ri, _s in entries})
-        dv_df = spark.createDataFrame(
-            entries, "__fname string, __ri long, _commit_snapshot long"
-        )
+        dv_df, touched = _dv_delta_df(spark, path, dv_delta)
         rows = _fill_to_contract(
             _scan(spark, path, emit_m, touched, with_lineage=True),
             m_latest["schema"],
         )
-        dels = rows.join(F.broadcast(dv_df), ["__fname", "__ri"])
+        # broadcast only while the vectors are small (MoR's premise);
+        # a bulk delete's positions stay worker-side either way
+        total = sum(
+            os.path.getsize(os.path.join(path, dv))
+            for dv in dv_delta if os.path.exists(os.path.join(path, dv))
+        )
+        if total < _DV_BROADCAST_BYTES:
+            dv_df = F.broadcast(dv_df)
+        dels = rows.join(dv_df, ["__fname", "__ri"])
         parts.append(_with_meta(dels, "delete"))
+    if change_files:
+        # change-data sidecars carry _change_type as DATA and embed
+        # partition values as ordinary columns; read them under the
+        # latest contract EXTENDED by the _change_type field, grouped
+        # per committing snapshot (one sidecar file set per DML op, so
+        # the group count is the number of in-range DML snapshots)
+        sc_schema = json.loads(m_latest["schema"])
+        sc_m = {**emit_m, "schema": json.dumps({
+            **sc_schema,
+            "fields": sc_schema["fields"] + [{
+                "name": "_change_type", "type": "string",
+                "nullable": True, "metadata": {},
+            }],
+        })}
+        by_snap: dict[int, list[str]] = {}
+        for f, s in change_files.items():
+            by_snap.setdefault(s, []).append(f)
+        for s, fs in sorted(by_snap.items()):
+            ch = _fill_to_contract(
+                _scan(spark, path, sc_m, sorted(fs), base_dir=path),
+                sc_m["schema"],
+            ).withColumn("_commit_snapshot", F.lit(s).cast("long"))
+            parts.append(_with_meta(ch))
     if not parts:
         empty = _scan(spark, path, emit_m, []).withColumns({
             "_change_type": F.lit(None).cast("string"),
@@ -2271,12 +2397,15 @@ def _sync_changes_apply(
 
       * no changes → nothing committed;
       * inserts only → ordinary txn-stamped append (no rewrite paid);
-      * any delete retraction → MERGE: destination rows whose key
-        matches a retraction are dropped, inserts whose key was NOT
-        deleted at a later `_commit_snapshot` are added, committed as
-        one "merge" snapshot. Within-batch ordering is honored by
-        snapshot id: insert@s1 + delete@s2 nets to absent, delete@s1 +
-        re-insert@s2 nets to present — the replay-the-log semantics.
+      * any retraction (delete or update_preimage) → MERGE: destination
+        rows whose key matches a retraction are dropped, inserts
+        (incl. update_postimage) whose key was not deleted at a later
+        `_commit_snapshot` are added, committed as one "merge"
+        snapshot. Within-batch ordering is honored by snapshot id,
+        retractions before insertions within a snapshot: insert@s1 +
+        delete@s2 nets to absent, delete@s1 + re-insert@s2 nets to
+        present, and an UPDATE pair (preimage + postimage at one
+        snapshot) nets to the postimage — the replay-the-log semantics.
         Copy-on-write at table granularity, like merge() (HONEST
         LIMIT documented there).
 
@@ -2313,8 +2442,16 @@ def _apply_changes(
     foreach_batch_changes_applier (streaming). Semantics documented on
     _sync_changes_apply: pure-insert batches append; any retraction
     takes the MERGE path with within-batch ordering honored by
-    _commit_snapshot. Creates the destination (empty seed) when absent;
-    a replayed txn is skipped — exactly-once either way."""
+    _commit_snapshot. ``update_preimage`` rows apply as retractions and
+    ``update_postimage`` rows as inserts (the feed's UPDATE pairs), with
+    retractions ordered BEFORE insertions within one snapshot — a
+    snapshot is one DML op, so a same-snapshot delete+insert of a key
+    is always an update pair whose net is the postimage. Any other
+    ``_change_type`` value (including NULL) raises: a malformed
+    transform must fail loudly, never silently drop changes while the
+    txn high-water advances (r12 ADVICE). Creates the destination
+    (empty seed) when absent; a replayed txn is skipped — exactly-once
+    either way."""
     from pyspark.sql import functions as F
 
     missing = [c for c in [*keys, *_CDF_COLS] if c not in changes.columns]
@@ -2331,28 +2468,43 @@ def _apply_changes(
     latest, prev, txns = _pin_latest(dst_path)
     if txns.get(txn[0], -1) >= txn[1]:
         return 0  # replayed batch: already applied
+    _INS_TYPES = ("insert", "update_postimage")
+    _DEL_TYPES = ("delete", "update_preimage")
     out = changes.persist()
     try:
         by_type = {
             r["_change_type"]: r["n"]
             for r in out.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
         }
-        n_ins = by_type.get("insert", 0)
-        n_del = by_type.get("delete", 0)
-        ins = out.filter(F.col("_change_type") == "insert")
+        unknown = sorted(
+            str(t) for t in by_type if t not in (*_INS_TYPES, *_DEL_TYPES)
+        )
+        if unknown:
+            raise ValueError(
+                f"unrecognized _change_type value(s) {unknown}: the CDC "
+                "apply understands insert/delete/update_preimage/"
+                "update_postimage — failing loudly instead of silently "
+                "skipping changes while the txn high-water advances"
+            )
+        n_ins = sum(by_type.get(t, 0) for t in _INS_TYPES)
+        n_del = sum(by_type.get(t, 0) for t in _DEL_TYPES)
+        ins = out.filter(F.col("_change_type").isin(*_INS_TYPES))
         if n_del == 0:
             # pure-append delta: pay an append, not a table rewrite
             append(spark, dst_path, ins.select(*data_cols), txn=txn)
             return n_ins
         target = read(spark, dst_path, snapshot=latest)
-        dels = out.filter(F.col("_change_type") == "delete")
+        dels = out.filter(F.col("_change_type").isin(*_DEL_TYPES))
         last_del = dels.groupBy(*keys).agg(
             F.max("_commit_snapshot").alias("__del_snap")
         )
+        # >= not >: within one snapshot retractions order before
+        # insertions, so an update pair (preimage delete + postimage
+        # insert at the SAME snapshot) nets to the postimage
         ins_keep = (
             ins.join(last_del, keys, "left")
             .filter(F.col("__del_snap").isNull()
-                    | (F.col("_commit_snapshot") > F.col("__del_snap")))
+                    | (F.col("_commit_snapshot") >= F.col("__del_snap")))
             .select(*data_cols)
         )
         survivors = target.join(dels.select(*keys).distinct(), keys, "left_anti")
@@ -3017,25 +3169,31 @@ def vacuum(
                     os.unlink(fp)
             except FileNotFoundError:
                 pass  # the committing writer unlinked it mid-scan
-    # Deletion-vector sidecars (delete_rows_mor): same lifecycle as data
-    # files — referenced by retained manifests = live; referenced only
-    # by expired ones = dead; present but referenced by nothing = an
-    # age-gated orphan (a MoR writer that lost its commit race).
+    # Sidecars (deletion vectors under _deletes/, change-data under
+    # _changes/): same lifecycle as data files — referenced by retained
+    # manifests = live; referenced only by expired ones = dead; present
+    # but referenced by nothing = an age-gated orphan (a writer that
+    # lost its commit race).
     live_dvs: set[str] = set()
+    live_cds: set[str] = set()
     for s in keep:
-        live_dvs.update(_read_manifest(path, s).get("delete_vectors") or [])
-    dv_dir = os.path.join(path, "_deletes")
-    dv_swept: list[str] = []
-    if os.path.isdir(dv_dir):
-        for f in os.listdir(dv_dir):
-            fp = os.path.join(dv_dir, f)
+        m = _read_manifest(path, s)
+        live_dvs.update(m.get("delete_vectors") or [])
+        live_cds.update(m.get("change_data") or [])
+    sc_swept: list[str] = []
+    for dirname, live_set in (("_deletes", live_dvs), ("_changes", live_cds)):
+        sc_dir = os.path.join(path, dirname)
+        if not os.path.isdir(sc_dir):
+            continue
+        for f in os.listdir(sc_dir):
+            fp = os.path.join(sc_dir, f)
             rel = os.path.relpath(fp, path)
-            if rel in live_dvs:
+            if rel in live_set:
                 continue
             try:
                 if os.stat(fp).st_mtime < cutoff:
                     os.unlink(fp)
-                    dv_swept.append(rel)
+                    sc_swept.append(rel)
             except FileNotFoundError:
                 pass  # a concurrent vacuum raced us
-    return sorted(dead | set(orphans) | set(dv_swept))
+    return sorted(dead | set(orphans) | set(sc_swept))

@@ -111,8 +111,16 @@ def _deleted_positions(path: str, m: dict) -> dict:
     return out
 
 
-def _file_partitions(path: str, m: dict, files: list[str], schema) -> list:
-    fields = [(f.name, tl._phys_names(m, f.name)) for f in schema.fields]
+def _file_partitions(path: str, m: dict, files: list[str], schema,
+                     resolve_m: dict | None = None) -> list:
+    """``resolve_m`` overrides the manifest used for physical-name
+    resolution (r12 ADVICE: a streaming range's emit manifest may
+    predate a rename the query schema already reflects — the stream's
+    schema re-resolves to LATEST on restart, so names must map through
+    the latest manifest's full history; batch snapshot reads keep the
+    pinned manifest, whose schema and names agree by construction)."""
+    rm = resolve_m if resolve_m is not None else m
+    fields = [(f.name, tl._phys_names(rm, f.name)) for f in schema.fields]
     deleted = _deleted_positions(path, m)
     return [
         _FilePart(
@@ -181,9 +189,21 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
     insert part emits the WHOLE file stamped with its committing
     snapshot; a delete part emits only the rows named by the range's new
     deletion-vector entries (positions index FILE order — conform
-    preserves it), each stamped with the deleting snapshot."""
+    preserves it), each stamped with the deleting snapshot; a
+    change_data part reads a ``_changes/`` sidecar (r12: COW
+    update/delete at commit time), whose ``_change_type`` is DATA in the
+    file — its fields list includes it — stamped with the committing
+    snapshot."""
     import pyarrow as pa
 
+    if part.change_type == "change_data":
+        # conform through table fields + the sidecar's own _change_type
+        base = pa.schema(list(arrow_schema)[:-1])
+        tbl = _conform_table(part, base)
+        snaps = pa.array([part.commit_snapshot] * tbl.num_rows, type=pa.int64())
+        out = tbl.append_column("_commit_snapshot", snaps)
+        yield from out.cast(pa.schema(list(arrow_schema))).to_batches()
+        return
     base = pa.schema(list(arrow_schema)[:-2])
     tbl = _conform_table(part, base)
     if part.change_type == "insert":
@@ -210,15 +230,26 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
                     ignore_rewrites: bool, inspect=None) -> list:
     """Driver-side planning for a change-feed range ``(lo, hi]``: one
     insert part per appended file (stamped with its committing
-    snapshot) and one delete part per data file named by the range's
-    NEW deletion vectors (positions + their deleting snapshots). Shares
-    tl._changes_walk with table_changes_feed, so the DataFrame face and
-    the data-source face cannot drift. Parts read under the END
-    manifest's contract (renames/widens apply to old appends and
-    retractions alike)."""
-    ins, dvd = tl._changes_walk(path, lo, hi, ignore_rewrites, inspect=inspect)
-    end_m = tl._read_manifest(path, hi)
-    fields = [(f.name, tl._phys_names(end_m, f.name))
+    snapshot), one delete part per data file named by the range's
+    NEW deletion vectors (positions + their deleting snapshots), and
+    one change_data part per ``_changes/`` sidecar file recorded by an
+    in-range COW update/delete (r12). Shares tl._changes_walk with
+    table_changes_feed, so the DataFrame face and the data-source face
+    cannot drift.
+
+    Physical column names resolve through the LATEST manifest, not the
+    range-end one (r12 ADVICE): the query schema comes from the latest
+    snapshot, so a rename committed AFTER the range end (batch
+    endingSnapshot before a rename; a restarted stream re-resolving its
+    schema and replaying an old range) must map the new name back
+    through its full history — the latest map is current-first and
+    includes every historical name, and an unrenamed column falls back
+    to itself either way. Null-fill remains only for genuinely pre-add
+    files."""
+    ins, dvd, chg = tl._changes_walk(path, lo, hi, ignore_rewrites,
+                                     inspect=inspect)
+    latest_m = tl._read_manifest(path, tl._list_snapshots(path)[-1])
+    fields = [(f.name, tl._phys_names(latest_m, f.name))
               for f in schema.fields if f.name not in tl._CDF_COLS]
     parts = []
     for f, s in sorted(ins.items()):
@@ -237,6 +268,14 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
                 part_values=_partition_values(f),
                 change_type="delete", delete_rows=sorted(rows),
             ))
+    # sidecars: _change_type is data in the file; partition values are
+    # embedded as ordinary columns (no hive segments in the rel path)
+    cd_fields = fields + [("_change_type", ["_change_type"])]
+    for f, s in sorted(chg.items()):
+        parts.append(_FilePart(
+            abs_path=os.path.join(path, f), fields=cd_fields,
+            change_type="change_data", commit_snapshot=s,
+        ))
     return parts
 
 
@@ -403,7 +442,9 @@ class _TableLogStreamReader(DataSourceStreamReader):
         # manifest's DVs here would make the two faces deliver different
         # rows for the same range.
         emit_m = {k: v for k, v in end_m.items() if k != "delete_vectors"}
-        parts = _file_partitions(self.path, emit_m, new_files, self.schema)
+        latest_m = tl._read_manifest(self.path, tl._list_snapshots(self.path)[-1])
+        parts = _file_partitions(self.path, emit_m, new_files, self.schema,
+                                 resolve_m=latest_m)
         return parts or [_FilePart(abs_path="")]
 
     def read(self, part):

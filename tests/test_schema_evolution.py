@@ -572,6 +572,24 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
         cols, got = read_state()
         assert cols == list(schema), f"seed {seed} step {step} op {op}: schema {cols}"
         assert got == rows, f"seed {seed} step {step} op {op}"
+        # r12 invariant: no retained deletion vector may be fully inert
+        # (naming only files the snapshot no longer references) — every
+        # partial-COW op shares _dv_shed, so the MoR anti-join tax can
+        # only shrink, never ratchet
+        import os as _os
+        import pyarrow.parquet as _pq
+
+        m_now = tl._read_manifest(path, tl._list_snapshots(path)[-1])
+        present = set(m_now["files"])
+        for dv in m_now.get("delete_vectors") or []:
+            names = set(
+                _pq.read_table(_os.path.join(path, dv), columns=["__fname"])
+                .column("__fname").to_pylist()
+            )
+            assert names & present, (
+                f"seed {seed} step {step} op {op}: inert deletion vector "
+                f"{dv} retained"
+            )
     # every historical snapshot keeps its own (schema, rows) contract
     for snap, (sch, rws) in states.items():
         cols, got = read_state(snap)

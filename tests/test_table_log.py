@@ -1252,14 +1252,17 @@ def test_update_where_respects_constraints_and_deletion_vectors(
     # a rewrite reads THROUGH deletion vectors: MoR-deleted rows stay
     # deleted, never resurrected by the update's file rewrite
     tl.delete_rows_mor(spark, path, [("id", "=", 1)])
-    tl.update_where(spark, path, [("id", "<", 3)], {"tag": "'u'"})
+    s_up = tl.update_where(spark, path, [("id", "<", 3)], {"tag": "'u'"})
     got = {r["id"]: r["tag"] for r in tl.read(spark, path).collect()}
     assert 1 not in got and got[0] == "u" and got[2] == "u" and got[5] == "v1"
-    # incremental faces treat the update as a rewrite (re-seed contract)
+    # the append-only face treats the update as a rewrite (re-seed
+    # contract); the CDF face REPRESENTS it via the _changes/ sidecar
+    # (r12) — covered by test_table_changes_feed_represents_cow_update
     with pytest.raises(ValueError, match="rewrote"):
         tl.table_changes(spark, path, 0)
-    with pytest.raises(ValueError, match="copy-on-write"):
-        tl.table_changes_feed(spark, path, 2)
+    feed, _hw = tl.table_changes_feed(spark, path, s_up - 1)
+    types = {r["_change_type"] for r in feed.collect()}
+    assert types == {"update_preimage", "update_postimage"}
 
 
 def test_table_changes_feed_emits_inserts_and_delete_retractions(
@@ -1595,6 +1598,185 @@ def test_legacy_basename_deletion_vector_fails_loud(spark, base, tmp_path):
 
     with pytest.raises(Exception, match="basename"):
         ts._deleted_positions(path, m)
+
+
+def test_table_changes_feed_represents_cow_update(spark, tmp_path):
+    """r12 (VERDICT #1, Delta _change_data parity): an update_where
+    inside a tailed range emits its matched rows as update_preimage /
+    update_postimage pairs from the _changes/ sidecar written at commit
+    time — the feed no longer raises, and a CDC consumer applies the
+    UPDATE without re-seeding."""
+    path = str(tmp_path / "src")
+    tl.create(spark, path, spark.range(6).select(
+        "id", (F.col("id") * 10).alias("v"), F.lit("a").alias("tag")
+    ).coalesce(1))
+    s1 = tl.append(spark, path, spark.range(100, 103).select(
+        "id", (F.col("id") * 10).alias("v"), F.lit("b").alias("tag")
+    ).coalesce(1))
+    s2 = tl.update_where(spark, path, [("id", "<", 3)],
+                         {"v": "v + 1", "tag": "'u'"})
+    feed, hw = tl.table_changes_feed(spark, path, s1)
+    assert hw == s2
+    rows = feed.collect()
+    pre = {r["id"]: (r["v"], r["tag"]) for r in rows
+           if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: (r["v"], r["tag"]) for r in rows
+            if r["_change_type"] == "update_postimage"}
+    assert pre == {0: (0, "a"), 1: (10, "a"), 2: (20, "a")}
+    assert post == {0: (1, "u"), 1: (11, "u"), 2: (21, "u")}
+    assert all(r["_commit_snapshot"] == s2 for r in rows)
+    # a range spanning the append AND the update emits both
+    full, _ = tl.table_changes_feed(spark, path, s1 - 1)
+    by_type = {r["_change_type"] for r in full.collect()}
+    assert by_type == {"insert", "update_preimage", "update_postimage"}
+    # CDC apply: a mirror synced BEFORE the update converges to the
+    # source state through the update pair — exactly-once, no re-seed
+    mirror = str(tmp_path / "mirror")
+    tl.sync_increment(spark, path, mirror, keys=["id"], writer_id="w")
+    n, hw2 = tl.sync_increment(spark, path, mirror, keys=["id"], writer_id="w")
+    assert n == 0 and hw2 == s2  # replay: nothing double-applied
+    src_rows = {tuple(r) for r in tl.read(spark, path).select("id", "v", "tag").collect()}
+    mir_rows = {tuple(r) for r in tl.read(spark, mirror).select("id", "v", "tag").collect()}
+    assert mir_rows == src_rows
+    # the no-match stats false positive: files rewritten, zero rows
+    # matched -> sidecar recorded (possibly empty), feed emits nothing
+    # new and does NOT raise
+    s3 = tl.update_where(spark, path, [("id", "<", 0)], {"tag": "'x'"})
+    if s3 != s2:  # only if stats couldn't prove no-match
+        f2, _ = tl.table_changes_feed(spark, path, s2)
+        assert f2.count() == 0
+
+
+def test_table_changes_feed_represents_cow_delete_rows(spark, tmp_path):
+    """r12: file-granular COW delete_rows records its deleted rows in a
+    _changes/ sidecar; the feed emits them as 'delete' retractions —
+    same _change_type the MoR path uses, so consumers are agnostic to
+    which delete strategy produced the retraction."""
+    path = str(tmp_path / "src")
+    tl.create(spark, path, spark.range(8).select(
+        "id", F.lit("a").alias("tag")).coalesce(1))
+    s0 = tl._list_snapshots(path)[-1]
+    s1 = tl.delete_rows(spark, path, [("id", ">=", 5)])
+    feed, hw = tl.table_changes_feed(spark, path, s0)
+    assert hw == s1
+    rows = feed.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [5, 6, 7]
+    assert all(r["_commit_snapshot"] == s1 for r in rows)
+    # CDC apply drops them downstream
+    mirror = str(tmp_path / "mirror")
+    tl.create(spark, mirror, tl.read(spark, path, snapshot=s0))
+    tl._apply_changes(spark, mirror, feed, ["id"], ("w", s1))
+    assert sorted(r["id"] for r in tl.read(spark, mirror).collect()) == \
+        sorted(r["id"] for r in tl.read(spark, path).collect())
+
+
+def test_apply_changes_rejects_unknown_change_type(spark, tmp_path):
+    """r12 ADVICE: a transform emitting an unrecognized _change_type
+    must fail loudly — silently dropping those rows while the txn
+    high-water advances would permanently skip data."""
+    dst = str(tmp_path / "dst")
+    batch = spark.createDataFrame(
+        [(1, "upsert", 3), (2, "insert", 3)],
+        "id long, _change_type string, _commit_snapshot long")
+    with pytest.raises(ValueError, match="unrecognized _change_type"):
+        tl._apply_changes(spark, dst, batch, ["id"], ("w", 3))
+    null_batch = spark.createDataFrame(
+        [(1, None, 3)], "id long, _change_type string, _commit_snapshot long")
+    with pytest.raises(ValueError, match="unrecognized _change_type"):
+        tl._apply_changes(spark, dst, null_batch, ["id"], ("w", 4))
+
+
+def test_cdc_mirror_fuzz_update_interleavings(spark, tmp_path):
+    """r12 (VERDICT #1 'done' criterion): feed-vs-table equivalence
+    across random interleavings of append / MoR delete / COW delete /
+    COW update — after every op an incremental CDC apply
+    (sync_increment(keys=)) must converge the mirror to the source
+    without ever re-seeding."""
+    import random
+
+    rnd = random.Random(20260816)
+    src = str(tmp_path / "src")
+    mirror = str(tmp_path / "mirror")
+    tl.create(spark, src, spark.range(10).select(
+        "id", (F.col("id") % 5).alias("v")).coalesce(1))
+    next_id = 100
+
+    def sync_and_check(step, op):
+        tl.sync_increment(spark, src, mirror, keys=["id"], writer_id="w")
+        s = {tuple(r) for r in tl.read(spark, src).select("id", "v").collect()}
+        m = {tuple(r) for r in tl.read(spark, mirror).select("id", "v").collect()}
+        assert m == s, f"step {step} op {op}: mirror diverged"
+
+    for step in range(12):
+        op = rnd.choice(["append", "mor", "cow_delete", "update", "update"])
+        if op == "append":
+            n = rnd.randrange(1, 4)
+            tl.append(spark, src, spark.range(next_id, next_id + n).select(
+                "id", (F.col("id") % 5).alias("v")).coalesce(1))
+            next_id += n
+        elif op == "mor":
+            tl.delete_rows_mor(spark, src, [("v", "=", rnd.randrange(5))])
+        elif op == "cow_delete":
+            tl.delete_rows(spark, src, [("v", "=", rnd.randrange(5))])
+        else:
+            tl.update_where(spark, src, [("v", "<", rnd.randrange(1, 5))],
+                            {"v": f"v + {rnd.randrange(1, 3)}"})
+        sync_and_check(step, op)
+
+
+def test_table_changes_feed_bulk_mor_delete_is_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (VERDICT #2): the feed's retraction path must never
+    materialize deleted positions on the driver — a bulk MoR delete
+    (10⁶ positions) flows worker-side via _dv_delta_df. _dv_entries
+    (the driver-side reader the data-source planner still needs) is
+    monkeypatched to explode if the feed touches it."""
+    path = str(tmp_path / "t")
+    n = 1_000_000
+    tl.create(spark, path, spark.range(n).select(
+        "id", (F.col("id") % 7).alias("v")).coalesce(4))
+    s0 = tl._list_snapshots(path)[-1]
+    s1 = tl.delete_rows_mor(spark, path, [("v", "<", 4)])
+
+    def boom(*a, **k):
+        raise AssertionError("feed materialized DV positions on the driver")
+
+    monkeypatch.setattr(tl, "_dv_entries", boom)
+    feed, hw = tl.table_changes_feed(spark, path, s0)
+    assert hw == s1
+    agg = feed.groupBy("_change_type").count().collect()
+    by = {r["_change_type"]: r["count"] for r in agg}
+    n_del = sum(n // 7 + (1 if i < n % 7 else 0) for i in range(4))
+    assert by == {"delete": n_del}
+    # spot-check: every retraction row carries the deleting snapshot
+    sample = feed.limit(5).collect()
+    assert all(r["_commit_snapshot"] == s1 for r in sample)
+    # and the table itself agrees
+    assert tl.read(spark, path).count() == n - n_del
+
+
+def test_vacuum_sweeps_change_data_sidecars(spark, tmp_path):
+    """Change-data sidecars follow the data-file lifecycle: live while a
+    retained manifest references them, age-gated orphans afterwards."""
+    import os
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(6).select(
+        "id", F.lit("a").alias("tag")).coalesce(1))
+    s = tl.update_where(spark, path, [("id", "<", 3)], {"tag": "'u'"})
+    cd = tl._read_manifest(path, s)["change_data"]
+    assert cd and all(os.path.exists(os.path.join(path, f)) for f in cd)
+    # retained manifest references them: vacuum must keep them
+    tl.vacuum(spark, path, keep_last=10, orphan_retention_ms=0)
+    assert all(os.path.exists(os.path.join(path, f)) for f in cd)
+    # expire the update snapshot's manifest: sidecars become orphans
+    tl.append(spark, path, spark.range(50, 52).select(
+        "id", F.lit("z").alias("tag")).coalesce(1))
+    swept = tl.vacuum(spark, path, keep_last=1, orphan_retention_ms=0)
+    assert set(cd) <= set(swept)
+    assert not any(os.path.exists(os.path.join(path, f)) for f in cd)
 
 
 def test_mixed_key_deletion_vector_fails_loud(spark, base, tmp_path):

@@ -349,6 +349,110 @@ def test_stream_cdc_pipeline_applies_retractions_exactly_once(
         sorted(tuple(r) for r in tl.read(spark, dst).collect())
 
 
+def test_batch_cdf_represents_cow_update_and_delete(registered, tbl, spark):
+    """r12: update_where / COW delete_rows sidecars flow through the
+    batch data-source CDF face — same walk, same rows as
+    table_changes_feed (the faces share tl._changes_walk)."""
+    s1 = tl.update_where(spark, tbl, [("v", "<", 30)], {"v": "v + 1"})
+    s2 = tl.delete_rows(spark, tbl, [("v", ">=", 70)])
+    got = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true").load()
+    )
+    feed, _ = tl.table_changes_feed(spark, tbl, -1)
+    assert _rows(got) == _rows(feed)
+    by = sorted((r["id"], r["_change_type"], r["_commit_snapshot"])
+                for r in got.collect() if r["_change_type"] != "insert")
+    assert by == [
+        (0, "update_postimage", s1), (0, "update_preimage", s1),
+        (1, "update_postimage", s1), (1, "update_preimage", s1),
+        (2, "update_postimage", s1), (2, "update_preimage", s1),
+        (7, "delete", s2),
+    ]
+    # postimage carries the updated value, preimage the original
+    vals = {(r["_change_type"], r["id"]): r["v"] for r in got.collect()}
+    assert vals[("update_preimage", 1)] == 10
+    assert vals[("update_postimage", 1)] == 11
+
+
+def test_stream_cdf_delivers_update_pairs_exactly_once(
+    registered, tbl, spark, tmp_path
+):
+    """r12 streaming CDF: an upstream UPDATE flows as pre/post image
+    records instead of stopping the stream; exactly-once across
+    restarts; the CDC applier nets the pair to the postimage."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    assert got.count() == 8
+    tl.update_where(spark, tbl, [("v", "<", 20)], {"v": "v + 100"})
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    new = sorted((r["id"], r["_change_type"]) for r in got.collect()
+                 if r["_change_type"] != "insert")
+    assert new == [(0, "update_postimage"), (0, "update_preimage"),
+                   (1, "update_postimage"), (1, "update_preimage")]
+    got = _drain(spark, tbl, out, ck, readChangeFeed="true")
+    assert got.count() == 12  # replay delivers nothing new
+    # end-to-end CDC apply nets the update pair to the postimage
+    dst, ck2 = str(tmp_path / "dst"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true").load()
+        .writeStream.foreachBatch(
+            tl.foreach_batch_changes_applier(dst, ["id"], "pipe"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck2).start()
+    )
+    q.awaitTermination(180)
+    assert _rows(tl.read(spark, dst)) == _rows(tl.read(spark, tbl))
+
+
+def test_cdf_rename_after_range_end_resolves_old_physical(
+    registered, tbl, spark
+):
+    """r12 ADVICE (medium): physical names resolve through the LATEST
+    manifest, not the range-end one. A rename committed AFTER the
+    requested endingSnapshot used to make the renamed column null-fill
+    silently (the end manifest had no mapping for the new name) — the
+    schema-change stop can't catch it because the rename snapshot is
+    outside the walked range."""
+    end = tl.append(
+        spark, tbl,
+        spark.createDataFrame([(8, 80, 0)], "id long, v int, pt int")
+        .coalesce(1),
+    )
+    tl.rename_column(tbl, "v", "value")  # AFTER the range end
+    got = (
+        spark.read.format("table_log").option("path", tbl)
+        .option("readChangeFeed", "true")
+        .option("endingSnapshot", str(end)).load()
+    )
+    vals = {r["id"]: r["value"] for r in got.collect()}
+    assert vals[8] == 80 and vals[0] == 0 and vals[7] == 70
+    assert not any(v is None for v in vals.values())
+    # the plain streaming face replaying a pre-rename micro-batch from
+    # its checkpoint after a restart (schema re-resolved to the new
+    # contract) hits the same path: drive partitions() directly
+    import json as _json
+
+    m_latest = tl._read_manifest(tbl, tl._list_snapshots(tbl)[-1])
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(m_latest["schema"]))
+    rdr = ts._TableLogStreamReader(schema, {"path": tbl})
+    parts = rdr.partitions({"snapshot": -1}, {"snapshot": end})
+    import pyarrow as pa
+
+    rows = {}
+    for p in parts:
+        for b in rdr.read(p):
+            t = pa.Table.from_batches([b])
+            for rid, val in zip(t.column("id").to_pylist(),
+                                t.column("value").to_pylist()):
+                rows[rid] = val
+    assert rows[8] == 80 and rows[0] == 0
+    assert not any(v is None for v in rows.values())
+
+
 def test_stream_cdf_stops_on_schema_change(registered, tbl, spark, tmp_path):
     """The CDF stream keeps the Delta schema-change stop for a
     MID-FLIGHT query (whose resolved contract predates the alter) — and
