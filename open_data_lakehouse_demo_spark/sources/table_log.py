@@ -224,16 +224,26 @@ def _write_data_files(df: DataFrame, path: str, partition_by: list[str] | None) 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    import pyarrow.parquet as pq
+
     rel_files = []
     for root, _dirs, files in os.walk(staging):
         for f in files:
             if not f.endswith(".parquet"):
                 continue
+            src = os.path.join(root, f)
+            # drop ZERO-ROW part files (an empty input partition — e.g.
+            # a union branch that matched nothing): they carry no column
+            # bounds, so _may_match would conservatively scan them for
+            # every future predicate, silently disabling file pruning
+            # on the table (r12: found via update_where's union rewrite)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
             rel_dir = os.path.relpath(root, staging)
             final_dir = os.path.join(_data_dir(path), rel_dir) if rel_dir != "." else _data_dir(path)
             os.makedirs(final_dir, exist_ok=True)
             final = os.path.join(final_dir, f"{token}-{f}")
-            os.rename(os.path.join(root, f), final)
+            os.rename(src, final)
             rel_files.append(os.path.relpath(final, path))
     shutil.rmtree(os.path.join(path, "_staging", token), ignore_errors=True)
     return sorted(rel_files)
@@ -725,14 +735,66 @@ def merge(
     target anti-join source on the keys, then union the full source;
     one shuffle join on the keys, committed as one atomic snapshot.
     Source rows and commit id derive from one pinned snapshot
-    (_pin_latest) so concurrent appends conflict instead of vanishing."""
+    (_pin_latest) so concurrent appends conflict instead of vanishing.
+
+    CHANGE FEED (r12): the upsert is recorded in a ``_changes/``
+    sidecar — matched keys as update_preimage (the replaced target row)
+    / update_postimage (the source row) pairs, unmatched source rows as
+    inserts — so the feed represents a MERGE instead of raising. The
+    SIDECAR IS WRITTEN FIRST and the table rewrite reuses its
+    materialized rows, so ``source`` is evaluated exactly once: a
+    non-deterministic source (sampling, timestamps) cannot make the
+    feed disagree with the table (the update_where single-evaluation
+    contract). CDF-namespace-colliding tables skip the sidecar."""
+    from pyspark.sql import functions as F
+
     latest, prev, txns = _pin_latest(path)
     target = read(spark, path, snapshot=latest)
-    survivors = target.join(source.select(*on).distinct(), on, "left_anti")
-    merged = survivors.select(*target.columns).unionByName(
-        source.select(*target.columns)
-    )
+    cols = target.columns
+    # conform the source to the target's declared types (r12: an INT
+    # source column merged into a BIGINT table used to write mixed-type
+    # files the mergeSchema read then refused)
+    types_by_col = {f.name: f.dataType for f in _schema_of(prev).fields}
+    source = source.select(*[
+        F.col(c).cast(types_by_col[c]).alias(c) if c in types_by_col
+        else F.col(c) for c in cols
+    ])
     partition_by = prev["partition_by"] or None
+    cd: dict = {}
+    if not (set(_CDF_COLS) & set(cols)):
+        tkeys = target.select(*on).distinct()
+        classified = source.select(*cols).join(
+            tkeys.withColumn("__hit", F.lit(True)), on, "left"
+        )
+        post_ins = classified.select(
+            *cols,
+            F.when(F.col("__hit").isNotNull(), F.lit("update_postimage"))
+            .otherwise(F.lit("insert")).alias("_change_type"),
+        )
+        cd_files = _write_change_data(post_ins, path)
+        msrc = (
+            spark.read.parquet(*[os.path.join(path, f) for f in cd_files])
+            if cd_files else None
+        )
+        if msrc is not None:
+            upd_keys = (
+                msrc.filter(F.col("_change_type") == "update_postimage")
+                .select(*on).distinct()
+            )
+            pre = (
+                target.join(upd_keys, on, "left_semi").select(*cols)
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            cd_files = cd_files + _write_change_data(pre, path)
+            src_rows = msrc.drop("_change_type").select(*cols)
+        else:
+            src_rows = source.select(*cols).limit(0)
+        cd = {"change_data": cd_files}
+        survivors = target.join(src_rows.select(*on).distinct(), on, "left_anti")
+        merged = survivors.select(*cols).unionByName(src_rows)
+    else:
+        survivors = target.join(source.select(*on).distinct(), on, "left_anti")
+        merged = survivors.select(*cols).unionByName(source.select(*cols))
     files = _write_data_files(merged, path, partition_by)
     stats = _collect_stats(path, files)
     _enforce_constraints(path, prev, files, stats)
@@ -741,7 +803,7 @@ def merge(
         latest + 1,
         _manifest(
             "merge", files, prev["schema"], partition_by,
-            {"merge_on": on, "txns": txns, **_evo_carry(prev)},
+            {"merge_on": on, "txns": txns, **cd, **_evo_carry(prev)},
             file_stats=stats,
         ),
     )
@@ -1004,6 +1066,17 @@ def _translate_where(m: dict, where: list[tuple], stats: dict | None) -> list[tu
 _DV_BROADCAST_BYTES = 64 * 1024 * 1024
 
 
+def _maybe_broadcast_dvs(df: DataFrame, abs_paths: list[str]) -> DataFrame:
+    """Broadcast the deletion-vector side of an anti-/retraction join
+    while the vector files stay small (MoR's premise); larger sets fall
+    back to a shuffle join. ONE size rule shared by the read path and
+    the change feed (r12 review: it had drifted into two copies)."""
+    from pyspark.sql import functions as F
+
+    total = sum(os.path.getsize(p) for p in abs_paths if os.path.exists(p))
+    return F.broadcast(df) if total < _DV_BROADCAST_BYTES else df
+
+
 def _apply_delete_vectors(
     spark: SparkSession, path: str, m: dict, src: DataFrame
 ) -> DataFrame:
@@ -1011,17 +1084,13 @@ def _apply_delete_vectors(
     (merge-on-read DELETE): ``src`` must carry ``__fname``/``__ri``
     lineage columns. DV rows for files not in this scan simply never
     match — a rewritten or pruned file's stale DV entries are inert."""
-    from pyspark.sql import functions as F
-
     dv_files = m.get("delete_vectors") or []
     if not dv_files:
         return src
     paths = [os.path.join(path, f) for f in dv_files]
     dv = spark.read.parquet(*paths)
     _reject_legacy_dv_keys(spark, paths)
-    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
-    if total < _DV_BROADCAST_BYTES:
-        dv = F.broadcast(dv)
+    dv = _maybe_broadcast_dvs(dv, paths)
     return src.join(dv, on=["__fname", "__ri"], how="left_anti")
 
 
@@ -1461,11 +1530,15 @@ _OPS = ("=", "<", "<=", ">", ">=")
 def _may_match(stats: dict | None, where: list[tuple]) -> bool:
     """Can this file contain a row satisfying the conjunction? Missing
     stats (absent column, unsupported type, legacy manifest) are
-    conservative TRUE — pruning is an optimization, never a filter."""
+    conservative TRUE — pruning is an optimization, never a filter.
+    A recorded ZERO-row file can match nothing (legacy manifests only;
+    _write_data_files no longer commits empty part files)."""
     import datetime as _dt
 
     if not stats:
         return True
+    if stats.get("__nrows") == 0:
+        return False
     for col, op, val in where:
         s = stats.get(col)
         if not s:
@@ -1758,33 +1831,56 @@ def update_where(
     src = _fill_to_contract(_scan(spark, path, prev, touched), prev["schema"])
     src = _ensure_predicate_columns(src, prev["schema"], where)
     cond = F.expr(f"coalesce(({_where_sql(where)}), false)")
-    updated = src.select(*[
-        (F.when(cond, F.expr(set_exprs[c]).cast(types_by_col[c]))
-         .otherwise(F.col(c)).alias(c)) if c in set_exprs else F.col(c)
-        for c in src.columns
-    ])
+    contract_cols = [f.name for f in schema.fields]
+
+    def _post_select(df: DataFrame) -> DataFrame:
+        return df.select(*[
+            (F.expr(set_exprs[c]).cast(types_by_col[c]).alias(c))
+            if c in set_exprs else F.col(c)
+            for c in contract_cols
+        ])
+
+    cd: dict = {}
+    if not (set(_CDF_COLS) & set(contract_cols)):
+        # Change-data sidecar FIRST, then the rewrite REUSES its
+        # materialized postimages: the SET expressions are evaluated in
+        # exactly ONE job, so a non-deterministic expression (rand(),
+        # current_timestamp(), uuid()) cannot make the feed disagree
+        # with the table (r12 review — the predicate itself is
+        # deterministic by construction: where-tuples are col-op-
+        # literal). The key's PRESENCE signals feed representability,
+        # even when a stats false-positive rewrote files but matched
+        # zero rows.
+        matched = src.filter(cond)
+        pre = matched.select(*contract_cols).withColumn(
+            "_change_type", F.lit("update_preimage"))
+        post = _post_select(matched).withColumn(
+            "_change_type", F.lit("update_postimage"))
+        cd_files = _write_change_data(pre.unionByName(post), path)
+        cd = {"change_data": cd_files}
+        unmatched = src.filter(~cond).select(*contract_cols)
+        if cd_files:
+            post_rows = (
+                spark.read.parquet(*[os.path.join(path, f) for f in cd_files])
+                .filter(F.col("_change_type") == "update_postimage")
+                .drop("_change_type")
+            )
+            updated = unmatched.unionByName(post_rows.select(*contract_cols))
+        else:
+            updated = unmatched
+    else:
+        # CDF-namespace-colliding tables (the feed refuses them anyway):
+        # the original one-pass rewrite
+        updated = src.select(*[
+            (F.when(cond, F.expr(set_exprs[c]).cast(types_by_col[c]))
+             .otherwise(F.col(c)).alias(c)) if c in set_exprs else F.col(c)
+            for c in contract_cols
+        ])
     new_files = _write_data_files(updated, path, pb or None)
     new_stats = _collect_stats(path, new_files)
     _enforce_constraints(path, prev, new_files, new_stats)
     file_stats = {f: stats_map[f] for f in untouched if f in stats_map}
     file_stats.update(new_stats)
-    contract_cols = [f.name for f in schema.fields]
-    cd: dict = {}
-    if not (set(_CDF_COLS) & set(contract_cols)):
-        # change-data sidecar: the matched rows, pre- and post-image —
-        # two more bounds-pruned scans of only the touched files, with
-        # the predicate pushed to parquet (cheap next to the rewrite)
-        matched = src.filter(cond)
-        pre = matched.select(*contract_cols).withColumn(
-            "_change_type", F.lit("update_preimage"))
-        post = matched.select(*[
-            (F.expr(set_exprs[c]).cast(types_by_col[c]).alias(c))
-            if c in set_exprs else F.col(c)
-            for c in contract_cols
-        ]).withColumn("_change_type", F.lit("update_postimage"))
-        # the key's PRESENCE signals feed representability, even when a
-        # stats false-positive rewrote files but matched zero rows
-        cd = {"change_data": _write_change_data(pre.unionByName(post), path)}
     _commit(
         path,
         latest + 1,
@@ -1812,10 +1908,16 @@ def update_where(
 def _write_sidecar(df: DataFrame, path: str, dirname: str) -> list[str]:
     """Write a sidecar parquet file set under ``path/dirname/`` with the
     same stage-then-move discipline as data files; returns the relative
-    file paths (empty part files are kept — they are tiny and harmless
-    to every consumer). Shared by the deletion-vector (_deletes/) and
-    change-data (_changes/) writers; a sidecar orphaned by a lost
-    commit race is ordinary age-gated vacuum garbage."""
+    file paths. ZERO-row part files (empty input partitions) are
+    dropped, not committed — an empty deletion vector is inert from
+    birth (it would trip the no-inert-DV invariant and tax every
+    anti-join's file open), and an empty change-data file adds nothing
+    a manifest's ``change_data: []`` doesn't already say. Shared by the
+    deletion-vector (_deletes/) and change-data (_changes/) writers; a
+    sidecar orphaned by a lost commit race is ordinary age-gated vacuum
+    garbage."""
+    import pyarrow.parquet as pq
+
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(path, "_staging", token)
     df.write.mode("overwrite").parquet(staging)
@@ -1825,8 +1927,11 @@ def _write_sidecar(df: DataFrame, path: str, dirname: str) -> list[str]:
     for f in os.listdir(staging):
         if not f.endswith(".parquet"):
             continue
+        src = os.path.join(staging, f)
+        if pq.ParquetFile(src).metadata.num_rows == 0:
+            continue
         final = os.path.join(out_dir, f"{token}-{f}")
-        os.rename(os.path.join(staging, f), final)
+        os.rename(src, final)
         rel_files.append(os.path.relpath(final, path))
     shutil.rmtree(os.path.join(path, "_staging", token), ignore_errors=True)
     return sorted(rel_files)
@@ -1926,15 +2031,25 @@ _METADATA_ONLY_OPS = (
     "add-constraint", "drop-constraint",
 )
 
+#: manifest operations that rewrite FILES but preserve every logical row
+#: (compaction / clustering; materializing already-retracted MoR deletes
+#: does not change the logical row set the walkers have emitted). The
+#: walkers SKIP them instead of raising (r12): routine maintenance must
+#: never break a downstream stream or CDC consumer — exactly Delta's
+#: OPTIMIZE being invisible to readChangeFeed and streaming sources.
+_ROW_PRESERVING_OPS = ("compact", "optimize_zorder")
+
 
 def _op_kind(op: str) -> str:
     """Classify a manifest operation for the change walkers: "append"
-    adds rows only, "metadata" touches no rows, "rewrite" removes or
-    rewrites rows. ONE classifier shared by walk_appends (append-only
-    faces) and table_changes_feed (CDF face), so the faces agree on
-    what each snapshot did."""
+    adds rows only, "metadata" touches no rows, "maintenance" rewrites
+    files but preserves rows, "rewrite" removes or rewrites rows. ONE
+    classifier shared by walk_appends (append-only faces) and
+    table_changes_feed (CDF face), so the faces agree on what each
+    snapshot did."""
     return ("append" if op in ("create", "append")
             else "metadata" if op in _METADATA_ONLY_OPS
+            else "maintenance" if op in _ROW_PRESERVING_OPS
             else "rewrite")
 
 
@@ -1946,8 +2061,12 @@ def walk_appends(path: str, from_snapshot: int, to_snapshot: int,
     ``(from_snapshot, to_snapshot]``. Raises on expired (vacuumed)
     history; raises on a rewrite/delete snapshot unless
     ``ignore_rewrites`` (the no-retraction trade); metadata-only
-    snapshots contribute no files. ``inspect(snapshot, manifest, kind)``
-    — kind ∈ {"append", "metadata", "rewrite"} — runs first for every
+    snapshots contribute no files; ROW-PRESERVING maintenance
+    (compact / zorder — _ROW_PRESERVING_OPS) is SKIPPED, not raised
+    (r12): every row it rewrites was already emitted from its original
+    file, so routine OPTIMIZE never breaks a tailing consumer.
+    ``inspect(snapshot, manifest, kind)`` — kind ∈ {"append",
+    "metadata", "maintenance", "rewrite"} — runs first for every
     in-range snapshot and may raise to impose a stricter policy (the
     streaming source's schema-change stop)."""
     _require_history(path, from_snapshot, to_snapshot)
@@ -2131,13 +2250,15 @@ def _changes_walk(
     REPRESENTED (their new deletion vectors come back attributed to the
     committing snapshot), and so are copy-on-write ops that recorded a
     ``_changes/`` sidecar at commit time (r12: update_where /
-    delete_rows — the manifest's ``change_data`` key IS the
-    representability signal). Sidecar-less rewrites (overwrite / merge
-    / compact / zorder / rollback / legacy snapshots) still raise
-    unless ``ignore_rewrites`` — their manifests record file churn, not
-    row identity. ``inspect(snapshot, manifest, kind)`` runs first for
-    each in-range snapshot (the streaming CDF source's schema-change
-    stop). The caller is responsible for the expired-history check."""
+    delete_rows / merge — the manifest's ``change_data`` key IS the
+    representability signal). ROW-PRESERVING maintenance (compact /
+    zorder) is skipped — no logical row changes to represent.
+    Sidecar-less rewrites (overwrite / delete_where / rollback / legacy
+    snapshots) still raise unless ``ignore_rewrites`` — their manifests
+    record file churn, not row identity. ``inspect(snapshot, manifest,
+    kind)`` runs first for each in-range snapshot (the streaming CDF
+    source's schema-change stop). The caller is responsible for the
+    expired-history check."""
     insert_files: dict[str, int] = {}
     dv_delta: dict[str, int] = {}
     change_files: dict[str, int] = {}
@@ -2201,10 +2322,13 @@ def table_changes_feed(
     retractions) is emitted from the sidecar, Delta's _change_data
     design.
 
-    Still unrepresentable (raise, or skip under ``ignore_rewrites``):
-    sidecar-less rewrites (overwrite / delete_where / merge / compact /
-    zorder / rollback), whose manifests record file churn, not row
-    identity. Emitted rows read under the LATEST manifest's contract
+    MERGE records its upsert pairs and inserts the same way (r12).
+    Row-preserving maintenance (compact / zorder) is SKIPPED — file
+    churn with no logical row change, Delta's OPTIMIZE-is-invisible
+    contract. Still unrepresentable (raise, or skip under
+    ``ignore_rewrites``): sidecar-less rewrites (overwrite /
+    delete_where / rollback), whose manifests record file churn, not
+    row identity. Emitted rows read under the LATEST manifest's contract
     (renames/widens apply to old appends AND old retractions alike).
     Raises on vacuumed history, like every incremental face.
 
@@ -2270,12 +2394,8 @@ def table_changes_feed(
         )
         # broadcast only while the vectors are small (MoR's premise);
         # a bulk delete's positions stay worker-side either way
-        total = sum(
-            os.path.getsize(os.path.join(path, dv))
-            for dv in dv_delta if os.path.exists(os.path.join(path, dv))
-        )
-        if total < _DV_BROADCAST_BYTES:
-            dv_df = F.broadcast(dv_df)
+        dv_df = _maybe_broadcast_dvs(
+            dv_df, [os.path.join(path, dv) for dv in dv_delta])
         dels = rows.join(dv_df, ["__fname", "__ri"])
         parts.append(_with_meta(dels, "delete"))
     if change_files:

@@ -74,6 +74,46 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _split_top_keyword(s: str, kw: str) -> list[str]:
+    """Split ``s`` on word-boundary occurrences of keyword ``kw``
+    (case-insensitive) that sit OUTSIDE quotes and parens — 'WHERE' or
+    'AND' inside a string literal is data, not grammar (r12 review: the
+    regex split used to bind the WHERE inside SET tag = 'a WHERE b')."""
+    parts, buf, depth, q = [], [], 0, None
+    i, n, k = 0, len(s), len(kw)
+    while i < n:
+        c = s[i]
+        if q:
+            buf.append(c)
+            if c == q:
+                if q == "'" and i + 1 < n and s[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    q = None
+        elif c in "'\"`":
+            q = c
+            buf.append(c)
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif (depth == 0 and s[i:i + k].upper() == kw
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_"))):
+            parts.append("".join(buf))
+            buf = []
+            i += k
+            continue
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
 def _literal(tok: str):
     tok = tok.strip()
     if re.fullmatch(r"'(?:[^']|'')*'", tok):
@@ -90,13 +130,13 @@ def _literal(tok: str):
 
 def _parse_predicate(s: str) -> list[tuple]:
     """AND-conjunction of ``col op literal`` → table_log where-tuples."""
-    if re.search(r"(?i)\bOR\b", s):
+    if len(_split_top_keyword(s, "OR")) > 1:
         raise ValueError(
             "unsupported predicate: OR-disjunctions are not stats-prunable "
             "as where-tuples — use tl.delete_where (SQL-string predicate, "
             "full-rewrite semantics) or split into per-branch statements"
         )
-    terms = re.split(r"(?i)\s+AND\s+", s.strip())
+    terms = _split_top_keyword(s.strip(), "AND")
     out = []
     for t in terms:
         m = re.fullmatch(
@@ -128,24 +168,36 @@ def table_dml(spark: SparkSession, stmt: str) -> int:
     See the module docstring for the grammar."""
     s = stmt.strip().rstrip(";").strip()
     m = re.match(
-        r"(?is)^UPDATE\s+(\S+|'[^']*'|`[^`]*`)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
-        s,
+        r"(?is)^UPDATE\s+('[^']*'|`[^`]*`|\S+)\s+SET\s+(.*)$", s
     )
     if m:
         path = _path_of(m.group(1))
+        # quote-aware WHERE split: 'WHERE' inside a SET string literal
+        # is data (r12 review)
+        halves = _split_top_keyword(m.group(2), "WHERE")
+        if len(halves) != 2:
+            raise ValueError(
+                "UPDATE needs exactly one top-level WHERE clause "
+                f"(got {len(halves) - 1} in {stmt!r})"
+            )
         sets = {}
-        for a in _split_top(m.group(2)):
+        for a in _split_top(halves[0]):
             am = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", a, re.S)
             if not am:
                 raise ValueError(f"unsupported SET assignment {a!r}")
             sets[am.group(1)] = am.group(2).strip()
-        return tl.update_where(spark, path, _parse_predicate(m.group(3)), sets)
+        return tl.update_where(spark, path, _parse_predicate(halves[1]), sets)
     m = re.match(
-        r"(?is)^DELETE\s+FROM\s+(\S+|'[^']*'|`[^`]*`)\s+WHERE\s+(.*)$", s
+        r"(?is)^DELETE\s+FROM\s+('[^']*'|`[^`]*`|\S+)\s+(.*)$", s
     )
     if m:
+        halves = _split_top_keyword(m.group(2), "WHERE")
+        if len(halves) != 2 or halves[0]:
+            raise ValueError(
+                f"DELETE FROM needs exactly one WHERE clause, got {stmt!r}"
+            )
         return tl.delete_rows(
-            spark, _path_of(m.group(1)), _parse_predicate(m.group(2))
+            spark, _path_of(m.group(1)), _parse_predicate(halves[1])
         )
     m = re.match(
         r"(?is)^OPTIMIZE\s+('[^']*'|`[^`]*`)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$",
@@ -168,9 +220,9 @@ def table_dml(spark: SparkSession, stmt: str) -> int:
         r"(?is)^VACUUM\s+('[^']*'|`[^`]*`)(?:\s+KEEP\s+(\d+))?\s*$", s
     )
     if m:
-        tl.vacuum(spark, _path_of(m.group(1)),
-                  keep_last=int(m.group(2)) if m.group(2) else 1)
-        return tl._list_snapshots(_path_of(m.group(1)))[-1]
+        p = _path_of(m.group(1))
+        tl.vacuum(spark, p, keep_last=int(m.group(2)) if m.group(2) else 1)
+        return tl._list_snapshots(p)[-1]
     raise ValueError(
         f"unsupported statement {stmt!r}: the text face covers "
         "UPDATE/DELETE/OPTIMIZE [ZORDER BY|TARGET]/VACUUM over quoted "

@@ -23,11 +23,14 @@ Built on Spark 4's Python DataSource API (pyspark.sql.datasource):
     them, the no-retraction trade); a schema-changing alter fails the
     stream with a restart instruction, like Delta's schema-change stop.
   * CHANGE DATA FEED (r11): ``option("readChangeFeed", "true")`` on
-    either face — rows plus ``_change_type`` ('insert'|'delete') and
-    ``_commit_snapshot``, Delta's readChangeFeed. Merge-on-read deletes
-    are RESOLVED to retraction rows instead of stopping the stream
-    (retractions travel as data records — Structured Streaming sources
-    are append-only, exactly how Delta ships CDC); batch supports
+    either face — rows plus ``_change_type`` ('insert' | 'delete' |
+    'update_preimage' | 'update_postimage') and ``_commit_snapshot``,
+    Delta's readChangeFeed. Merge-on-read deletes are RESOLVED to
+    retraction rows instead of stopping the stream (retractions travel
+    as data records — Structured Streaming sources are append-only,
+    exactly how Delta ships CDC); COW update_where / delete_rows /
+    merge emit from their ``_changes/`` sidecars (r12); row-preserving
+    maintenance (compact / zorder) is invisible; batch supports
     ``startingSnapshot`` (exclusive) / ``endingSnapshot`` (inclusive).
     Shares tl._changes_walk with table_changes_feed, one walk for every
     face.
@@ -379,7 +382,7 @@ def _stop_on_schema_change(want):
     TABLE columns (CDF metadata columns excluded by the caller)."""
 
     def inspect(s, m, kind):
-        if (kind in ("metadata", "rewrite")
+        if (kind in ("metadata", "rewrite", "maintenance")
                 or (kind == "append" and m.get("schema_evolved"))):
             got = [
                 (f["name"], f["type"])

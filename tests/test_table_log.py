@@ -1299,12 +1299,18 @@ def test_table_changes_feed_emits_inserts_and_delete_retractions(
     feed3, hw3 = tl.table_changes_feed(spark, path, 3)
     assert hw3 == 3 and feed3.count() == 0
     assert "_change_type" in feed3.columns
-    # copy-on-write rewrites remain unrepresentable: raise, or skip
+    # row-preserving maintenance is SKIPPED, not raised (r12): OPTIMIZE
+    # must never break a CDC consumer — the rows compact materializes
+    # were already retracted when their deletion vector committed
     tl.compact(spark, path, target_files=1)  # snap 4
-    with pytest.raises(ValueError, match="copy-on-write"):
-        tl.table_changes_feed(spark, path, 3)
-    feed4, hw4 = tl.table_changes_feed(spark, path, 3, ignore_rewrites=True)
+    feed4, hw4 = tl.table_changes_feed(spark, path, 3)
     assert hw4 == 4 and feed4.count() == 0
+    # sidecar-less rewrites (overwrite) remain unrepresentable
+    tl.overwrite(spark, path, tl.read(spark, path).filter("id < 100"))
+    with pytest.raises(ValueError, match="copy-on-write"):
+        tl.table_changes_feed(spark, path, 4)
+    feed5, hw5 = tl.table_changes_feed(spark, path, 4, ignore_rewrites=True)
+    assert hw5 == 5 and feed5.count() == 0
 
 
 def test_table_changes_feed_latest_contract_and_collision_guard(
@@ -1647,6 +1653,115 @@ def test_table_changes_feed_represents_cow_update(spark, tmp_path):
         assert f2.count() == 0
 
 
+def test_table_changes_feed_represents_merge_upserts(spark, tmp_path):
+    """r12: MERGE records its upsert pairs (update_preimage /
+    update_postimage) and its inserts in the _changes/ sidecar; the
+    feed represents it and a CDC mirror converges without re-seeding."""
+    path = str(tmp_path / "src")
+    tl.create(spark, path, spark.range(6).select(
+        "id", (F.col("id") * 10).alias("v")).coalesce(1))
+    s0 = tl._list_snapshots(path)[-1]
+    src = spark.createDataFrame([(2, 777), (3, 888), (100, 999)],
+                                "id long, v long")
+    s1 = tl.merge(spark, path, src, on=["id"])
+    feed, hw = tl.table_changes_feed(spark, path, s0)
+    assert hw == s1
+    got = sorted((r["id"], r["_change_type"], r["v"]) for r in feed.collect())
+    assert got == [
+        (2, "update_postimage", 777), (2, "update_preimage", 20),
+        (3, "update_postimage", 888), (3, "update_preimage", 30),
+        (100, "insert", 999),
+    ]
+    # append-only face still refuses (a merge is not an append)
+    with pytest.raises(ValueError, match="rewrote"):
+        tl.table_changes(spark, path, s0)
+    # CDC mirror seeded BEFORE the merge converges through the feed
+    mirror = str(tmp_path / "m")
+    tl.create(spark, mirror, tl.read(spark, path, snapshot=s0))
+    tl.sync_increment(spark, path, mirror, keys=["id"], writer_id="w")
+    assert {tuple(r) for r in tl.read(spark, mirror).collect()} == \
+        {tuple(r) for r in tl.read(spark, path).collect()}
+
+
+def test_merge_sidecar_single_evaluation_of_source(spark, tmp_path):
+    """r12: a NON-DETERMINISTIC merge source (rand) must land the SAME
+    values in the table and in the feed — the sidecar materializes the
+    source once and the rewrite reuses it."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(4).select(
+        "id", F.lit(0).alias("v")).coalesce(1))
+    s0 = tl._list_snapshots(path)[-1]
+    src = spark.range(2, 6).select(
+        "id", F.expr("cast(rand() * 1000000000 as bigint)").alias("v"))
+    tl.merge(spark, path, src, on=["id"])
+    table_vals = {r["id"]: r["v"] for r in tl.read(spark, path).collect()}
+    feed, _ = tl.table_changes_feed(spark, path, s0)
+    feed_vals = {r["id"]: r["v"] for r in feed.collect()
+                 if r["_change_type"] in ("update_postimage", "insert")}
+    assert set(feed_vals) == {2, 3, 4, 5}
+    assert all(table_vals[k] == feed_vals[k] for k in feed_vals), \
+        (table_vals, feed_vals)
+
+
+def test_maintenance_ops_are_invisible_to_all_tailing_faces(spark, tmp_path):
+    """r12: compact / compact_small_files / optimize_zorder preserve
+    every logical row — the append-only walk AND the change feed skip
+    them (Delta's OPTIMIZE-is-invisible contract), so routine
+    maintenance never breaks a downstream stream or CDC pipeline."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(6).select(
+        "id", (F.col("id") * 10).alias("v")).coalesce(1))
+    s0 = tl._list_snapshots(path)[-1]
+    tl.append(spark, path, spark.range(10, 12).select(
+        "id", (F.col("id") * 10).alias("v")).coalesce(1))
+    tl.compact(spark, path, target_files=1)
+    tl.optimize_zorder(spark, path, ["id"], target_files=1)
+    tl.append(spark, path, spark.range(20, 21).select(
+        "id", (F.col("id") * 10).alias("v")).coalesce(1))
+    # append-only face: both appends flow, maintenance contributes nothing
+    df, hw = tl.table_changes(spark, path, s0)
+    assert sorted(r["id"] for r in df.collect()) == [10, 11, 20]
+    # CDF face: same three inserts, nothing else
+    feed, hw2 = tl.table_changes_feed(spark, path, s0)
+    got = sorted((r["id"], r["_change_type"]) for r in feed.collect())
+    assert got == [(10, "insert"), (11, "insert"), (20, "insert")]
+    assert hw == hw2 == tl._list_snapshots(path)[-1]
+    # MoR retractions still flow through a later compaction's shadow:
+    # the retraction was attributed to the delete-mor snapshot itself
+    s_pre = hw
+    tl.delete_rows_mor(spark, path, [("id", "=", 4)])
+    tl.compact_small_files(spark, path, target_bytes=10**6)
+    feed2, _ = tl.table_changes_feed(spark, path, s_pre)
+    assert [(r["id"], r["_change_type"]) for r in feed2.collect()] == \
+        [(4, "delete")]
+
+
+def test_update_sidecar_is_single_evaluation_of_set_exprs(spark, tmp_path):
+    """r12 review: a NON-DETERMINISTIC SET expression (rand, uuid,
+    current_timestamp) must produce the SAME values in the table and in
+    the change feed — the rewrite reuses the sidecar's materialized
+    postimages, so the expression is evaluated in exactly one job. The
+    old two-scan design silently diverged a CDC mirror forever."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(6).select(
+        "id", F.lit(0).alias("v")).coalesce(1))
+    s0 = tl._list_snapshots(path)[-1]
+    tl.update_where(spark, path, [("id", "<", 4)],
+                    {"v": "cast(rand() * 1000000000 as bigint)"})
+    table_vals = {r["id"]: r["v"] for r in tl.read(spark, path).collect()}
+    feed, _ = tl.table_changes_feed(spark, path, s0)
+    post_vals = {r["id"]: r["v"] for r in feed.collect()
+                 if r["_change_type"] == "update_postimage"}
+    assert set(post_vals) == {0, 1, 2, 3}
+    assert all(table_vals[k] == post_vals[k] for k in post_vals), \
+        (table_vals, post_vals)
+    # and the CDC mirror converges despite the non-determinism
+    mirror = str(tmp_path / "m")
+    tl.sync_increment(spark, path, mirror, keys=["id"], writer_id="w")
+    assert {tuple(r) for r in tl.read(spark, mirror).collect()} == \
+        {tuple(r) for r in tl.read(spark, path).collect()}
+
+
 def test_table_changes_feed_represents_cow_delete_rows(spark, tmp_path):
     """r12: file-granular COW delete_rows records its deleted rows in a
     _changes/ sidecar; the feed emits them as 'delete' retractions —
@@ -1708,8 +1823,9 @@ def test_cdc_mirror_fuzz_update_interleavings(spark, tmp_path):
         m = {tuple(r) for r in tl.read(spark, mirror).select("id", "v").collect()}
         assert m == s, f"step {step} op {op}: mirror diverged"
 
-    for step in range(12):
-        op = rnd.choice(["append", "mor", "cow_delete", "update", "update"])
+    for step in range(14):
+        op = rnd.choice(["append", "mor", "cow_delete", "update", "update",
+                         "merge", "compact"])
         if op == "append":
             n = rnd.randrange(1, 4)
             tl.append(spark, src, spark.range(next_id, next_id + n).select(
@@ -1719,6 +1835,15 @@ def test_cdc_mirror_fuzz_update_interleavings(spark, tmp_path):
             tl.delete_rows_mor(spark, src, [("v", "=", rnd.randrange(5))])
         elif op == "cow_delete":
             tl.delete_rows(spark, src, [("v", "=", rnd.randrange(5))])
+        elif op == "merge":
+            # keys in [0, 50): never collide with append ids (>= 100),
+            # so the source table keeps UNIQUE keys — the keyed-CDC
+            # contract sync_increment(keys=) requires
+            lo = rnd.randrange(0, 47)
+            tl.merge(spark, src, spark.range(lo, lo + 3).select(
+                "id", F.lit(step + 100).alias("v")), on=["id"])
+        elif op == "compact":
+            tl.compact_small_files(spark, src, target_bytes=10**6)
         else:
             tl.update_where(spark, src, [("v", "<", rnd.randrange(1, 5))],
                             {"v": f"v + {rnd.randrange(1, 3)}"})

@@ -73,6 +73,22 @@ def test_vacuum_statement(spark, tbl):
     assert tl.read(spark, tbl).count() == 11
 
 
+def test_keywords_inside_string_literals_are_data(spark, tbl):
+    """r12 review: WHERE/AND inside a quoted literal must parse as data,
+    not grammar — the old regex split bound the WHERE inside
+    SET tag = 'a WHERE b'."""
+    table_dml(spark, f"UPDATE '{tbl}' SET tag = 'a WHERE b' WHERE id = 1")
+    got = {r["id"]: r["tag"] for r in tl.read(spark, tbl).collect()}
+    assert got[1] == "a WHERE b" and got[2] == "a"
+    table_dml(spark, f"UPDATE '{tbl}' SET tag = 'x AND y' WHERE id = 2")
+    got = {r["id"]: r["tag"] for r in tl.read(spark, tbl).collect()}
+    assert got[2] == "x AND y"
+    # AND inside a predicate string literal is data too
+    n0 = tl.read(spark, tbl).count()
+    table_dml(spark, f"DELETE FROM '{tbl}' WHERE tag = 'x AND y'")
+    assert tl.read(spark, tbl).count() == n0 - 1
+
+
 def test_grammar_fails_loud(spark, tbl):
     with pytest.raises(ValueError, match="unsupported predicate"):
         table_dml(spark, f"DELETE FROM '{tbl}' WHERE id < 3 OR id > 8")
