@@ -748,17 +748,47 @@ def merge(
     contract). CDF-namespace-colliding tables skip the sidecar."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import types as T
+
     latest, prev, txns = _pin_latest(path)
     target = read(spark, path, snapshot=latest)
     cols = target.columns
-    # conform the source to the target's declared types (r12: an INT
+    # Conform the source to the target's declared types (r12: an INT
     # source column merged into a BIGINT table used to write mixed-type
-    # files the mergeSchema read then refused)
+    # files the mergeSchema read then refused) — but ONLY along provably
+    # LOSSLESS widenings: sessions run ANSI-off, where cast() silently
+    # NULLs un-parseable values and overflow-wraps, so a blanket cast at
+    # this choke point would corrupt both the table and the CDF sidecar
+    # with no error (r12 review). Anything non-widening raises.
+    _widen_to = {
+        T.LongType(): (T.ByteType(), T.ShortType(), T.IntegerType()),
+        T.IntegerType(): (T.ByteType(), T.ShortType()),
+        T.ShortType(): (T.ByteType(),),
+        T.DoubleType(): (T.ByteType(), T.ShortType(), T.IntegerType(),
+                         T.FloatType()),
+    }
     types_by_col = {f.name: f.dataType for f in _schema_of(prev).fields}
-    source = source.select(*[
-        F.col(c).cast(types_by_col[c]).alias(c) if c in types_by_col
-        else F.col(c) for c in cols
-    ])
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    exprs = []
+    for c in cols:
+        want = types_by_col.get(c)
+        have = src_types.get(c)
+        if want is None or have is None or have == want \
+                or isinstance(have, T.NullType):
+            exprs.append(F.col(c).cast(want).alias(c) if want is not None
+                         else F.col(c))
+        elif have in _widen_to.get(want, ()):
+            exprs.append(F.col(c).cast(want).alias(c))
+        else:
+            raise ValueError(
+                f"merge source column {c!r} has type "
+                f"{have.simpleString()} but the table declares "
+                f"{want.simpleString()}: only lossless widenings are "
+                "cast implicitly (ANSI is off, so a lossy cast would "
+                "silently NULL or wrap values) — cast the source "
+                "explicitly if that is intended"
+            )
+    source = source.select(*exprs)
     partition_by = prev["partition_by"] or None
     cd: dict = {}
     if not (set(_CDF_COLS) & set(cols)):
@@ -1134,14 +1164,17 @@ def _assert_dv_keying(label: str, fnames) -> None:
     manifest path would RESURRECT deleted rows on the read path and
     silently DROP retractions on the CDF path — so any such entry fails
     loudly, not just the first (r12 ADVICE: a mixed-key vector used to
-    slip past the first-entry peek)."""
+    slip past the first-entry peek). NULL keys fail the same way: the
+    writer never produces them (_metadata.file_path is never null), so
+    one can only mean corruption, and it would match no file."""
     for v in fnames:
-        if v is not None and not v.startswith("data/"):
+        if v is None or not v.startswith("data/"):
             raise ValueError(
-                f"deletion vector {label} is keyed by file basename "
-                f"({v!r}) — a legacy format whose keys are ambiguous "
-                "across partitions; restore the pre-delete snapshot "
-                "(rollback) and re-apply the delete"
+                f"deletion vector {label} has entry key {v!r} — not a "
+                "manifest-relative 'data/...' path (legacy basename keys "
+                "are ambiguous across partitions; NULL keys are "
+                "corruption); restore the pre-delete snapshot (rollback) "
+                "and re-apply the delete"
             )
 
 

@@ -41,7 +41,8 @@ _OPS = ("<=", ">=", "=", "<", ">")
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote top level only (a SET expression
-    may contain commas inside function calls or string literals)."""
+    may contain commas inside function calls, string literals, or
+    backtick-quoted identifiers)."""
     out, buf, depth, q = [], [], 0, None
     i = 0
     while i < len(s):
@@ -55,7 +56,7 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
                     i += 1
                 else:
                     q = None
-        elif c in "'\"":
+        elif c in "'\"`":
             q = c
             buf.append(c)
         elif c in "([":
@@ -221,7 +222,14 @@ def table_dml(spark: SparkSession, stmt: str) -> int:
     )
     if m:
         p = _path_of(m.group(1))
-        tl.vacuum(spark, p, keep_last=int(m.group(2)) if m.group(2) else 1)
+        keep = int(m.group(2)) if m.group(2) else 1
+        if keep < 1:
+            raise ValueError(
+                "VACUUM KEEP must be >= 1: keeping zero snapshots would "
+                "delete the whole table (use the Python API's explicit "
+                "keep_last=0 if destruction is really intended)"
+            )
+        tl.vacuum(spark, p, keep_last=keep)
         return tl._list_snapshots(p)[-1]
     raise ValueError(
         f"unsupported statement {stmt!r}: the text face covers "

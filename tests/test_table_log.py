@@ -1683,13 +1683,58 @@ def test_table_changes_feed_represents_merge_upserts(spark, tmp_path):
         {tuple(r) for r in tl.read(spark, path).collect()}
 
 
+def test_merge_rejects_lossy_source_type_mismatch(spark, tmp_path):
+    """r12 review: sessions run ANSI-off, where cast() silently NULLs
+    un-parseable values — merge casts source columns only along
+    provably lossless widenings and raises on anything else, instead of
+    committing corrupted values to the table AND the CDF sidecar."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(4).select(
+        "id", F.col("id").cast("long").alias("v")).coalesce(1))
+    # widening int -> long is implicit
+    tl.merge(spark, path, spark.createDataFrame(
+        [(2, 7), (9, 8)], "id long, v int"), on=["id"])
+    got = {r["id"]: r["v"] for r in tl.read(spark, path).collect()}
+    assert got[2] == 7 and got[9] == 8 and got[0] == 0
+    # lossy string -> long raises, nothing committed
+    before = tl._list_snapshots(path)[-1]
+    with pytest.raises(ValueError, match="lossless widenings"):
+        tl.merge(spark, path, spark.createDataFrame(
+            [(2, "abc")], "id long, v string"), on=["id"])
+    assert tl._list_snapshots(path)[-1] == before
+
+
+def test_null_keyed_deletion_vector_entry_fails_loud(spark, tmp_path):
+    """r12 review: a NULL __fname entry matches no file — it must fail
+    like a basename key, not silently resurrect its deleted row."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(6).select(
+        "id", F.lit("a").alias("tag")).coalesce(1))
+    snap = tl.delete_rows_mor(spark, path, [("id", "<", 2)])
+    m = tl._read_manifest(path, snap)
+    dv_abs = os.path.join(path, m["delete_vectors"][0])
+    t = pq.read_table(dv_abs)
+    pq.write_table(pa.table({
+        "__fname": t.column("__fname").to_pylist() + [None],
+        "__ri": t.column("__ri").to_pylist() + [99],
+    }), dv_abs)
+    with pytest.raises(Exception, match="NULL keys are corruption"):
+        tl.read(spark, path).collect()
+    with pytest.raises(Exception, match="NULL keys are corruption"):
+        tl.table_changes_feed(spark, path, snap - 1)
+
+
 def test_merge_sidecar_single_evaluation_of_source(spark, tmp_path):
     """r12: a NON-DETERMINISTIC merge source (rand) must land the SAME
     values in the table and in the feed — the sidecar materializes the
     source once and the rewrite reuses it."""
     path = str(tmp_path / "t")
     tl.create(spark, path, spark.range(4).select(
-        "id", F.lit(0).alias("v")).coalesce(1))
+        "id", F.lit(0).cast("long").alias("v")).coalesce(1))
     s0 = tl._list_snapshots(path)[-1]
     src = spark.range(2, 6).select(
         "id", F.expr("cast(rand() * 1000000000 as bigint)").alias("v"))

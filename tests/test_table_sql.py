@@ -92,6 +92,10 @@ def test_keywords_inside_string_literals_are_data(spark, tbl):
 def test_grammar_fails_loud(spark, tbl):
     with pytest.raises(ValueError, match="unsupported predicate"):
         table_dml(spark, f"DELETE FROM '{tbl}' WHERE id < 3 OR id > 8")
+    # r12 review: KEEP 0 would delete the whole table on a typo
+    with pytest.raises(ValueError, match="KEEP must be >= 1"):
+        table_dml(spark, f"VACUUM '{tbl}' KEEP 0")
+    assert tl.read(spark, tbl).count() == 10
     with pytest.raises(ValueError, match="quoted"):
         table_dml(spark, f"DELETE FROM {tbl} WHERE id < 3")
     with pytest.raises(ValueError, match="unsupported literal"):

@@ -31,12 +31,18 @@ N_PAIRS = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "5"))
 DUCK_MIN_S = float(os.environ.get("SPARK_GRAFT_AB_DUCK_MIN", "0.5"))
 
 
-def _ref_rows(path: str) -> dict[str, tuple[float, float]]:
+def _ref_rows(path: str, sf_dir: str) -> dict[str, tuple[float, float]]:
     """{query: (spark_median, duck_median)} from BENCH_VS_DUCK.md's main
-    table (the same anchor bench.py uses)."""
+    table (the same anchor bench.py uses) — ONLY when the artifact was
+    generated at the same sf dir (its header records it; r12 review:
+    cross-scale medians would silently drive subset selection and the
+    comparison column)."""
     out: dict[str, tuple[float, float]] = {}
     in_table = False
     with open(path) as f:
+        if f"`{sf_dir}`" not in f.read(4096):
+            return {}
+        f.seek(0)
         for ln in f:
             if re.match(r"\|\s*query\s*\|\s*spark s\s*\|", ln):
                 in_table = True
@@ -69,10 +75,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    refs = _ref_rows(os.path.join(here, "BENCH_VS_DUCK.md"))
+    refs = _ref_rows(os.path.join(here, "BENCH_VS_DUCK.md"), sf_dir)
     subset = sorted(n for n, (_s, d) in refs.items() if d >= DUCK_MIN_S)
     if not subset:
-        print("no CPU-bound rows found", file=sys.stderr)
+        print("no CPU-bound rows found (or BENCH_VS_DUCK.md was generated "
+              f"at a different sf dir than {sf_dir})", file=sys.stderr)
         sys.exit(1)
 
     import gc
