@@ -692,16 +692,58 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
     The rewrite source is pinned to the SAME snapshot the commit id is
     derived from (_pin_latest), so a concurrent append between our read
     and our commit surfaces as CommitConflict — never a silent clobber
-    of its rows."""
+    of its rows.
+
+    CHANGE FEED (r12): the deleted rows land in a ``_changes/`` sidecar
+    as retractions, so the feed represents this DELETE too. The
+    predicate here is ARBITRARY SQL (possibly non-deterministic), so
+    single evaluation is enforced through ROW IDENTITY: the matched
+    rows are written to the sidecar WITH their (__fname, __ri) lineage,
+    and the rewrite keeps exactly the rows whose identity is NOT in the
+    materialized sidecar — the predicate is evaluated once, and the
+    feed's retractions are, row for row, the rows the table lost."""
+    from pyspark.sql import functions as F
+
     latest, prev, txns = _pin_latest(path)
-    # SQL DELETE removes rows where the predicate is TRUE; rows where it
-    # is NULL (e.g. the column is null, or absent from pre-evolution
-    # files and read back as null) SURVIVE — a bare NOT(pred) filter
-    # would silently delete them
-    kept = read(spark, path, snapshot=latest).filter(
-        f"NOT coalesce(({predicate_sql}), false)"
-    )
+    contract_cols = [f["name"] for f in json.loads(prev["schema"])["fields"]]
     partition_by = prev["partition_by"] or None
+    cd: dict = {}
+    if not (set(_CDF_COLS) & set(contract_cols)):
+        src = _fill_to_contract(
+            _scan(spark, path, prev, prev["files"], with_lineage=True),
+            prev["schema"],
+        )
+        # SQL DELETE removes rows where the predicate is TRUE; NULL
+        # survives (see the else branch's comment)
+        matched = src.filter(f"coalesce(({predicate_sql}), false)")
+        cd_files = _write_change_data(
+            matched.select(*contract_cols, "__fname", "__ri")
+            .withColumn("_change_type", F.lit("delete")),
+            path,
+        )
+        cd = {"change_data": cd_files}
+        if cd_files:
+            gone = spark.read.parquet(
+                *[os.path.join(path, f) for f in cd_files]
+            ).select("__fname", "__ri")
+            kept = (
+                src.join(F.broadcast(gone) if sum(
+                    os.path.getsize(os.path.join(path, f)) for f in cd_files
+                ) < _DV_BROADCAST_BYTES else gone,
+                    ["__fname", "__ri"], "left_anti")
+                .select(*contract_cols)
+            )
+        else:
+            kept = src.select(*contract_cols)
+    else:
+        # CDF-namespace-colliding tables: the original one-pass rewrite.
+        # SQL DELETE removes rows where the predicate is TRUE; rows
+        # where it is NULL (e.g. the column is null, or absent from
+        # pre-evolution files and read back as null) SURVIVE — a bare
+        # NOT(pred) filter would silently delete them
+        kept = read(spark, path, snapshot=latest).filter(
+            f"NOT coalesce(({predicate_sql}), false)"
+        )
     files = _write_data_files(kept, path, partition_by)
     _commit(
         path,
@@ -711,7 +753,8 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
             files,
             prev["schema"],
             partition_by,
-            {"predicate": predicate_sql, "txns": txns, **_evo_carry(prev)},
+            {"predicate": predicate_sql, "txns": txns, **cd,
+             **_evo_carry(prev)},
             file_stats=_collect_stats(path, files),
         ),
     )
@@ -2643,7 +2686,8 @@ def _apply_changes(
         n_del = sum(by_type.get(t, 0) for t in _DEL_TYPES)
         ins = out.filter(F.col("_change_type").isin(*_INS_TYPES))
         if n_del == 0:
-            # pure-append delta: pay an append, not a table rewrite
+            # pure-append delta: pay an append, not a table rewrite (an
+            # append is naturally change-feed-representable — no sidecar)
             append(spark, dst_path, ins.select(*data_cols), txn=txn)
             return n_ins
         target = read(spark, dst_path, snapshot=latest)
@@ -2660,14 +2704,64 @@ def _apply_changes(
                     | (F.col("_commit_snapshot") >= F.col("__del_snap")))
             .select(*data_cols)
         )
-        survivors = target.join(dels.select(*keys).distinct(), keys, "left_anti")
+        del_keys = dels.select(*keys).distinct()
+        survivors = target.join(del_keys, keys, "left_anti")
+        # CHAINED CDC (r12): record this apply's OWN downstream changes
+        # in a _changes/ sidecar, so a mirror is itself CDC-consumable
+        # (bronze → silver → gold). Classification against the pinned
+        # target: an applied row whose key existed AND was retracted in
+        # this batch is an update_postimage (its outgoing target row the
+        # matching update_preimage); otherwise insert / delete. The
+        # sidecar is written FIRST and the rewrite reuses its
+        # materialized rows (the single-evaluation contract). Skipped
+        # when the destination's columns collide with the CDF namespace.
+        cd: dict = {}
+        new_rows = ins_keep
+        if not (set(_CDF_COLS) & set(data_cols)):
+            tkeys = target.select(*keys).distinct().withColumn(
+                "__t", F.lit(True))
+            ins_cls = (
+                ins_keep.join(tkeys, keys, "left")
+                .join(del_keys.withColumn("__d", F.lit(True)), keys, "left")
+                .select(
+                    *data_cols,
+                    F.when(F.coalesce(F.col("__t"), F.lit(False))
+                           & F.coalesce(F.col("__d"), F.lit(False)),
+                           F.lit("update_postimage"))
+                    .otherwise(F.lit("insert")).alias("_change_type"),
+                )
+            )
+            cd_files = _write_change_data(ins_cls, dst_path)
+            if cd_files:
+                msrc = spark.read.parquet(
+                    *[os.path.join(dst_path, f) for f in cd_files])
+                new_rows = msrc.drop("_change_type")
+                upd_keys = (
+                    msrc.filter(F.col("_change_type") == "update_postimage")
+                    .select(*keys).distinct().withColumn("__u", F.lit(True))
+                )
+            else:
+                new_rows = ins_keep.limit(0)
+                upd_keys = del_keys.limit(0).withColumn("__u", F.lit(True))
+            outgoing = (
+                target.join(del_keys, keys, "left_semi")
+                .join(upd_keys, keys, "left")
+                .select(
+                    *target.columns,
+                    F.when(F.coalesce(F.col("__u"), F.lit(False)),
+                           F.lit("update_preimage"))
+                    .otherwise(F.lit("delete")).alias("_change_type"),
+                )
+            )
+            cd_files = cd_files + _write_change_data(outgoing, dst_path)
+            cd = {"change_data": cd_files}
         # additive schema evolution, SAME contract as the append branch
         # (review finding: projecting inserts onto target.columns made a
         # source-evolved column's survival depend on batch composition —
         # a delete in the batch silently dropped the new column's
         # values). The union null-fills both sides; the committed schema
         # evolves exactly like _append_loop's.
-        merged = survivors.unionByName(ins_keep, allowMissingColumns=True)
+        merged = survivors.unionByName(new_rows, allowMissingColumns=True)
         prev_schema = json.loads(prev["schema"])
         prev_cols = {f["name"] for f in prev_schema["fields"]}
         new_fields = [
@@ -2698,7 +2792,8 @@ def _apply_changes(
             _manifest(
                 "merge", files, schema_json, partition_by,
                 {"merge_on": keys, "txns": {**txns, txn[0]: txn[1]},
-                 "txn_app": txn[0], "txn_version": txn[1], **_evo_carry(prev)},
+                 "txn_app": txn[0], "txn_version": txn[1], **cd,
+                 **_evo_carry(prev)},
                 file_stats=stats,
             ),
         )

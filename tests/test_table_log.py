@@ -1748,6 +1748,70 @@ def test_merge_sidecar_single_evaluation_of_source(spark, tmp_path):
         (table_vals, feed_vals)
 
 
+def test_delete_where_sidecar_row_identity_single_evaluation(spark, tmp_path):
+    """r12: delete_where (ARBITRARY SQL predicate) records its deleted
+    rows in the sidecar keyed by (__fname, __ri) row identity and the
+    rewrite anti-joins that materialized set — so even a
+    NON-DETERMINISTIC predicate (rand) is evaluated once, and the
+    feed's retractions are exactly the rows the table lost."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(100).select(
+        "id", (F.col("id") % 10).alias("v")).coalesce(2))
+    s0 = tl._list_snapshots(path)[-1]
+    before = {r["id"] for r in tl.read(spark, path).collect()}
+    tl.delete_where(spark, path, "rand(7) < 0.5")
+    after = {r["id"] for r in tl.read(spark, path).collect()}
+    lost = before - after
+    feed, _ = tl.table_changes_feed(spark, path, s0)
+    rows = feed.collect()
+    assert {r["_change_type"] for r in rows} <= {"delete"}
+    assert {r["id"] for r in rows} == lost
+    assert 0 < len(lost) < 100  # the predicate actually split the table
+    # deterministic predicate + NULL-survives semantics intact
+    p2 = str(tmp_path / "p2")
+    tl.create(spark, p2, spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id long, v long").coalesce(1))
+    tl.delete_where(spark, p2, "v > 10")
+    assert sorted(r["id"] for r in tl.read(spark, p2).collect()) == [1, 2]
+    feed2, _ = tl.table_changes_feed(spark, p2, 0)
+    assert [(r["id"], r["_change_type"]) for r in feed2.collect()] == \
+        [(3, "delete")]
+
+
+def test_chained_cdc_mirror_of_mirror_converges(spark, tmp_path):
+    """r12: the CDC apply records its OWN downstream changes (insert /
+    delete / update pre+post classified against the pinned target), so
+    a mirror is itself CDC-consumable — the bronze -> silver -> gold
+    chain. After every upstream op, two sync hops converge C to A."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    tl.create(spark, a, spark.range(8).select(
+        "id", (F.col("id") * 10).alias("v")).coalesce(1))
+
+    def chain_and_check(step):
+        tl.sync_increment(spark, a, b, keys=["id"], writer_id="ab")
+        tl.sync_increment(spark, b, c, keys=["id"], writer_id="bc")
+        sa = {tuple(r) for r in tl.read(spark, a).select("id", "v").collect()}
+        sc = {tuple(r) for r in tl.read(spark, c).select("id", "v").collect()}
+        assert sc == sa, f"step {step}: gold diverged from bronze"
+
+    chain_and_check("seed")
+    tl.update_where(spark, a, [("id", "<", 3)], {"v": "v + 1"})
+    chain_and_check("update")
+    tl.delete_rows_mor(spark, a, [("id", "=", 5)])
+    chain_and_check("mor delete")
+    tl.merge(spark, a, spark.createDataFrame(
+        [(6, 999), (100, 111)], "id long, v long"), on=["id"])
+    chain_and_check("merge")
+    tl.delete_where(spark, a, "v >= 999")
+    chain_and_check("delete_where")
+    # replay safety holds across the chain
+    n1, _ = tl.sync_increment(spark, a, b, keys=["id"], writer_id="ab")
+    n2, _ = tl.sync_increment(spark, b, c, keys=["id"], writer_id="bc")
+    assert n1 == 0 and n2 == 0
+
+
 def test_maintenance_ops_are_invisible_to_all_tailing_faces(spark, tmp_path):
     """r12: compact / compact_small_files / optimize_zorder preserve
     every logical row — the append-only walk AND the change feed skip
