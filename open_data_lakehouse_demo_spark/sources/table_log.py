@@ -723,14 +723,14 @@ def delete_where(spark: SparkSession, path: str, predicate_sql: str) -> int:
         )
         cd = {"change_data": cd_files}
         if cd_files:
-            gone = spark.read.parquet(
-                *[os.path.join(path, f) for f in cd_files]
-            ).select("__fname", "__ri")
+            gone = _maybe_broadcast_dvs(
+                spark.read.parquet(
+                    *[os.path.join(path, f) for f in cd_files]
+                ).select("__fname", "__ri"),
+                [os.path.join(path, f) for f in cd_files],
+            )
             kept = (
-                src.join(F.broadcast(gone) if sum(
-                    os.path.getsize(os.path.join(path, f)) for f in cd_files
-                ) < _DV_BROADCAST_BYTES else gone,
-                    ["__fname", "__ri"], "left_anti")
+                src.join(gone, ["__fname", "__ri"], "left_anti")
                 .select(*contract_cols)
             )
         else:
@@ -2326,10 +2326,11 @@ def _changes_walk(
     REPRESENTED (their new deletion vectors come back attributed to the
     committing snapshot), and so are copy-on-write ops that recorded a
     ``_changes/`` sidecar at commit time (r12: update_where /
-    delete_rows / merge — the manifest's ``change_data`` key IS the
-    representability signal). ROW-PRESERVING maintenance (compact /
-    zorder) is skipped — no logical row changes to represent.
-    Sidecar-less rewrites (overwrite / delete_where / rollback / legacy
+    delete_rows / delete_where / merge / the CDC apply's own merge —
+    the manifest's ``change_data`` key IS the representability signal).
+    ROW-PRESERVING maintenance (compact / zorder) is skipped — no
+    logical row changes to represent. Sidecar-less rewrites (overwrite
+    / rollback / CDF-namespace-colliding tables / legacy pre-r12
     snapshots) still raise unless ``ignore_rewrites`` — their manifests
     record file churn, not row identity. ``inspect(snapshot, manifest,
     kind)`` runs first for each in-range snapshot (the streaming CDF
@@ -2368,7 +2369,9 @@ def _changes_walk(
                 "row identity across a file rewrite — re-seed with a full "
                 "read, or pass ignore_rewrites=True to skip it "
                 "(merge-on-read deletes and sidecar-recording DML — "
-                "update_where / delete_rows — ARE represented)"
+                "update_where / delete_rows / delete_where / merge — ARE "
+                "represented; only overwrite, rollback, CDF-colliding "
+                "tables and pre-r12 snapshots are not)"
             )
         prev_files = cur
         prev_dvs = cur_dvs
@@ -2398,13 +2401,17 @@ def table_changes_feed(
     retractions) is emitted from the sidecar, Delta's _change_data
     design.
 
-    MERGE records its upsert pairs and inserts the same way (r12).
-    Row-preserving maintenance (compact / zorder) is SKIPPED — file
-    churn with no logical row change, Delta's OPTIMIZE-is-invisible
-    contract. Still unrepresentable (raise, or skip under
-    ``ignore_rewrites``): sidecar-less rewrites (overwrite /
-    delete_where / rollback), whose manifests record file churn, not
-    row identity. Emitted rows read under the LATEST manifest's contract
+    MERGE records its upsert pairs and inserts the same way (r12), and
+    delete_where — whose predicate is arbitrary SQL — records its
+    matched rows by (__fname, __ri) ROW IDENTITY, the rewrite
+    anti-joining exactly that materialized set (single evaluation even
+    for non-deterministic predicates). Row-preserving maintenance
+    (compact / zorder) is SKIPPED — file churn with no logical row
+    change, Delta's OPTIMIZE-is-invisible contract. Still
+    unrepresentable (raise, or skip under ``ignore_rewrites``):
+    overwrite, rollback, CDF-namespace-colliding tables, and pre-r12
+    snapshots, whose manifests record file churn, not row identity.
+    Emitted rows read under the LATEST manifest's contract
     (renames/widens apply to old appends AND old retractions alike).
     Raises on vacuumed history, like every incremental face.
 
@@ -2717,16 +2724,20 @@ def _apply_changes(
         # when the destination's columns collide with the CDF namespace.
         cd: dict = {}
         new_rows = ins_keep
-        if not (set(_CDF_COLS) & set(data_cols)):
-            tkeys = target.select(*keys).distinct().withColumn(
-                "__t", F.lit(True))
+        if not (set(_CDF_COLS) & set(target.columns)):
+            # keys whose target row is retracted in this batch — the only
+            # set the classifier needs (distincting target ∩ del_keys
+            # bounds the aggregation by the retraction set, never the
+            # whole mirror; r12 review)
+            upd_cand = (
+                target.join(del_keys, keys, "left_semi")
+                .select(*keys).distinct().withColumn("__t", F.lit(True))
+            )
             ins_cls = (
-                ins_keep.join(tkeys, keys, "left")
-                .join(del_keys.withColumn("__d", F.lit(True)), keys, "left")
+                ins_keep.join(upd_cand, keys, "left")
                 .select(
                     *data_cols,
-                    F.when(F.coalesce(F.col("__t"), F.lit(False))
-                           & F.coalesce(F.col("__d"), F.lit(False)),
+                    F.when(F.coalesce(F.col("__t"), F.lit(False)),
                            F.lit("update_postimage"))
                     .otherwise(F.lit("insert")).alias("_change_type"),
                 )

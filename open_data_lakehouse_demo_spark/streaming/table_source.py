@@ -403,21 +403,44 @@ def _stop_on_schema_change(want):
 
 class _TableLogStreamReader(DataSourceStreamReader):
     """Offsets are snapshot ids: {"snapshot": n} means 'everything
-    through snapshot n has been delivered'."""
+    through snapshot n has been delivered'.
+
+    ``option("maxSnapshotsPerTrigger", n)`` rate-limits admission
+    (Delta's maxFilesPerTrigger): every micro-batch AFTER the first
+    advances at most n snapshots past the stream's position, so a
+    bursty upstream (a compaction storm, a bulk load committed while
+    the stream runs) drains as many bounded batches instead of one
+    giant one. HONEST LIMIT: the FIRST batch of a (re)started query is
+    unbounded — the Python DataSource offset API calls latestOffset()
+    before this reader has seen the checkpointed start (no
+    SupportsAdmissionControl surface), so the position is only known
+    once partitions()/latestOffset() have run; capping blind would risk
+    handing Spark an offset BEHIND the checkpoint and re-delivering
+    rows. Measured shape: ends advance in exact n-snapshot steps from
+    the second trigger on (tests/test_table_source.py)."""
 
     def __init__(self, schema, options):
         self.path = options["path"]
         self.ignore_rewrites = options.get("ignorerewrites", "false") == "true"
         self.start_snapshot = int(options.get("startingsnapshot", "-1"))
+        self.max_per_trigger = int(options.get("maxsnapshotspertrigger", "0"))
+        if self.max_per_trigger < 0:
+            raise ValueError("maxSnapshotsPerTrigger must be >= 1 (or unset)")
+        self._pos: int | None = None  # last offset handed out / replayed
         self.schema = schema
         self.arrow_schema = _arrow_schema(schema)
 
     def initialOffset(self) -> dict:
+        self._pos = self.start_snapshot
         return {"snapshot": self.start_snapshot}
 
     def latestOffset(self) -> dict:
         snaps = tl._list_snapshots(self.path)
-        return {"snapshot": snaps[-1] if snaps else -1}
+        latest = snaps[-1] if snaps else -1
+        if self.max_per_trigger and self._pos is not None:
+            latest = min(latest, self._pos + self.max_per_trigger)
+        self._pos = max(latest, self._pos if self._pos is not None else latest)
+        return {"snapshot": latest}
 
     def _want(self):
         return [
@@ -426,6 +449,9 @@ class _TableLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
+        # replay after a restart: re-learn the stream position so the
+        # NEXT latestOffset caps relative to it
+        self._pos = max(hi, self._pos if self._pos is not None else hi)
         if hi <= lo:
             return [_FilePart(abs_path="")]
         inspect = _stop_on_schema_change(self._want())
@@ -481,6 +507,7 @@ class _TableLogStreamCdfReader(_TableLogStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
+        self._pos = max(hi, self._pos if self._pos is not None else hi)
         if hi <= lo:
             return [_FilePart(abs_path="")]
         tl._require_history(self.path, lo, hi)

@@ -1895,6 +1895,28 @@ def test_table_changes_feed_represents_cow_delete_rows(spark, tmp_path):
         sorted(r["id"] for r in tl.read(spark, path).collect())
 
 
+def test_apply_changes_skips_chained_sidecar_on_colliding_destination(
+    spark, tmp_path
+):
+    """r12 review: the chained-CDC collision guard must check the
+    DESTINATION's columns (data_cols excludes the CDF namespace by
+    construction, so the old guard was dead code and a destination with
+    its own '_change_type' column crashed on a duplicate-column sidecar
+    write instead of skipping)."""
+    dst = str(tmp_path / "dst")
+    tl.create(spark, dst, spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, _change_type string").coalesce(1))
+    batch = spark.createDataFrame(
+        [(3, "insert", 5), (1, "delete", 5)],
+        "id long, _change_type string, _commit_snapshot long")
+    n = tl._apply_changes(spark, dst, batch, ["id"], ("w", 5))
+    assert n == 2  # 1 insert + 1 delete applied
+    m = tl._read_manifest(dst, tl._list_snapshots(dst)[-1])
+    assert m["operation"] == "merge" and "change_data" not in m
+    got = {r["id"] for r in tl.read(spark, dst).collect()}
+    assert got == {2, 3}
+
+
 def test_apply_changes_rejects_unknown_change_type(spark, tmp_path):
     """r12 ADVICE: a transform emitting an unrecognized _change_type
     must fail loudly — silently dropping those rows while the txn

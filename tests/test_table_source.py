@@ -453,6 +453,58 @@ def test_cdf_rename_after_range_end_resolves_old_physical(
     assert not any(v is None for v in rows.values())
 
 
+def test_stream_max_snapshots_per_trigger_rate_limits_admission(
+    registered, spark, tmp_path
+):
+    """option('maxSnapshotsPerTrigger', n) (Delta's maxFilesPerTrigger):
+    a backlog committed WHILE the stream runs drains through bounded
+    micro-batches — offset ends advance in exact n-snapshot steps after
+    the first batch (the documented HONEST LIMIT: the first batch of a
+    (re)started query is unbounded, the Python offset API reveals the
+    position only once planning begins). Same rows, exactly-once."""
+    import json
+    import os
+    import time
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(2).coalesce(1).select("id"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("table_log").option("path", path)
+        .option("maxSnapshotsPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(
+                os.path.join(ck, "offsets")):
+            time.sleep(1)
+        time.sleep(3)  # batch 0 drains the seed table
+        for i in range(6):  # backlog builds mid-stream
+            tl.append(spark, path, spark.range(10 + i, 11 + i)
+                      .coalesce(1).select("id"))
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                if spark.read.parquet(out).count() >= 8:
+                    break
+            except Exception:
+                pass
+    finally:
+        q.stop()
+    offd = os.path.join(ck, "offsets")
+    offs = sorted(int(f) for f in os.listdir(offd) if not f.startswith("."))
+    ends = [json.loads(open(os.path.join(offd, str(b))).read()
+                       .splitlines()[-1])["snapshot"] for b in offs]
+    assert spark.read.parquet(out).count() == 8  # nothing lost, no dups
+    # every step after the first batch advances at most 2 snapshots
+    steps = [b - a for a, b in zip(ends, ends[1:])]
+    assert steps and all(s <= 2 for s in steps), (ends, steps)
+    assert len(offs) >= 3  # 6-snapshot backlog / 2 per trigger
+
+
 def test_stream_cdf_stops_on_schema_change(registered, tbl, spark, tmp_path):
     """The CDF stream keeps the Delta schema-change stop for a
     MID-FLIGHT query (whose resolved contract predates the alter) — and
