@@ -34,7 +34,7 @@ STATIC = {
     "S17": ("sources/io.py read_orc/write_orc (partitioned)", "tests/test_io_ddl.py"),
     "S18": ("sources/io.py read_parquet_merged (mergeSchema additive evolution)", "tests/test_io_ddl.py"),
     "S19": ("sources/layout.py write_zordered — Morton-key multi-dim clustered write (codegen bit-interleave, one range shuffle) + footer-stats skip_ratio audit; measured 44%/69% file skip on both clustered dims vs 88%/0% for the single-axis sort", "tests/test_layout.py"),
-    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction; since r10: full ALTER TABLE schema evolution (add/rename/widen/drop as metadata-only commits, physical-name mapping + retired-name reuse guard, conform reads with explicit-schema upcasts and rename-aware stats pruning — tests/test_schema_evolution.py incl. a random-op model check), merge-on-read DELETE via deletion-vector sidecars over _metadata.row_index (tests/test_mor_delete.py), incremental table_changes tailing + exactly-once sync_increment table-to-table steps checkpointed in the txn map, and a first-class Spark data source (streaming/table_source.py: spark.read/readStream.format('table_log'), Arrow-batched per-file worker reads, snapshot-id streaming offsets for checkpointed exactly-once tailing, batch + exactly-once streaming WRITERS with worker-staged parquet and txn-stamped micro-batch commits, and an end-to-end bronze-to-silver medallion pipeline test — tests/test_table_source.py), snapshot tags (immutable named refs via the put-if-absent commit primitive, vacuum-retained), metadata-only COUNT(*) from manifest row counts (deletion-vector-aware), CHECK/NOT NULL constraints enforced footer-stats-first at the one commit choke point (bounds prove compliance OR the exact violation count; partition columns decide from their exact [v,v] stats — tests/test_constraints.py), write-audit-publish staging (stage/read_staged/publish_staged — Iceberg's WAP; r11: the duplicate-publish/discard guard checks ALL retained manifests, so a rewrite can't reopen it), batch time travel by tag/timestamp options, and describe() metadata summaries; since r11: table_changes_feed CHANGE DATA FEED (_change_type insert/delete + _commit_snapshot — MoR deletes emitted as retraction rows, Delta readChangeFeed parity) ALSO surfaced on both data-source faces via option('readChangeFeed','true') (batch with exclusive startingSnapshot / inclusive endingSnapshot; streaming with retractions as data records + the schema-change stop — one shared tl._changes_walk so no face can drift), applied exactly-once by sync_increment(keys=...) (batch MERGE-with-delete-branch) and foreach_batch_changes_applier (the streaming CDC apply sink — the full readChangeFeed→MERGE Delta pattern, txn=(writer_id,batch_id)), chunked constant-memory DSv2 writers (fixed-size Arrow row groups through one ParquetWriter per file) with option('partitionBy',...) hive-layout destinations and a REQUIRED streaming writerId (txnAppId semantics — no path-keyed default that two writers could share), prune-only filter pushdown in the batch reader (Spark 4.1 pushFilters → manifest-stats file skipping, every filter returned for re-evaluation; opt-in option('pushdown','true')), copy-on-write UPDATE (update_where — file-granular like delete_rows, constraint-enforced, DV-aware, type-preserving SET), size-targeted OPTIMIZE (compact_small_files — bin-packs only sub-target files per partition dir, carries the well-sized bulk by reference; the recurring-maintenance twin of the full rewrite compact()), and a 16-op-kind random model check (4 seeds x 50 steps: alters + COW/MoR deletes + UPDATE + tags + constraints + WAP + compaction + rollback interleavings, failure-predicting); since r12: change-data SIDECARS for copy-on-write DML (update_where writes its matched rows as update_preimage/update_postimage records, delete_rows its deleted rows as delete retractions, under _changes/ recorded in the manifest's change_data key — Delta's _change_data design), emitted by table_changes_feed AND both data-source CDF faces through the one shared _changes_walk (COW UPDATE/DELETE no longer stop the feed or force a CDC re-seed; applied exactly-once by sync_increment(keys=)/foreach_batch_changes_applier with retractions-before-insertions-within-a-snapshot ordering, unknown _change_type fails loudly; vacuum sweeps sidecars on the data-file lifecycle; a dedicated CDC-mirror fuzz asserts feed-vs-table equivalence across random append/MoR/COW-delete/UPDATE/MERGE/compaction interleavings); MERGE CDC sidecars (matched keys as update pre/post pairs + unmatched as inserts, written FIRST with the rewrite reusing the materialized rows — source evaluated exactly once, so non-deterministic sources cannot diverge feed from table; same single-evaluation contract as update_where's), row-preserving maintenance INVISIBLE to every tailing face (compact/zorder skipped by both walkers instead of raising — Delta's OPTIMIZE-is-invisible contract, so routine maintenance never breaks a stream or CDC pipeline), zero-row part files never committed (data or sidecar — an empty file has no column bounds and would conservatively defeat file pruning forever; _may_match also short-circuits recorded __nrows=0 legacy files), and source-to-target type casts in merge (mixed-type files used to break the mergeSchema read) restricted to lossless widenings (ANSI-off cast would silently NULL), delete_where CDC via ROW-IDENTITY sidecars (arbitrary — even non-deterministic — SQL predicates: matched rows materialize with (__fname,__ri) lineage, the rewrite anti-joins exactly that set), and CHAINED CDC (the apply's merge branch classifies and records its own downstream insert/delete/update-pair sidecars against the pinned target, so a mirror is itself CDC-consumable: bronze→silver→gold, tested three-deep), DISTRIBUTED change-feed retractions (_dv_delta_df: bulk MoR delete positions flow worker-side — a 10^6-position delete tails without driver materialization; the driver-side reader remains only for the data-source planner whose InputPartitions must carry positions), inert-DV shedding shared by every partial-COW rewrite (_dv_shed in update_where/delete_rows/compact_small_files — the MoR anti-join tax can only shrink), every-entry legacy-DV-key validation (mixed-key vectors fail loudly on all faces), rename-safe CDF/stream planning (physical names resolve through the LATEST manifest, so a rename committed after a range end can no longer silently null-fill), and a SQL-text DML face (sources/table_sql.py: UPDATE/DELETE/OPTIMIZE [TARGET|ZORDER BY]/VACUUM statements routed onto the API, fail-loud grammar — tests/test_table_sql.py) — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
+    "S20": ("sources/table_log.py — snapshot-versioned parquet table format (manifest log, atomic link(2) commits): snapshot-isolated reads, time travel by id/timestamp, roll-forward rollback, COW delete + MERGE upsert, additive schema evolution, vacuum retention, idempotent txn appends (O(1) setTransaction check) + exactly-once foreachBatch streaming sink; since r7: pluggable CommitProtocol (POSIX link / object-store conditional-PUT), per-file column bounds in manifests, plan_scan/read_where driver-side file pruning, file-granular COW delete_rows, OPTIMIZE ZORDER clustered compaction; since r10: full ALTER TABLE schema evolution (add/rename/widen/drop as metadata-only commits, physical-name mapping + retired-name reuse guard, conform reads with explicit-schema upcasts and rename-aware stats pruning — tests/test_schema_evolution.py incl. a random-op model check), merge-on-read DELETE via deletion-vector sidecars over _metadata.row_index (tests/test_mor_delete.py), incremental table_changes tailing + exactly-once sync_increment table-to-table steps checkpointed in the txn map, and a first-class Spark data source (streaming/table_source.py: spark.read/readStream.format('table_log'), Arrow-batched per-file worker reads, snapshot-id streaming offsets for checkpointed exactly-once tailing, batch + exactly-once streaming WRITERS with worker-staged parquet and txn-stamped micro-batch commits, and an end-to-end bronze-to-silver medallion pipeline test — tests/test_table_source.py), snapshot tags (immutable named refs via the put-if-absent commit primitive, vacuum-retained), metadata-only COUNT(*) from manifest row counts (deletion-vector-aware), CHECK/NOT NULL constraints enforced footer-stats-first at the one commit choke point (bounds prove compliance OR the exact violation count; partition columns decide from their exact [v,v] stats — tests/test_constraints.py), write-audit-publish staging (stage/read_staged/publish_staged — Iceberg's WAP; r11: the duplicate-publish/discard guard checks ALL retained manifests, so a rewrite can't reopen it), batch time travel by tag/timestamp options, and describe() metadata summaries; since r11: table_changes_feed CHANGE DATA FEED (_change_type insert/delete + _commit_snapshot — MoR deletes emitted as retraction rows, Delta readChangeFeed parity) ALSO surfaced on both data-source faces via option('readChangeFeed','true') (batch with exclusive startingSnapshot / inclusive endingSnapshot; streaming with retractions as data records + the schema-change stop — one shared tl._changes_walk so no face can drift), applied exactly-once by sync_increment(keys=...) (batch MERGE-with-delete-branch) and foreach_batch_changes_applier (the streaming CDC apply sink — the full readChangeFeed→MERGE Delta pattern, txn=(writer_id,batch_id)), chunked constant-memory DSv2 writers (fixed-size Arrow row groups through one ParquetWriter per file) with option('partitionBy',...) hive-layout destinations and a REQUIRED streaming writerId (txnAppId semantics — no path-keyed default that two writers could share), prune-only filter pushdown in the batch reader (Spark 4.1 pushFilters → manifest-stats file skipping, every filter returned for re-evaluation; opt-in option('pushdown','true')), copy-on-write UPDATE (update_where — file-granular like delete_rows, constraint-enforced, DV-aware, type-preserving SET), size-targeted OPTIMIZE (compact_small_files — bin-packs only sub-target files per partition dir, carries the well-sized bulk by reference; the recurring-maintenance twin of the full rewrite compact()), and a 16-op-kind random model check (4 seeds x 50 steps: alters + COW/MoR deletes + UPDATE + tags + constraints + WAP + compaction + rollback interleavings, failure-predicting); since r12: change-data SIDECARS for copy-on-write DML (update_where writes its matched rows as update_preimage/update_postimage records, delete_rows its deleted rows as delete retractions, under _changes/ recorded in the manifest's change_data key — Delta's _change_data design), emitted by table_changes_feed AND both data-source CDF faces through the one shared _changes_walk (COW UPDATE/DELETE no longer stop the feed or force a CDC re-seed; applied exactly-once by sync_increment(keys=)/foreach_batch_changes_applier with retractions-before-insertions-within-a-snapshot ordering, unknown _change_type fails loudly; vacuum sweeps sidecars on the data-file lifecycle; a dedicated CDC-mirror fuzz asserts feed-vs-table equivalence across random append/MoR/COW-delete/UPDATE/MERGE/compaction interleavings); MERGE CDC sidecars (matched keys as update pre/post pairs + unmatched as inserts, written FIRST with the rewrite reusing the materialized rows — source evaluated exactly once, so non-deterministic sources cannot diverge feed from table; same single-evaluation contract as update_where's), row-preserving maintenance INVISIBLE to every tailing face (compact/zorder skipped by both walkers instead of raising — Delta's OPTIMIZE-is-invisible contract, so routine maintenance never breaks a stream or CDC pipeline), zero-row part files never committed (data or sidecar — an empty file has no column bounds and would conservatively defeat file pruning forever; _may_match also short-circuits recorded __nrows=0 legacy files), and source-to-target type casts in merge (mixed-type files used to break the mergeSchema read) restricted to lossless widenings (ANSI-off cast would silently NULL), delete_where CDC via ROW-IDENTITY sidecars (arbitrary — even non-deterministic — SQL predicates: matched rows materialize with (__fname,__ri) lineage, the rewrite anti-joins exactly that set), and CHAINED CDC (the apply's merge branch classifies and records its own downstream insert/delete/update-pair sidecars against the pinned target, so a mirror is itself CDC-consumable: bronze→silver→gold, tested three-deep), and maxSnapshotsPerTrigger streaming admission control (post-first-batch micro-batches advance at most n snapshots — Delta's maxFilesPerTrigger shape; first-batch unboundedness documented as the Python offset API's honest limit), DISTRIBUTED change-feed retractions (_dv_delta_df: bulk MoR delete positions flow worker-side — a 10^6-position delete tails without driver materialization; the driver-side reader remains only for the data-source planner whose InputPartitions must carry positions), inert-DV shedding shared by every partial-COW rewrite (_dv_shed in update_where/delete_rows/compact_small_files — the MoR anti-join tax can only shrink), every-entry legacy-DV-key validation (mixed-key vectors fail loudly on all faces), rename-safe CDF/stream planning (physical names resolve through the LATEST manifest, so a rename committed after a range end can no longer silently null-fill), and a SQL-text DML face (sources/table_sql.py: UPDATE/DELETE/OPTIMIZE [TARGET|ZORDER BY]/VACUUM statements routed onto the API, fail-loud grammar — tests/test_table_sql.py) — the Iceberg contracts (reference lakehouse_part1_load_data.py:346-409 metadata walk, :505-508 Spark iceberg write; lakehouse_part2_spark_processing.py:163-188 catalog config) without the runtime jar; pluggable CommitProtocol (POSIX link / object-store conditional-PUT seam)", "tests/test_table_log.py"),
     "T11": ("streaming/job.py run_pipeline(available_now=True) — Trigger.AvailableNow drain-then-stop with checkpoint resume", "tests/test_streaming.py"),
     "TX11": ("operators/bpe.py bpe_encode_batch — Arrow-batched BPE tokenizer application (memoized per-word merge chain)", "tests/test_text.py"),
     "T12": ("streaming/job.py parse_envelope(observed=True) — DataFrame.observe data-quality counters (rows/malformed per micro-batch)", "tests/test_streaming.py"),
