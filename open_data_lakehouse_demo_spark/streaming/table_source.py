@@ -423,23 +423,37 @@ class _TableLogStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.ignore_rewrites = options.get("ignorerewrites", "false") == "true"
         self.start_snapshot = int(options.get("startingsnapshot", "-1"))
-        self.max_per_trigger = int(options.get("maxsnapshotspertrigger", "0"))
-        if self.max_per_trigger < 0:
-            raise ValueError("maxSnapshotsPerTrigger must be >= 1 (or unset)")
+        raw = options.get("maxsnapshotspertrigger")
+        self.max_per_trigger = int(raw) if raw is not None else 0
+        if raw is not None and self.max_per_trigger <= 0:
+            # reject 0 explicitly (r12 review): a user writing 0 for
+            # "tightest batches" would silently get UNBOUNDED ones
+            raise ValueError("maxSnapshotsPerTrigger must be >= 1")
         self._pos: int | None = None  # last offset handed out / replayed
         self.schema = schema
         self.arrow_schema = _arrow_schema(schema)
 
+    def _learn(self, offset: int) -> None:
+        """THE position-tracking rule (one spot — r12 review): the
+        stream's admission position only ever moves forward, learned
+        from every offset this reader hands out or sees replayed."""
+        self._pos = max(offset, self._pos if self._pos is not None else offset)
+
     def initialOffset(self) -> dict:
-        self._pos = self.start_snapshot
+        self._learn(self.start_snapshot)
         return {"snapshot": self.start_snapshot}
 
     def latestOffset(self) -> dict:
+        # NOTE (measured): the JVM calls latestOffset BEFORE
+        # initialOffset even on a fresh query, so _pos is None on the
+        # very first call of fresh AND restarted streams alike — that
+        # first batch is unbounded by construction, per the class
+        # docstring's honest limit.
         snaps = tl._list_snapshots(self.path)
         latest = snaps[-1] if snaps else -1
         if self.max_per_trigger and self._pos is not None:
             latest = min(latest, self._pos + self.max_per_trigger)
-        self._pos = max(latest, self._pos if self._pos is not None else latest)
+        self._learn(latest)
         return {"snapshot": latest}
 
     def _want(self):
@@ -451,7 +465,7 @@ class _TableLogStreamReader(DataSourceStreamReader):
         lo, hi = start["snapshot"], end["snapshot"]
         # replay after a restart: re-learn the stream position so the
         # NEXT latestOffset caps relative to it
-        self._pos = max(hi, self._pos if self._pos is not None else hi)
+        self._learn(hi)
         if hi <= lo:
             return [_FilePart(abs_path="")]
         inspect = _stop_on_schema_change(self._want())
@@ -507,7 +521,7 @@ class _TableLogStreamCdfReader(_TableLogStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
-        self._pos = max(hi, self._pos if self._pos is not None else hi)
+        self._learn(hi)
         if hi <= lo:
             return [_FilePart(abs_path="")]
         tl._require_history(self.path, lo, hi)

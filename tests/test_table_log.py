@@ -1981,6 +1981,26 @@ def test_cdc_mirror_fuzz_update_interleavings(spark, tmp_path):
         sync_and_check(step, op)
 
 
+def test_table_changes_feed_retraction_join_plan(spark, tmp_path):
+    """Plan pin: while deletion vectors are small (MoR's premise) the
+    feed's retraction join broadcasts the DV side — no SortMergeJoin,
+    no Cartesian — and the insert branch's file→snapshot map broadcasts
+    too. At 100 TB the retraction read touches only DV-named files with
+    a broadcast join against kilobytes of positions."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("v")).coalesce(2))
+    s0 = tl._list_snapshots(path)[-1]
+    tl.append(spark, path, spark.range(2000, 2010).select(
+        "id", (F.col("id") % 7).alias("v")).coalesce(1))
+    tl.delete_rows_mor(spark, path, [("v", "=", 3)])
+    feed, _ = tl.table_changes_feed(spark, path, s0)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_table_changes_feed_bulk_mor_delete_is_distributed(
     spark, tmp_path, monkeypatch
 ):
