@@ -2264,9 +2264,12 @@ def _dv_delta_df(spark: SparkSession, path: str,
     never by deleted-position count). Replaces the feed's driver
     materialization of every position (r12 VERDICT #2): a bulk MoR
     delete of 10⁶ rows now flows worker-side through the retraction
-    join. One Spark read per committing snapshot (its files get that
-    snapshot as a literal column); legacy basename keys fail loudly
-    from the same distinct-filename pass that plans the touched scan."""
+    join — and the data-source CDF face matches (r13): its delete
+    partitions carry DV file PATHS, read in _read_cdf_part worker-side,
+    so no face materializes positions on the driver. One Spark read per
+    committing snapshot (its files get that snapshot as a literal
+    column); legacy basename keys fail loudly from the same
+    distinct-filename pass that plans the touched scan."""
     from pyspark.sql import functions as F
 
     by_snap: dict[int, list[str]] = {}
@@ -2284,30 +2287,6 @@ def _dv_delta_df(spark: SparkSession, path: str,
     ]
     _assert_dv_keying(f"in {sorted(dv_delta)}", touched)
     return out, sorted(touched)
-
-
-def _dv_entries(path: str, dv_delta: dict[str, int]) -> list[tuple]:
-    """Read a range's new deletion vectors ONCE, driver-side: [(rel data
-    file, row_index, committing snapshot), ...], with the legacy
-    basename-key rejection applied inline on the same pass (review
-    finding: the feed used to read each DV parquet three times —
-    legacy check, touched-set scan, per-file Spark read). Used only by
-    the data-source CDF planner, whose InputPartitions must carry the
-    positions by API design; the DataFrame feed uses the distributed
-    _dv_delta_df instead (r12). MoR's premise is deletes ≪ data, so
-    this materialization is small by construction — and a table whose
-    vectors outgrow it should compact, which clears them."""
-    import pyarrow.parquet as pq
-
-    out: list[tuple] = []
-    for dv, s in sorted(dv_delta.items()):
-        t = pq.read_table(os.path.join(path, dv))
-        fnames = t.column("__fname").to_pylist()
-        _assert_dv_keying(dv, fnames)  # every entry, not a first-row peek
-        out.extend(
-            (f, ri, s) for f, ri in zip(fnames, t.column("__ri").to_pylist())
-        )
-    return out
 
 
 def _changes_walk(

@@ -5,15 +5,26 @@ source (DSv2 DML hooks are JVM-only), so the reference-shaped SQL verbs
 get a thin TEXT face instead: one parser mapping each statement onto the
 table_log API — the exact pattern Delta used pre-3.0 for ``VACUUM``/
 ``OPTIMIZE`` text commands. The Python API is the full surface; this
-face covers the four operational verbs an admin runbook actually types.
+face covers the five operational verbs an admin runbook actually types.
 
 Grammar (deliberately small, fail-loud):
 
     UPDATE '<path>' SET col = <expr>[, col = <expr> ...] WHERE <pred>
     DELETE FROM '<path>' WHERE <pred>
+    MERGE INTO '<path>' USING <source> ON (key[, key ...])
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
     OPTIMIZE '<path>' [TARGET <bytes>]
     OPTIMIZE '<path>' ZORDER BY (col[, col ...])
     VACUUM '<path>' [KEEP <n>]
+
+``<source>`` is another quoted logged-table path or a parenthesized
+SELECT (run as Spark SQL, so temp views work). The WHEN pair is
+REQUIRED verbatim (Delta's SET * / INSERT * shorthand): it spells out
+the exact upsert ``tl.merge`` implements — matched rows replaced by
+the source row, unmatched source rows inserted, CDC sidecar recorded.
+Conditional clauses, column-level SET lists, and WHEN MATCHED DELETE
+are not in the grammar; they fail loudly at the Python API pointer.
 
 ``<pred>`` is an AND-conjunction of ``col <op> literal`` terms
 (ops ``= < <= > >=``; literals: numbers or single-quoted strings) —
@@ -201,6 +212,51 @@ def table_dml(spark: SparkSession, stmt: str) -> int:
             spark, _path_of(m.group(1)), _parse_predicate(halves[1])
         )
     m = re.match(
+        r"(?is)^MERGE\s+INTO\s+('[^']*'|`[^`]*`|\S+)\s+USING\s+(.*)$", s
+    )
+    if m:
+        path = _path_of(m.group(1))
+        on_parts = _split_top_keyword(m.group(2), "ON")
+        if len(on_parts) != 2:
+            raise ValueError(
+                "MERGE INTO needs exactly one top-level ON clause "
+                f"(got {len(on_parts) - 1} in {stmt!r}); a subquery "
+                "source's own ONs must sit inside its parentheses"
+            )
+        src_tok, tail = on_parts
+        when_parts = _split_top_keyword(tail, "WHEN")
+        keys_m = re.fullmatch(r"\s*\(([^()]*)\)\s*", when_parts[0])
+        keys = ([c.strip() for c in keys_m.group(1).split(",") if c.strip()]
+                if keys_m else [])
+        if not keys_m or not keys:
+            raise ValueError(
+                f"MERGE INTO ON takes a parenthesized key-column list — "
+                f"ON (id) or ON (id, region) — got {when_parts[0]!r}; "
+                "arbitrary join conditions are the Python API (tl.merge)"
+            )
+        clauses = [re.sub(r"\s+", " ", c).strip().upper()
+                   for c in when_parts[1:]]
+        if clauses != ["MATCHED THEN UPDATE SET *",
+                       "NOT MATCHED THEN INSERT *"]:
+            raise ValueError(
+                "MERGE INTO requires exactly 'WHEN MATCHED THEN UPDATE "
+                "SET * WHEN NOT MATCHED THEN INSERT *' — the upsert "
+                "tl.merge implements; conditional clauses, column-level "
+                "SET lists, and WHEN MATCHED DELETE are the Python API "
+                f"(got {when_parts[1:]!r})"
+            )
+        src_tok = src_tok.strip()
+        if re.fullmatch(r"'[^']*'|`[^`]*`", src_tok):
+            source = tl.read(spark, _path_of(src_tok))
+        elif re.fullmatch(r"(?s)\(.*\)", src_tok):
+            source = spark.sql(src_tok[1:-1])
+        else:
+            raise ValueError(
+                f"MERGE INTO USING takes a quoted logged-table path or a "
+                f"parenthesized SELECT, got {src_tok!r}"
+            )
+        return tl.merge(spark, path, source, on=keys)
+    m = re.match(
         r"(?is)^OPTIMIZE\s+('[^']*'|`[^`]*`)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$",
         s,
     )
@@ -233,7 +289,7 @@ def table_dml(spark: SparkSession, stmt: str) -> int:
         return tl._list_snapshots(p)[-1]
     raise ValueError(
         f"unsupported statement {stmt!r}: the text face covers "
-        "UPDATE/DELETE/OPTIMIZE [ZORDER BY|TARGET]/VACUUM over quoted "
-        "table paths — everything else is the Python API "
+        "UPDATE/DELETE/MERGE INTO/OPTIMIZE [ZORDER BY|TARGET]/VACUUM "
+        "over quoted table paths — everything else is the Python API "
         "(open_data_lakehouse_demo_spark.sources.table_log)"
     )

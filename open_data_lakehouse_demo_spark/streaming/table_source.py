@@ -72,7 +72,14 @@ class _FilePart(InputPartition):
     per-field historical physical names, the hive-style partition
     values parsed from the relative path (single-file pyarrow reads do
     not synthesize partition columns), and this file's deleted row
-    positions from the snapshot's deletion vectors (merge-on-read)."""
+    positions from the snapshot's deletion vectors (merge-on-read).
+
+    A CDF **delete** part is different (r13): ``abs_path`` is a
+    deletion-vector SIDECAR file, not a data file — the worker reads
+    the vector, resolves the data files it names under ``root``, and
+    emits the retracted rows itself, so deleted positions never
+    transit the driver or the serialized partition (the same
+    distribution contract as the feed's _dv_delta_df)."""
 
     abs_path: str
     fields: list = field(default_factory=list)  # [(name, [phys...]), ...]
@@ -80,8 +87,8 @@ class _FilePart(InputPartition):
     deleted: list = field(default_factory=list)  # sorted row indices
     # change-feed parts only (option("readChangeFeed", "true")):
     change_type: str = ""  # "" = plain scan part; "insert" | "delete"
-    commit_snapshot: int = -1  # insert parts: the committing snapshot
-    delete_rows: list = field(default_factory=list)  # [(row_index, snap)]
+    commit_snapshot: int = -1  # insert/delete parts: committing snapshot
+    root: str = ""  # delete parts: table root for resolving data files
 
 
 def _partition_values(rel_path: str) -> dict:
@@ -190,13 +197,16 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
     """Yield Arrow batches for one change-feed part: the conformed table
     rows plus the _change_type/_commit_snapshot metadata columns. An
     insert part emits the WHOLE file stamped with its committing
-    snapshot; a delete part emits only the rows named by the range's new
-    deletion-vector entries (positions index FILE order — conform
-    preserves it), each stamped with the deleting snapshot; a
-    change_data part reads a ``_changes/`` sidecar (r12: COW
-    update/delete at commit time), whose ``_change_type`` is DATA in the
-    file — its fields list includes it — stamped with the committing
-    snapshot."""
+    snapshot; a delete part's ``abs_path`` is a deletion-vector SIDECAR
+    (r13): the worker reads the vector here — validating every key, the
+    legacy/NULL-key guard that used to run at planning — groups its
+    positions per named data file, and emits each file's retracted rows
+    (positions index FILE order — conform preserves it), stamped with
+    the deleting snapshot; worker memory is O(one DV part file), the
+    same bound as the task that wrote it. A change_data part reads a
+    ``_changes/`` sidecar (r12: COW update/delete at commit time),
+    whose ``_change_type`` is DATA in the file — its fields list
+    includes it — stamped with the committing snapshot."""
     import pyarrow as pa
 
     if part.change_type == "change_data":
@@ -208,19 +218,38 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
         yield from out.cast(pa.schema(list(arrow_schema))).to_batches()
         return
     base = pa.schema(list(arrow_schema)[:-2])
-    tbl = _conform_table(part, base)
+    full = pa.schema(list(arrow_schema))
+
+    def stamp(tbl):
+        n = tbl.num_rows
+        return tbl.append_column(
+            "_change_type",
+            pa.array([part.change_type] * n, type=pa.string()),
+        ).append_column(
+            "_commit_snapshot",
+            pa.array([part.commit_snapshot] * n, type=pa.int64()),
+        )
+
     if part.change_type == "insert":
-        n = tbl.num_rows
-        snaps = pa.array([part.commit_snapshot] * n, type=pa.int64())
-    else:
-        idx = [ri for ri, _s in part.delete_rows]
-        tbl = tbl.take(pa.array(idx, type=pa.int64()))
-        n = tbl.num_rows
-        snaps = pa.array([s for _ri, s in part.delete_rows], type=pa.int64())
-    out = tbl.append_column(
-        "_change_type", pa.array([part.change_type] * n, type=pa.string())
-    ).append_column("_commit_snapshot", snaps)
-    yield from out.cast(pa.schema(list(arrow_schema))).to_batches()
+        yield from stamp(_conform_table(part, base)).cast(full).to_batches()
+        return
+    # delete: abs_path is the deletion-vector sidecar itself
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(part.abs_path)
+    fnames = t.column("__fname").to_pylist()
+    tl._assert_dv_keying(part.abs_path, fnames)
+    per: dict[str, list] = {}
+    for f, ri in zip(fnames, t.column("__ri").to_pylist()):
+        per.setdefault(f, []).append(ri)
+    for f in sorted(per):
+        data_part = _FilePart(
+            abs_path=os.path.join(part.root, f), fields=part.fields,
+            part_values=_partition_values(f),
+        )
+        tbl = _conform_table(data_part, base)
+        tbl = tbl.take(pa.array(sorted(per[f]), type=pa.int64()))
+        yield from stamp(tbl).cast(full).to_batches()
 
 
 def _arrow_schema(schema):
@@ -233,12 +262,19 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
                     ignore_rewrites: bool, inspect=None) -> list:
     """Driver-side planning for a change-feed range ``(lo, hi]``: one
     insert part per appended file (stamped with its committing
-    snapshot), one delete part per data file named by the range's
-    NEW deletion vectors (positions + their deleting snapshots), and
-    one change_data part per ``_changes/`` sidecar file recorded by an
-    in-range COW update/delete (r12). Shares tl._changes_walk with
-    table_changes_feed, so the DataFrame face and the data-source face
-    cannot drift.
+    snapshot), one delete part per NEW deletion-vector sidecar in the
+    range (carrying the vector's FILE PATH + committing snapshot — the
+    positions themselves are read worker-side by _read_cdf_part, so a
+    bulk MoR delete never materializes on the driver or in the
+    serialized partitions; r13, completing the feed's _dv_delta_df
+    fix on this face), and one change_data part per ``_changes/``
+    sidecar file recorded by an in-range COW update/delete (r12).
+    Retraction parallelism tracks the delete's own write parallelism
+    (one part per DV part file, each written by one deleting task).
+    Planning opens manifests only — never sidecar content; the
+    legacy/NULL-key vector guards run in the partition reader. Shares
+    tl._changes_walk with table_changes_feed, so the DataFrame face
+    and the data-source face cannot drift.
 
     Physical column names resolve through the LATEST manifest, not the
     range-end one (r12 ADVICE): the query schema comes from the latest
@@ -261,16 +297,11 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
             part_values=_partition_values(f),
             change_type="insert", commit_snapshot=s,
         ))
-    if dvd:
-        per_file: dict[str, list] = {}
-        for fname, ri, s in tl._dv_entries(path, dvd):
-            per_file.setdefault(fname, []).append((ri, s))
-        for f, rows in sorted(per_file.items()):
-            parts.append(_FilePart(
-                abs_path=os.path.join(path, f), fields=fields,
-                part_values=_partition_values(f),
-                change_type="delete", delete_rows=sorted(rows),
-            ))
+    for dv, s in sorted(dvd.items()):
+        parts.append(_FilePart(
+            abs_path=os.path.join(path, dv), fields=fields,
+            change_type="delete", commit_snapshot=s, root=path,
+        ))
     # sidecars: _change_type is data in the file; partition values are
     # embedded as ordinary columns (no hive segments in the rel path)
     cd_fields = fields + [("_change_type", ["_change_type"])]
@@ -406,18 +437,32 @@ class _TableLogStreamReader(DataSourceStreamReader):
     through snapshot n has been delivered'.
 
     ``option("maxSnapshotsPerTrigger", n)`` rate-limits admission
-    (Delta's maxFilesPerTrigger): every micro-batch AFTER the first
-    advances at most n snapshots past the stream's position, so a
-    bursty upstream (a compaction storm, a bulk load committed while
-    the stream runs) drains as many bounded batches instead of one
-    giant one. HONEST LIMIT: the FIRST batch of a (re)started query is
-    unbounded — the Python DataSource offset API calls latestOffset()
-    before this reader has seen the checkpointed start (no
-    SupportsAdmissionControl surface), so the position is only known
-    once partitions()/latestOffset() have run; capping blind would risk
-    handing Spark an offset BEHIND the checkpoint and re-delivering
-    rows. Measured shape: ends advance in exact n-snapshot steps from
-    the second trigger on (tests/test_table_source.py)."""
+    (Delta's maxFilesPerTrigger): every micro-batch advances at most n
+    snapshots past the stream's position, so a bursty upstream (a
+    compaction storm, a bulk load committed while the stream runs)
+    drains as many bounded batches instead of one giant one. A FRESH
+    query's first batch is bounded too (r13): its start is known at
+    construction (``startingSnapshot`` / -1 default), so the first
+    latestOffset() caps at ``start + n``. HONEST LIMIT, narrowed from
+    r12: only a RESTARTED query's first batch is unbounded — the
+    Python DataSource offset API calls latestOffset() before this
+    reader has seen the checkpointed position (no
+    SupportsAdmissionControl surface), and capping relative to the
+    option's start would hand Spark an offset BEHIND the checkpoint.
+    The fresh/restart distinction is measured, not assumed: on every
+    restart path (clean stop, and crash with an uncommitted last
+    batch) the engine REPLAYS partitions(checkpointed range) before
+    its first latestOffset() call, so ``_pos is None`` inside
+    latestOffset() can only mean a fresh query; the offsets-handling
+    reader is one long-lived process, so the learned position never
+    resets mid-query. Trade documented for Trigger.AvailableNow: the
+    engine latches the FIRST latestOffset() as the run's stop target
+    (measured), so a fresh AvailableNow run with this option drains n
+    snapshots per run — repeated runs catch up — where before it
+    processed the whole backlog as one unbounded batch (the exact
+    thing the option asks to prevent). Measured shape: ends advance
+    in exact n-snapshot steps from trigger ONE on fresh queries
+    (tests/test_table_source.py)."""
 
     def __init__(self, schema, options):
         self.path = options["path"]
@@ -430,6 +475,7 @@ class _TableLogStreamReader(DataSourceStreamReader):
             # "tightest batches" would silently get UNBOUNDED ones
             raise ValueError("maxSnapshotsPerTrigger must be >= 1")
         self._pos: int | None = None  # last offset handed out / replayed
+        self._first_capped = False  # first latestOffset used the fresh cap
         self.schema = schema
         self.arrow_schema = _arrow_schema(schema)
 
@@ -444,17 +490,50 @@ class _TableLogStreamReader(DataSourceStreamReader):
         return {"snapshot": self.start_snapshot}
 
     def latestOffset(self) -> dict:
-        # NOTE (measured): the JVM calls latestOffset BEFORE
-        # initialOffset even on a fresh query, so _pos is None on the
-        # very first call of fresh AND restarted streams alike — that
-        # first batch is unbounded by construction, per the class
-        # docstring's honest limit.
+        # NOTE (measured, r13): the JVM calls latestOffset BEFORE
+        # initialOffset on a fresh query, but on EVERY restart path it
+        # replays partitions(checkpointed range) first — so _pos is
+        # None here only on a fresh query, whose start the options
+        # already pin (startingSnapshot / -1 default). Fresh first
+        # batch: capped at start + n. Restarted first batch: unbounded
+        # (the checkpointed position is invisible until the replay),
+        # per the class docstring's honest limit.
         snaps = tl._list_snapshots(self.path)
         latest = snaps[-1] if snaps else -1
-        if self.max_per_trigger and self._pos is not None:
-            latest = min(latest, self._pos + self.max_per_trigger)
+        if self.max_per_trigger:
+            if self._pos is None:
+                self._first_capped = True
+            base = self._pos if self._pos is not None else self.start_snapshot
+            latest = min(latest, base + self.max_per_trigger)
         self._learn(latest)
         return {"snapshot": latest}
+
+    def _empty_range(self, lo: int, hi: int) -> bool:
+        """Range admission shared by both stream readers' partitions():
+        learns the replayed position and reports whether the range is
+        empty. TRIPWIRE (r13): ``hi < lo`` with ``lo`` ahead of the
+        constructed start, after the first latestOffset() used the
+        fresh-start cap, means the engine holds a checkpoint this
+        reader never saw — a restart path that skipped the measured
+        partitions-replay. Never observed (clean stop and mid-batch
+        crash both replay first), but if a future engine version took
+        such a path the capped offset would already sit BEHIND the
+        checkpoint in the WAL, and silently returning an empty batch
+        here would let the stream re-deliver the gap on the next
+        restart. Fail loudly instead; restarting without
+        maxSnapshotsPerTrigger (or from a fresh checkpoint) recovers."""
+        if hi < lo and self._first_capped and lo > self.start_snapshot:
+            raise ValueError(
+                f"stream range ({lo}, {hi}] runs backwards after a "
+                "fresh-start-capped first offset: the engine restored a "
+                "checkpoint this reader never learned (unmeasured "
+                "restart path). Restart the query without "
+                "maxSnapshotsPerTrigger for one run, or start a fresh "
+                "checkpoint — continuing could re-deliver rows"
+            )
+        self._learn(lo)
+        self._learn(hi)
+        return hi <= lo
 
     def _want(self):
         return [
@@ -465,8 +544,7 @@ class _TableLogStreamReader(DataSourceStreamReader):
         lo, hi = start["snapshot"], end["snapshot"]
         # replay after a restart: re-learn the stream position so the
         # NEXT latestOffset caps relative to it
-        self._learn(hi)
-        if hi <= lo:
+        if self._empty_range(lo, hi):
             return [_FilePart(abs_path="")]
         inspect = _stop_on_schema_change(self._want())
 
@@ -521,8 +599,7 @@ class _TableLogStreamCdfReader(_TableLogStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
-        self._learn(hi)
-        if hi <= lo:
+        if self._empty_range(lo, hi):
             return [_FilePart(abs_path="")]
         tl._require_history(self.path, lo, hi)
         parts = _cdf_partitions(

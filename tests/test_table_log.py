@@ -6,6 +6,7 @@ streams into tables) in an environment without the Iceberg runtime jar."""
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -2006,9 +2007,14 @@ def test_table_changes_feed_bulk_mor_delete_is_distributed(
 ):
     """r12 (VERDICT #2): the feed's retraction path must never
     materialize deleted positions on the driver — a bulk MoR delete
-    (10⁶ positions) flows worker-side via _dv_delta_df. _dv_entries
-    (the driver-side reader the data-source planner still needs) is
-    monkeypatched to explode if the feed touches it."""
+    (10⁶ positions) flows worker-side via _dv_delta_df. Guard: any
+    driver-process pyarrow content read of a _deletes/ sidecar explodes
+    (r13 — stronger than the old _dv_entries monkeypatch, which is gone
+    now that the data-source planner is distributed too; the feed's
+    legitimate DV touches are JVM-side spark.read.parquet and
+    os.path.getsize, neither of which trips this)."""
+    import pyarrow.parquet as pq
+
     path = str(tmp_path / "t")
     n = 1_000_000
     tl.create(spark, path, spark.range(n).select(
@@ -2016,10 +2022,16 @@ def test_table_changes_feed_bulk_mor_delete_is_distributed(
     s0 = tl._list_snapshots(path)[-1]
     s1 = tl.delete_rows_mor(spark, path, [("v", "<", 4)])
 
-    def boom(*a, **k):
-        raise AssertionError("feed materialized DV positions on the driver")
+    real_read = pq.read_table
 
-    monkeypatch.setattr(tl, "_dv_entries", boom)
+    def guard(source, *a, **k):
+        if "_deletes" in str(source):
+            raise AssertionError(
+                "feed read DV content in the driver process"
+            )
+        return real_read(source, *a, **k)
+
+    monkeypatch.setattr(pq, "read_table", guard)
     feed, hw = tl.table_changes_feed(spark, path, s0)
     assert hw == s1
     agg = feed.groupBy("_change_type").count().collect()
@@ -2029,7 +2041,10 @@ def test_table_changes_feed_bulk_mor_delete_is_distributed(
     # spot-check: every retraction row carries the deleting snapshot
     sample = feed.limit(5).collect()
     assert all(r["_commit_snapshot"] == s1 for r in sample)
-    # and the table itself agrees
+    # and the table itself agrees (plain read legitimately does a
+    # bounded __fname-only key-validation pass driver-side — not under
+    # the guard, which polices the FEED path above)
+    monkeypatch.undo()
     assert tl.read(spark, path).count() == n - n_del
 
 
@@ -2077,10 +2092,26 @@ def test_mixed_key_deletion_vector_fails_loud(spark, base, tmp_path):
     pq.write_table(pa.table({"__fname": mixed, "__ri": ris + [99]}), dv_abs)
     with pytest.raises(Exception, match="basename"):
         tl.read(spark, path).collect()
-    with pytest.raises(Exception, match="basename"):
-        tl._dv_entries(path, {m["delete_vectors"][0]: snap})
     from open_data_lakehouse_demo_spark.streaming import table_source as ts
 
+    # the CDF delete-part reader validates worker-side (r13: planning
+    # no longer opens DV content, so the guard lives in _read_cdf_part)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    part = ts._FilePart(
+        abs_path=dv_abs,
+        fields=[(f.name, tl._phys_names(m, f.name)) for f in schema.fields],
+        change_type="delete", commit_snapshot=snap, root=path,
+    )
+    cdf_schema = ts._arrow_schema(T.StructType(
+        schema.fields + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_snapshot", T.LongType()),
+        ]
+    ))
+    with pytest.raises(Exception, match="basename"):
+        list(ts._read_cdf_part(part, cdf_schema))
     with pytest.raises(Exception, match="basename"):
         ts._deleted_positions(path, m)
 

@@ -275,6 +275,74 @@ def test_batch_cdf_read_matches_table_changes_feed(registered, tbl, spark):
     assert sorted(r["id"] for r in first.collect()) == [8, 9]
 
 
+def test_cdf_bulk_mor_delete_plans_without_driver_positions(
+    registered, spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT #1): the data-source CDF faces must never
+    materialize deleted positions on the driver — the twin of
+    test_table_changes_feed_bulk_mor_delete_is_distributed, repeated on
+    both DSv2 faces. A bulk MoR delete (~571k positions over 1M rows)
+    is planned with (a) a guard that explodes on any driver-process
+    pyarrow content read of a _deletes/ sidecar — planning opens
+    manifests only — and (b) a pickle-size bound on every InputPartition
+    (the old planner packed every (row_index, snapshot) into
+    _FilePart.delete_rows: megabytes; the new delete parts carry the DV
+    file PATH + snapshot). The real end-to-end read then proves the
+    worker-side path delivers exactly the retractions."""
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    n = 1_000_000
+    tl.create(spark, path, spark.range(n).select(
+        "id", (F.col("id") % 7).alias("v")).coalesce(4))
+    s0 = tl._list_snapshots(path)[-1]
+    s1 = tl.delete_rows_mor(spark, path, [("v", "<", 4)])
+
+    real_read = pq.read_table
+
+    def guard(source, *a, **k):
+        if "_deletes" in str(source):
+            raise AssertionError(
+                "CDF planning read DV content in the driver process"
+            )
+        return real_read(source, *a, **k)
+
+    monkeypatch.setattr(pq, "read_table", guard)
+    opts = {"path": path, "readchangefeed": "true"}
+    schema = ts.TableLogDataSource(opts).schema()
+    # batch face: plan in THIS (guarded) process, exactly what the
+    # spawned planner worker would run
+    batch_parts = ts._TableLogBatchCdfReader(
+        schema, {**opts, "startingsnapshot": str(s0)}
+    ).partitions()
+    # streaming face: same planning for the micro-batch range (s0, s1]
+    sr = ts._TableLogStreamCdfReader(schema, opts)
+    stream_parts = sr.partitions({"snapshot": s0}, {"snapshot": s1})
+    for parts in (batch_parts, stream_parts):
+        dels = [p for p in parts if p.change_type == "delete"]
+        assert dels, "bulk MoR delete must plan delete parts"
+        for p in parts:
+            assert len(pickle.dumps(p)) < 4096
+        for p in dels:
+            assert "_deletes" in p.abs_path and p.root == path
+            assert p.commit_snapshot == s1
+    monkeypatch.undo()
+    # end-to-end: the worker-side read delivers exactly the retractions
+    got = (
+        spark.read.format("table_log").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshot", str(s0)).load()
+    )
+    by = {r["_change_type"]: r["count"]
+          for r in got.groupBy("_change_type").count().collect()}
+    n_del = sum(n // 7 + (1 if i < n % 7 else 0) for i in range(4))
+    assert by == {"delete": n_del}
+    sample = got.limit(5).collect()
+    assert all(r["_commit_snapshot"] == s1 for r in sample)
+
+
 def test_stream_cdf_delivers_retractions_exactly_once(
     registered, tbl, spark, tmp_path
 ):
@@ -404,6 +472,88 @@ def test_stream_cdf_delivers_update_pairs_exactly_once(
     )
     q.awaitTermination(180)
     assert _rows(tl.read(spark, dst)) == _rows(tl.read(spark, tbl))
+
+
+def test_stream_fresh_query_first_batch_bounded_by_max_snapshots(
+    registered, spark, tmp_path
+):
+    """r13 (VERDICT #2): a FRESH query's start is known at construction,
+    so under maxSnapshotsPerTrigger=2 a 10-snapshot backlog drains in 5
+    bounded batches FROM TRIGGER ONE — offset ends step -1→1→3→5→7→9 —
+    instead of one unbounded first batch. (Restarted queries keep the
+    documented unbounded first batch; the existing admission test and
+    the restart-replay tests pin that path.)"""
+    import json
+    import os
+    import time
+
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(1).coalesce(1).select("id"))
+    for i in range(9):  # snapshots 1..9: a 10-snapshot backlog pre-start
+        tl.append(spark, path, spark.range(10 + i, 11 + i)
+                  .coalesce(1).select("id"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("table_log").option("path", path)
+        .option("maxSnapshotsPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                if spark.read.parquet(out).count() >= 10:
+                    break
+            except Exception:
+                pass
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 10
+    offd = os.path.join(ck, "offsets")
+    offs = sorted(int(f) for f in os.listdir(offd) if not f.startswith("."))
+    ends = [json.loads(open(os.path.join(offd, str(b))).read()
+                       .splitlines()[-1])["snapshot"] for b in offs]
+    assert ends[:5] == [1, 3, 5, 7, 9], ends
+
+
+def test_stream_fresh_cap_tripwire_on_unlearned_checkpoint(
+    registered, spark, tmp_path
+):
+    """The fresh-start cap's safety net: if the engine ever restored a
+    checkpoint WITHOUT the measured partitions-replay-first behavior,
+    the capped first offset would sit behind the checkpoint — the
+    reader must fail loudly on the backwards range, never hand back an
+    empty batch that lets the stream re-deliver the gap later. A fresh
+    query whose startingSnapshot is ahead of the log (legitimate
+    future-tail) stays an ordinary empty batch."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(2).coalesce(1).select("id"))
+    for i in range(5):
+        tl.append(spark, path, spark.range(10 + i, 11 + i)
+                  .coalesce(1).select("id"))
+    schema = ts.TableLogDataSource({"path": path}).schema()
+    rdr = ts._TableLogStreamReader(
+        schema, {"path": path, "maxsnapshotspertrigger": "2"})
+    assert rdr.latestOffset() == {"snapshot": 1}  # fresh cap: -1 + 2
+    with pytest.raises(ValueError, match="backwards"):
+        rdr.partitions({"snapshot": 4}, {"snapshot": 1})
+    # restart shape: the replay arrives BEFORE the first latestOffset,
+    # so the position is learned and the cap is relative to it
+    rdr2 = ts._TableLogStreamReader(
+        schema, {"path": path, "maxsnapshotspertrigger": "2"})
+    rdr2.partitions({"snapshot": 3}, {"snapshot": 3})  # replayed range
+    assert rdr2.latestOffset() == {"snapshot": 5}      # 3 + 2, not -1 + 2
+    # future-start fresh query: backwards range without the cap flag's
+    # lo>start condition — ordinary empty batch, no tripwire
+    rdr3 = ts._TableLogStreamReader(
+        schema, {"path": path, "maxsnapshotspertrigger": "2",
+                 "startingsnapshot": "10"})
+    assert rdr3.latestOffset() == {"snapshot": 5}  # min(latest, 10+2)
+    parts = rdr3.partitions({"snapshot": 10}, {"snapshot": 5})
+    assert len(parts) == 1 and not parts[0].abs_path
 
 
 def test_cdf_rename_after_range_end_resolves_old_physical(

@@ -1,6 +1,7 @@
-"""SQL-text DML face (sources/table_sql.py): the UPDATE/DELETE/OPTIMIZE/
-VACUUM verbs as statements over the logged format — thin text routing
-onto the table_log API (r12 VERDICT #6), fail-loud outside the grammar.
+"""SQL-text DML face (sources/table_sql.py): the UPDATE/DELETE/MERGE
+INTO/OPTIMIZE/VACUUM verbs as statements over the logged format — thin
+text routing onto the table_log API (r12 VERDICT #6; MERGE r13 #5),
+fail-loud outside the grammar.
 """
 
 from __future__ import annotations
@@ -100,7 +101,60 @@ def test_grammar_fails_loud(spark, tbl):
         table_dml(spark, f"DELETE FROM {tbl} WHERE id < 3")
     with pytest.raises(ValueError, match="unsupported literal"):
         table_dml(spark, f"DELETE FROM '{tbl}' WHERE id < CURRENT_DATE")
-    with pytest.raises(ValueError, match="unsupported statement"):
+    # MERGE is a verb now (r13) — but only the exact upsert grammar
+    with pytest.raises(ValueError, match="key-column list"):
         table_dml(spark, f"MERGE INTO '{tbl}' USING x ON 1=1")
+    with pytest.raises(ValueError, match="quoted logged-table path"):
+        table_dml(
+            spark,
+            f"MERGE INTO '{tbl}' USING x ON (id) WHEN MATCHED THEN "
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="UPDATE SET \\*"):
+        table_dml(
+            spark,
+            f"MERGE INTO '{tbl}' USING '{tbl}' ON (id) "
+            "WHEN MATCHED THEN DELETE",
+        )
     # nothing above committed anything
     assert len(tl._list_snapshots(tbl)) == 1
+
+
+def test_merge_statement_routes_to_merge(spark, tbl, tmp_path):
+    """r13 (VERDICT #5): the fifth runbook verb — MERGE INTO drives
+    tl.merge through text, with its CDC sidecar recorded, from both a
+    parenthesized SELECT source and a quoted logged-table path."""
+    # subquery source: update id 1, insert id 100
+    spark.range(1).createOrReplaceTempView("one")
+    s = table_dml(
+        spark,
+        f"MERGE INTO '{tbl}' USING "
+        "(SELECT x.id, CAST(x.id * 1000 AS LONG) AS v, 'm' AS tag "
+        " FROM (SELECT id + 1 AS id FROM one UNION ALL "
+        "       SELECT 100 AS id FROM one) x) "
+        f"ON (id) "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *;",
+    )
+    got = {r["id"]: (r["v"], r["tag"]) for r in tl.read(spark, tbl).collect()}
+    assert got[1] == (1000, "m") and got[100] == (100000, "m")
+    assert got[2] == (20, "a") and len(got) == 11
+    m = tl._read_manifest(tbl, s)
+    assert m["operation"] == "merge" and m.get("change_data")
+    # the feed represents the text-driven upsert (update pair + insert)
+    feed, _ = tl.table_changes_feed(spark, tbl, s - 1)
+    ch = sorted((r["id"], r["_change_type"]) for r in feed.collect())
+    assert ch == [(1, "update_postimage"), (1, "update_preimage"),
+                  (100, "insert")]
+    # quoted-path source: a second logged table upserts in
+    src = str(tmp_path / "src")
+    tl.create(spark, src, spark.createDataFrame(
+        [(2, 222, "p"), (101, 111, "p")], "id long, v long, tag string"
+    ).coalesce(1))
+    table_dml(
+        spark,
+        f"MERGE INTO `{tbl}` USING '{src}' ON (id) "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r["id"]: (r["v"], r["tag"]) for r in tl.read(spark, tbl).collect()}
+    assert got[2] == (222, "p") and got[101] == (111, "p") and len(got) == 12
