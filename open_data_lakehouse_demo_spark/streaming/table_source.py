@@ -74,12 +74,16 @@ class _FilePart(InputPartition):
     not synthesize partition columns), and this file's deleted row
     positions from the snapshot's deletion vectors (merge-on-read).
 
-    A CDF **delete** part is different (r13): ``abs_path`` is a
-    deletion-vector SIDECAR file, not a data file — the worker reads
-    the vector, resolves the data files it names under ``root``, and
-    emits the retracted rows itself, so deleted positions never
-    transit the driver or the serialized partition (the same
-    distribution contract as the feed's _dv_delta_df)."""
+    A CDF **delete** part comes in two plan shapes (r13), positions
+    worker-side in both — they never transit the driver or the
+    serialized partition (the same distribution contract as the feed's
+    _dv_delta_df): a SCATTER part (``dv_files`` non-empty) is one DATA
+    file plus the small sidecars that name it, one part per touched
+    file — full per-file parallelism for a delete that grazes many
+    files; a BULK part (``dv_files`` empty) is one big SIDECAR
+    (``abs_path`` IS the vector), the worker resolving the data files
+    it names under ``root`` — per-writer-task parallelism with zero
+    planning reads."""
 
     abs_path: str
     fields: list = field(default_factory=list)  # [(name, [phys...]), ...]
@@ -89,6 +93,17 @@ class _FilePart(InputPartition):
     change_type: str = ""  # "" = plain scan part; "insert" | "delete"
     commit_snapshot: int = -1  # insert/delete parts: committing snapshot
     root: str = ""  # delete parts: table root for resolving data files
+    dv_files: list = field(default_factory=list)  # scatter delete parts:
+    # [(abs DV sidecar path, committing snapshot)] naming THIS data file
+
+
+#: CDF delete planning threshold (r13): a deletion-vector sidecar at or
+#: under this footer row count is planned per-DATA-FILE (the planner
+#: reads its bounded __fname column — a few MB of strings at worst,
+#: never positions); above it, per-SIDECAR with zero planning reads.
+#: Balances scatter-delete parallelism against driver transit on bulk
+#: deletes.
+_DV_FANOUT_PLAN_ROWS = 100_000
 
 
 def _partition_values(rel_path: str) -> dict:
@@ -197,12 +212,14 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
     """Yield Arrow batches for one change-feed part: the conformed table
     rows plus the _change_type/_commit_snapshot metadata columns. An
     insert part emits the WHOLE file stamped with its committing
-    snapshot; a delete part's ``abs_path`` is a deletion-vector SIDECAR
-    (r13): the worker reads the vector here — validating every key, the
-    legacy/NULL-key guard that used to run at planning — groups its
-    positions per named data file, and emits each file's retracted rows
-    (positions index FILE order — conform preserves it), stamped with
-    the deleting snapshot; worker memory is O(one DV part file), the
+    snapshot; a delete part (r13) reads its positions HERE, never at
+    planning — a scatter part (``dv_files``) conforms its one data
+    file and takes each small sidecar's positions for it; a bulk part
+    (``abs_path`` IS the sidecar) reads the vector — validating every
+    key, the legacy/NULL-key guard — groups its positions per named
+    data file, and emits each file's retracted rows. Positions index
+    FILE order (conform preserves it); rows are stamped with the
+    deleting snapshot; worker memory is O(one DV part file), the
     same bound as the task that wrote it. A change_data part reads a
     ``_changes/`` sidecar (r12: COW update/delete at commit time),
     whose ``_change_type`` is DATA in the file — its fields list
@@ -220,22 +237,39 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
     base = pa.schema(list(arrow_schema)[:-2])
     full = pa.schema(list(arrow_schema))
 
-    def stamp(tbl):
+    def stamp(tbl, snap):
         n = tbl.num_rows
         return tbl.append_column(
             "_change_type",
             pa.array([part.change_type] * n, type=pa.string()),
         ).append_column(
-            "_commit_snapshot",
-            pa.array([part.commit_snapshot] * n, type=pa.int64()),
+            "_commit_snapshot", pa.array([snap] * n, type=pa.int64()),
         )
 
     if part.change_type == "insert":
-        yield from stamp(_conform_table(part, base)).cast(full).to_batches()
+        tbl = _conform_table(part, base)
+        yield from stamp(tbl, part.commit_snapshot).cast(full).to_batches()
         return
-    # delete: abs_path is the deletion-vector sidecar itself
     import pyarrow.parquet as pq
 
+    if part.dv_files:
+        # scatter part: ONE data file, retractions gathered from each
+        # small sidecar that names it
+        rel = os.path.relpath(part.abs_path, part.root)
+        tbl = _conform_table(part, base)
+        for dv_abs, snap in part.dv_files:
+            t = pq.read_table(dv_abs)
+            fnames = t.column("__fname").to_pylist()
+            tl._assert_dv_keying(dv_abs, fnames)
+            idx = sorted(
+                ri for f, ri in zip(fnames, t.column("__ri").to_pylist())
+                if f == rel
+            )
+            if idx:
+                sub = tbl.take(pa.array(idx, type=pa.int64()))
+                yield from stamp(sub, snap).cast(full).to_batches()
+        return
+    # bulk part: abs_path is the deletion-vector sidecar itself
     t = pq.read_table(part.abs_path)
     fnames = t.column("__fname").to_pylist()
     tl._assert_dv_keying(part.abs_path, fnames)
@@ -249,7 +283,7 @@ def _read_cdf_part(part: _FilePart, arrow_schema):
         )
         tbl = _conform_table(data_part, base)
         tbl = tbl.take(pa.array(sorted(per[f]), type=pa.int64()))
-        yield from stamp(tbl).cast(full).to_batches()
+        yield from stamp(tbl, part.commit_snapshot).cast(full).to_batches()
 
 
 def _arrow_schema(schema):
@@ -262,19 +296,26 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
                     ignore_rewrites: bool, inspect=None) -> list:
     """Driver-side planning for a change-feed range ``(lo, hi]``: one
     insert part per appended file (stamped with its committing
-    snapshot), one delete part per NEW deletion-vector sidecar in the
-    range (carrying the vector's FILE PATH + committing snapshot — the
-    positions themselves are read worker-side by _read_cdf_part, so a
-    bulk MoR delete never materializes on the driver or in the
-    serialized partitions; r13, completing the feed's _dv_delta_df
-    fix on this face), and one change_data part per ``_changes/``
-    sidecar file recorded by an in-range COW update/delete (r12).
-    Retraction parallelism tracks the delete's own write parallelism
-    (one part per DV part file, each written by one deleting task).
-    Planning opens manifests only — never sidecar content; the
-    legacy/NULL-key vector guards run in the partition reader. Shares
-    tl._changes_walk with table_changes_feed, so the DataFrame face
-    and the data-source face cannot drift.
+    snapshot), delete parts for the range's NEW deletion vectors, and
+    one change_data part per ``_changes/`` sidecar file recorded by an
+    in-range COW update/delete (r12). Shares tl._changes_walk with
+    table_changes_feed, so the DataFrame face and the data-source face
+    cannot drift.
+
+    Delete planning (r13, completing the feed's _dv_delta_df fix on
+    this face): positions NEVER materialize on the driver or in the
+    serialized partitions. A SMALL vector (footer row count ≤
+    _DV_FANOUT_PLAN_ROWS) gets one part per data file it names — the
+    planner reads only its bounded ``__fname`` column (key guard runs
+    here, as on the plain-scan planner), so a scatter delete grazing
+    hundreds of files keeps r12's per-file read parallelism. A BIG
+    vector (a bulk delete) gets one part carrying just the vector's
+    FILE PATH + committing snapshot, resolved entirely worker-side
+    (key guard in the partition reader) — parallelism tracks the
+    delete's own write parallelism (one part per DV part file, each
+    written by one deleting task). Honest worst case: ONE writer task
+    that deleted >threshold positions across many files serializes
+    those file reads in one part; compaction clears its vectors.
 
     Physical column names resolve through the LATEST manifest, not the
     range-end one (r12 ADVICE): the query schema comes from the latest
@@ -297,11 +338,30 @@ def _cdf_partitions(path: str, lo: int, hi: int, schema,
             part_values=_partition_values(f),
             change_type="insert", commit_snapshot=s,
         ))
-    for dv, s in sorted(dvd.items()):
-        parts.append(_FilePart(
-            abs_path=os.path.join(path, dv), fields=fields,
-            change_type="delete", commit_snapshot=s, root=path,
-        ))
+    if dvd:
+        import pyarrow.parquet as pq
+
+        scatter: dict[str, list] = {}  # data fname -> [(abs dv, snap)]
+        for dv, s in sorted(dvd.items()):
+            abs_dv = os.path.join(path, dv)
+            if (pq.ParquetFile(abs_dv).metadata.num_rows
+                    <= _DV_FANOUT_PLAN_ROWS):
+                fnames = pq.read_table(
+                    abs_dv, columns=["__fname"]).column("__fname").to_pylist()
+                tl._assert_dv_keying(dv, fnames)
+                for f in dict.fromkeys(fnames):
+                    scatter.setdefault(f, []).append((abs_dv, s))
+            else:
+                parts.append(_FilePart(
+                    abs_path=abs_dv, fields=fields,
+                    change_type="delete", commit_snapshot=s, root=path,
+                ))
+        for f, dvs in sorted(scatter.items()):
+            parts.append(_FilePart(
+                abs_path=os.path.join(path, f), fields=fields,
+                part_values=_partition_values(f),
+                change_type="delete", root=path, dv_files=dvs,
+            ))
     # sidecars: _change_type is data in the file; partition values are
     # embedded as ordinary columns (no hive segments in the rel path)
     cd_fields = fields + [("_change_type", ["_change_type"])]
@@ -500,11 +560,18 @@ class _TableLogStreamReader(DataSourceStreamReader):
         # per the class docstring's honest limit.
         snaps = tl._list_snapshots(self.path)
         latest = snaps[-1] if snaps else -1
+        floor = self._pos if self._pos is not None else self.start_snapshot
         if self.max_per_trigger:
             if self._pos is None:
                 self._first_capped = True
-            base = self._pos if self._pos is not None else self.start_snapshot
-            latest = min(latest, base + self.max_per_trigger)
+            latest = min(latest, floor + self.max_per_trigger)
+        # never hand out an offset BEHIND the stream's start/position
+        # (r13 review, confirmed live): a future-start query
+        # (startingSnapshot ahead of the log) used to return the real
+        # latest, the engine WAL'd the regressed end as the stream
+        # position, and later batches delivered the snapshots the
+        # option had excluded
+        latest = max(latest, floor)
         self._learn(latest)
         return {"snapshot": latest}
 

@@ -326,8 +326,11 @@ def test_cdf_bulk_mor_delete_plans_without_driver_positions(
         for p in parts:
             assert len(pickle.dumps(p)) < 4096
         for p in dels:
+            # bulk shape: the part IS the sidecar (each of the 4 vector
+            # part files holds ~143k positions, over the fan-out
+            # threshold), no per-file fan-out, no positions
             assert "_deletes" in p.abs_path and p.root == path
-            assert p.commit_snapshot == s1
+            assert not p.dv_files and p.commit_snapshot == s1
     monkeypatch.undo()
     # end-to-end: the worker-side read delivers exactly the retractions
     got = (
@@ -341,6 +344,42 @@ def test_cdf_bulk_mor_delete_plans_without_driver_positions(
     assert by == {"delete": n_del}
     sample = got.limit(5).collect()
     assert all(r["_commit_snapshot"] == s1 for r in sample)
+
+
+def test_cdf_scatter_mor_delete_plans_per_data_file(
+    registered, spark, tmp_path
+):
+    """r13 review: a small MoR delete grazing many files must keep
+    r12's per-data-file read parallelism — one scatter part per touched
+    file (carrying the sidecar paths, not positions) instead of one
+    part serializing every file read. End-to-end rows must match the
+    DataFrame feed exactly."""
+    path = str(tmp_path / "t")
+    # 6 data files with disjoint id ranges
+    tl.create(spark, path, spark.range(0, 60).select(
+        "id", (F.col("id") % 10).alias("v")).repartition(6, "id"))
+    s0 = tl._list_snapshots(path)[-1]
+    s1 = tl.delete_rows_mor(spark, path, [("v", "=", 3)])  # 1 row/file-ish
+    opts = {"path": path, "readchangefeed": "true",
+            "startingsnapshot": str(s0)}
+    schema = ts.TableLogDataSource(opts).schema()
+    parts = ts._TableLogBatchCdfReader(schema, opts).partitions()
+    dels = [p for p in parts if p.change_type == "delete"]
+    touched = {p.abs_path for p in dels}
+    assert len(dels) == len(touched) and len(dels) >= 2  # per data file
+    for p in dels:
+        assert p.dv_files and all("_deletes" in dv for dv, _s in p.dv_files)
+        assert all(s == s1 for _dv, s in p.dv_files)
+    got = (
+        spark.read.format("table_log").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshot", str(s0)).load()
+    )
+    feed, _ = tl.table_changes_feed(spark, path, s0)
+    assert _rows(got) == _rows(feed)
+    ids = sorted(r["id"] for r in got.collect()
+                 if r["_change_type"] == "delete")
+    assert ids == [3, 13, 23, 33, 43, 53]
 
 
 def test_stream_cdf_delivers_retractions_exactly_once(
@@ -546,14 +585,49 @@ def test_stream_fresh_cap_tripwire_on_unlearned_checkpoint(
         schema, {"path": path, "maxsnapshotspertrigger": "2"})
     rdr2.partitions({"snapshot": 3}, {"snapshot": 3})  # replayed range
     assert rdr2.latestOffset() == {"snapshot": 5}      # 3 + 2, not -1 + 2
-    # future-start fresh query: backwards range without the cap flag's
-    # lo>start condition — ordinary empty batch, no tripwire
+    # future-start fresh query: the offset CLAMPS to the start instead
+    # of regressing behind it (r13 review, live-confirmed bug: the
+    # engine WALs a behind-start end as the stream position and later
+    # delivers the excluded snapshots) — equal offsets, no batch
     rdr3 = ts._TableLogStreamReader(
         schema, {"path": path, "maxsnapshotspertrigger": "2",
                  "startingsnapshot": "10"})
-    assert rdr3.latestOffset() == {"snapshot": 5}  # min(latest, 10+2)
-    parts = rdr3.partitions({"snapshot": 10}, {"snapshot": 5})
+    assert rdr3.latestOffset() == {"snapshot": 10}  # max(latest, start)
+    parts = rdr3.partitions({"snapshot": 10}, {"snapshot": 10})
     assert len(parts) == 1 and not parts[0].abs_path
+
+
+def test_stream_future_starting_snapshot_never_delivers_excluded_rows(
+    registered, spark, tmp_path
+):
+    """r13 review (live-confirmed): startingSnapshot ahead of the log
+    used to make latestOffset return the real (smaller) latest; the
+    engine WAL'd that regressed end as the stream position, and once
+    the table advanced, the next batch delivered the snapshots the
+    option had excluded. The offset now clamps to the start: rows
+    committed at or before startingSnapshot are NEVER delivered."""
+    path = str(tmp_path / "t")
+    tl.create(spark, path, spark.range(0, 2).coalesce(1).select("id"))
+    tl.append(spark, path, spark.range(100, 102).coalesce(1).select("id"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # snapshot 1 is latest; tail strictly after future snapshot 5 —
+    # this run must deliver nothing AND must not WAL a regressed end
+    q = (
+        spark.readStream.format("table_log").option("path", path)
+        .option("startingSnapshot", "5").load()
+        .writeStream.format("parquet").option("path", out)
+        .trigger(availableNow=True).option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(180)
+    # advance the table THROUGH snapshot 5 and beyond (snapshots 2..7)
+    for i in range(6):
+        tl.append(spark, path, spark.range(200 + i, 201 + i)
+                  .coalesce(1).select("id"))
+    got = _drain(spark, path, out, ck, startingSnapshot="5")
+    ids = sorted(r["id"] for r in got.collect())
+    # only snapshots 6 and 7 (ids 204, 205) — nothing from 2..5, and
+    # nothing from the pre-start snapshots 0..1
+    assert ids == [204, 205], ids
 
 
 def test_cdf_rename_after_range_end_resolves_old_physical(
@@ -608,10 +682,12 @@ def test_stream_max_snapshots_per_trigger_rate_limits_admission(
 ):
     """option('maxSnapshotsPerTrigger', n) (Delta's maxFilesPerTrigger):
     a backlog committed WHILE the stream runs drains through bounded
-    micro-batches — offset ends advance in exact n-snapshot steps after
-    the first batch (the documented HONEST LIMIT: the first batch of a
-    (re)started query is unbounded, the Python offset API reveals the
-    position only once planning begins). Same rows, exactly-once."""
+    micro-batches — offset ends advance in at-most-n-snapshot steps.
+    Since r13 a FRESH query's first batch is bounded too (see
+    test_stream_fresh_query_first_batch_bounded_by_max_snapshots); the
+    remaining HONEST LIMIT is a RESTARTED query's first batch, where
+    the checkpointed position is invisible until the engine's replay.
+    Same rows, exactly-once."""
     import json
     import os
     import time
