@@ -273,59 +273,91 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+_MEDIA_NOKIND_SCHEMA = (
+    "media_id BIGINT, payload BINARY, "
+    "meta STRUCT<width: INT, height: INT, sample_rate: INT, "
+    "duration_ms: INT, codec: STRING>"
+)
+
+
+def _encode_image_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            mid = int(r.media_id)
+            w, h = 32 + mid % 16 * 8, 24 + mid % 9 * 8
+            # mid enters the pixel math only mod 256; normalize
+            # up front so huge ids (scale blow-ups offset ids by
+            # 1e9 per copy) can't overflow the uint16 kernel
+            # under NumPy 2's strict python-int casting
+            m256 = mid % 256
+            xx = np.arange(w, dtype=np.uint16)
+            yy = np.arange(h, dtype=np.uint16)[:, None]
+            arr = np.stack(
+                [
+                    ((xx + yy + m256) % 256).astype(np.uint8),
+                    ((2 * xx + m256) % 256 + 0 * yy).astype(np.uint8),
+                    ((3 * yy + m256) % 256 + 0 * xx).astype(np.uint8),
+                ],
+                axis=2,
+            )
+            meta = {
+                "width": w, "height": h,
+                "sample_rate": 0, "duration_ms": 0, "codec": "bmp",
+            }
+            rows.append({"media_id": mid, "payload": encode_bmp(arr), "meta": meta})
+        yield pd.DataFrame(rows)
+
+
+def _encode_audio_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            mid = int(r.media_id)
+            rate, dur_ms = 8000, 200 + mid % 20 * 50
+            n = rate * dur_ms // 1000
+            t = np.arange(n, dtype=np.float64) / rate
+            x = 0.5 * np.sin(2 * np.pi * (220 + mid % 40 * 20) * t)
+            meta = {
+                "width": 0, "height": 0,
+                "sample_rate": rate, "duration_ms": dur_ms, "codec": "wav16",
+            }
+            rows.append({"media_id": mid, "payload": encode_wav(x, rate), "meta": meta})
+        yield pd.DataFrame(rows)
+
+
 def synth_real_media(docs: DataFrame) -> DataFrame:
     """MEDIA_SCHEMA rows whose payloads are GENUINE media bytes — BMP
     images (deterministic per-id gradient) and WAV audio (per-id sine) —
     so the decode→feature pipeline runs end-to-end through the real
     numpy codecs with analytically predictable features. Encoding runs
     as a mapInPandas stage (constant memory per batch); content is a
-    pure function of media_id, so the table is partition-invariant."""
-    src = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+    pure function of media_id, so the table is partition-invariant.
+
+    Plan shape (r13): one encode branch per kind, each selecting on the
+    JVM-computed kind BEFORE its opaque Python stage, with ``kind``
+    re-attached as a literal AFTER it. A downstream ``kind = 'image'``
+    filter — which Spark cannot push through mapInPandas — then
+    constant-folds against the literal and statically prunes the entire
+    other branch (scan + Python stage), so feature extractors only ever
+    encode the kind they consume. ``spread`` runs before the encode: the
+    single-split local fixture would otherwise serialize the CPU-heavy
+    encode loop on one core (guide §4 — the Python stage is opaque, so
+    partition parallelism must be established upstream)."""
+    src = spread(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        )
     )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                mid = int(r.media_id)
-                if r.kind == "image":
-                    w, h = 32 + mid % 16 * 8, 24 + mid % 9 * 8
-                    # mid enters the pixel math only mod 256; normalize
-                    # up front so huge ids (scale blow-ups offset ids by
-                    # 1e9 per copy) can't overflow the uint16 kernel
-                    # under NumPy 2's strict python-int casting
-                    m256 = mid % 256
-                    xx = np.arange(w, dtype=np.uint16)
-                    yy = np.arange(h, dtype=np.uint16)[:, None]
-                    arr = np.stack(
-                        [
-                            ((xx + yy + m256) % 256).astype(np.uint8),
-                            ((2 * xx + m256) % 256 + 0 * yy).astype(np.uint8),
-                            ((3 * yy + m256) % 256 + 0 * xx).astype(np.uint8),
-                        ],
-                        axis=2,
-                    )
-                    payload, meta = encode_bmp(arr), {
-                        "width": w, "height": h,
-                        "sample_rate": 0, "duration_ms": 0, "codec": "bmp",
-                    }
-                else:
-                    rate, dur_ms = 8000, 200 + mid % 20 * 50
-                    n = rate * dur_ms // 1000
-                    t = np.arange(n, dtype=np.float64) / rate
-                    x = 0.5 * np.sin(2 * np.pi * (220 + mid % 40 * 20) * t)
-                    payload, meta = encode_wav(x, rate), {
-                        "width": 0, "height": 0,
-                        "sample_rate": rate, "duration_ms": dur_ms, "codec": "wav16",
-                    }
-                rows.append(
-                    {"media_id": mid, "kind": r.kind, "payload": payload, "meta": meta}
-                )
-            yield pd.DataFrame(rows)
-
-    return src.mapInPandas(fn, MEDIA_SCHEMA)
+    branches = [
+        src.filter(F.col("kind") == kind)
+        .select("media_id")
+        .mapInPandas(fn, _MEDIA_NOKIND_SCHEMA)
+        .select("media_id", F.lit(kind).alias("kind"), "payload", "meta")
+        for kind, fn in (("image", _encode_image_rows), ("audio", _encode_audio_rows))
+    ]
+    return branches[0].unionByName(branches[1])
 
 
 # ---------------------------------------------------------------------------
@@ -421,15 +453,26 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
 FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, ts_ms INT, frame_payload BINARY"
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 500, with_payloads: bool = True
+) -> DataFrame:
     """Sample one frame every ``every_ms`` from each video payload. The
     fan-out happens inside the Python stage; output rows carry the frame
-    bytes (fake codec: per-frame md5 keystream keyed by (payload, idx))."""
-    vid = spread(
-        media.filter(F.col("kind") == "video").select(
-            "media_id", "payload", "meta.duration_ms", "meta.width", "meta.height"
-        )
+    bytes (fake codec: per-frame md5 keystream keyed by (payload, idx)).
+
+    ``with_payloads=False`` emits the same fan-out rows with empty
+    ``frame_payload`` bytes, for consumers that only need the sampling
+    SCHEDULE: Spark cannot prune columns through an opaque mapInPandas
+    (guide §4.1), so a schedule-only reader would otherwise pay for
+    generating and Arrow-shipping every frame's pixel bytes just to drop
+    them. The schedule branch also ships only (media_id, duration_ms)
+    into Python and builds rows vectorized."""
+    cols = (
+        ["media_id", "payload", "meta.duration_ms", "meta.width", "meta.height"]
+        if with_payloads
+        else ["media_id", "meta.duration_ms"]
     )
+    vid = spread(media.filter(F.col("kind") == "video").select(*cols))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -449,7 +492,20 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return vid.mapInPandas(fn, FRAME_SCHEMA)
+    def fn_schedule(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = np.maximum(1, pdf["duration_ms"].to_numpy() // every_ms)
+            idx = np.concatenate([np.arange(k) for k in n]) if len(n) else np.empty(0, np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n),
+                    "frame_idx": idx.astype(np.int32),
+                    "ts_ms": (idx * every_ms).astype(np.int32),
+                    "frame_payload": [b""] * len(idx),
+                }
+            )
+
+    return vid.mapInPandas(fn if with_payloads else fn_schedule, FRAME_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -63,8 +63,11 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (video doc, frame index) with its timestamp — is pure arithmetic
     over the media metadata (duration = n_chars % 2000 + 200 ms), so it
     oracle-checks as SQL; the per-frame payload bytes (fake codec by
-    design — no tier-1 video container) remain pytest-verified."""
+    design — no tier-1 video container) remain pytest-verified.
+    with_payloads=False (r13): this query discards frame_payload, and
+    Spark can't prune columns through the opaque Python stage — the
+    schedule branch skips generating the bytes it would drop."""
     media = mm.synth_media_from_documents(t(spark, sf_dir, "documents"))
-    return mm.sample_video_frames(media, every_ms=500).select(
+    return mm.sample_video_frames(media, every_ms=500, with_payloads=False).select(
         "media_id", "frame_idx", "ts_ms"
     )

@@ -44,6 +44,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces small shuffles down to ~bytes/minPartitionSize
+        # partitions (parallelismFirst only consults this floor). The 1m
+        # default caps a stage whose shuffle is byte-light but CPU-dense
+        # (candidate-pair verification, array intersections, UNNEST
+        # fan-outs) at totalBytes/1m partitions — measured 5 partitions
+        # on 32 cores for containment verification. The floor only binds
+        # when a stage shuffles < cores × this size, i.e. exactly the
+        # byte-light stages; real data-heavy shuffles at cluster scale
+        # sit far above either value, so lowering it is scale-neutral.
+        # Interleaved A/B at sf0.1 (tools/ab_config.py, r13): 256k gives
+        # containment_dups 0.48×, minute_fanout 0.54×, ngram 0.76× with
+        # the vector top-k family flat-to-better; 64k overshoots (window
+        # stages fragment). Env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.shuffle.partitions", str(cpus))
         # -- python interchange -----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

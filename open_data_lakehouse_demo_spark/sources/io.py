@@ -106,6 +106,11 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return df
 
 
+# spread()'s memoized probe DECISIONS (never data): keyed by
+# (applicationId, analyzed-plan semanticHash, target); see spread().
+_SPREAD_DECISIONS: dict[tuple[str, int, int], bool] = {}
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input has too few partitions for
     CPU-heavy per-row work (hashing, HOF lambdas, pandas UDFs).
@@ -120,14 +125,46 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     needs the batch RDD, and a micro-batch's parallelism is the source's
     concern (maxFilesPerTrigger / Kafka partitions) — operators built on
     spread() stay usable at ingest (streaming/ingest.py).
+
+    Probe cost (r13, guide §1/§5): the partition count requires physical
+    planning, which is pure driver work (~100 ms per call via ``df.rdd``).
+    Two fixes: (a) probe the internal ``queryExecution().toRdd()`` —
+    same partition count, no Python-serializer RDD wrapper; (b) memoize
+    the DECISION per (application, analyzed-plan semanticHash, target) —
+    partition counts derive from the file splits and session conf, both
+    fixed within an application, so re-planning the identical lineage
+    every call re-derives the identical answer. This caches a
+    plan-construction decision only, never data or results.
     """
     if df.isStreaming:
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
-        return df
-    return df.repartition(target)
+    try:
+        sc = spark.sparkContext
+        app_id = getattr(sc, "_spread_app_id", None)
+        if app_id is None:
+            app_id = sc.applicationId
+            sc._spread_app_id = app_id
+        key = (
+            app_id,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            target,
+        )
+        need = _SPREAD_DECISIONS.get(key)
+    except Exception:  # non-classic sessions (e.g. Connect): no memo
+        key, need = None, None
+    if need is None:
+        try:
+            n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n = df.rdd.getNumPartitions()
+        need = n < max(2, target // 2)
+        if key is not None:
+            if len(_SPREAD_DECISIONS) > 4096:
+                _SPREAD_DECISIONS.clear()
+            _SPREAD_DECISIONS[key] = need
+    return df.repartition(target) if need else df
 
 
 def materialize(df: DataFrame) -> DataFrame:

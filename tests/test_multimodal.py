@@ -195,3 +195,32 @@ def test_real_media_partition_invariant(spark):
     b = {r["media_id"]: bytes(r["payload"])
          for r in mm.synth_real_media(docs.repartition(7)).collect()}
     assert a == b
+
+
+def test_video_schedule_path_matches_payload_path(media):
+    """r13: with_payloads=False must emit the identical fan-out schedule
+    (media_id, frame_idx, ts_ms) with empty payload bytes."""
+    full = mm.sample_video_frames(media, every_ms=500)
+    sched = mm.sample_video_frames(media, every_ms=500, with_payloads=False)
+    key = lambda r: (r["media_id"], r["frame_idx"], r["ts_ms"])  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, sched.collect()))
+    assert all(bytes(r["frame_payload"]) == b"" for r in sched.collect())
+    assert [f.name for f in sched.schema.fields] == [
+        "media_id", "frame_idx", "ts_ms", "frame_payload",
+    ]
+
+
+def test_synth_real_media_kind_filter_prunes_other_branch(spark):
+    """r13: a kind filter over synth_real_media must constant-fold against
+    the per-branch kind literal and statically prune the other branch —
+    exactly one Python stage (and one union arm) survives in the plan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    plan = (
+        mm.synth_real_media(docs)
+        .filter(F.col("kind") == "image")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Union" not in plan
