@@ -207,12 +207,24 @@ def connected_components(
     """
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
-    # materialize the edge selection FIRST: both union branches would
-    # otherwise re-run the (typically expensive) upstream pair-generation
-    # lineage — e.g. the full MinHash candidate join + verification
-    pairs = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # r13 (guide §2.4): symmetrize with ONE explode pass instead of
+    # union(pairs, swap(pairs)) — the union's two branches each re-ran the
+    # (typically expensive) upstream pair-generation lineage, which forced
+    # a separate materialize(pairs) barrier just to read it twice. The
+    # explode emits both orientations from a single read, so the upstream
+    # MinHash candidate join + verification runs exactly once inside the
+    # one sym checkpoint.
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = materialize(
-        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
     # r13 (guide §2.4 — remove work, not speed it up): seed labels with
@@ -231,7 +243,35 @@ def connected_components(
             F.least(F.col("a"), F.col("nbr_min")).alias("component"),
         )
     )
-    for it in range(max_iterations):
+    # r13 certification (guide §2.4 — don't run work to prove you didn't
+    # need it): labels are a fixpoint of propagate+jump IFF every edge's
+    # endpoints agree. (⇐ is immediate. ⇒: if all edges agree, each
+    # connected component carries one shared label L, and L — always some
+    # member node's id, since mins only move ids along edges — then has
+    # label(L) = L, so both the neighbor-min and the jump are no-ops.)
+    # Checking agreement is two node-keyed joins over the CHECKPOINTED
+    # sym/labels blocks and no new checkpoint write — strictly cheaper
+    # than the full propagate+jump round the old loop ran just to observe
+    # "nothing changed" on graphs that seed straight to the fixpoint
+    # (the common dup-pair/star case).
+    for it in range(max_iterations + 1):
+        disagree = (
+            sym.join(
+                labels.select(F.col("node").alias("a"), F.col("component").alias("ca")),
+                "a",
+            )
+            .join(
+                labels.select(F.col("node").alias("b"), F.col("component").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .limit(1)
+            .count()
+        )
+        if disagree == 0:
+            return labels
+        if it == max_iterations:
+            break
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
@@ -241,14 +281,13 @@ def connected_components(
             neighbor_min, labels.node == neighbor_min.a, "left"
         ).select(
             "node",
-            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
         # pointer jump: component ← label(component). Every component value
         # is some node's id, so the inner join matches every row.
-        jumped = materialize(
+        labels = materialize(
             propagated.alias("p")
             .join(
                 propagated.select(
@@ -259,19 +298,8 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("p.component"), F.col("c_comp")).alias("component"),
-                (F.least(F.col("p.component"), F.col("c_comp")) != F.col("old_component")).alias(
-                    "chg"
-                ),
             )
         )
-        # fixpoint check reads the just-checkpointed blocks — no extra
-        # join. Checked from round 0: the min-neighbor seeding above
-        # already performed the first propagation, so round 0 is a
-        # no-change certification pass on graphs that seeded straight
-        # to the fixpoint (the common dup-pair/star case).
-        labels = jumped.drop("chg")
-        if jumped.filter("chg").limit(1).count() == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

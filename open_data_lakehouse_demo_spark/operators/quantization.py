@@ -35,9 +35,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import arrow_udf
+
+from open_data_lakehouse_demo_spark.operators.similarity import list_mat, mat_list
 
 DIM = 64
 M = 8  # subspaces
@@ -162,15 +166,18 @@ def pq_codes_batch(vec_col: str, mat32: np.ndarray) -> Column:
     assign_ids_batch)."""
     cb64 = mat32.astype(np.float64)
 
-    @F.pandas_udf("array<int>")
-    def _codes(emb: pd.Series) -> pd.Series:
-        out = []
-        arr = emb.to_numpy()
-        for lo in range(0, len(arr), 2048):
-            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+    @arrow_udf("array<int>")
+    def _codes(emb: pa.Array) -> pa.Array:
+        n = len(emb)
+        if n == 0:
+            return mat_list(np.empty((0, M), np.int32), pa.int32())
+        V = list_mat(emb)  # f32→f64 exact (similarity.list_mat, r13)
+        out = np.empty((n, M), dtype=np.int32)
+        for lo in range(0, n, 2048):
+            chunk = V[lo : lo + 2048]
             d = _pq_sub_dists(chunk, cb64)
-            out.extend(np.argmin(d, axis=2).astype(np.int32))
-        return pd.Series(out)
+            out[lo : lo + len(chunk)] = np.argmin(d, axis=2)
+        return mat_list(out, pa.int32())
 
     return _codes(F.col(vec_col))
 
@@ -182,15 +189,20 @@ def pq_lut_batch(vec_col: str, mat32: np.ndarray) -> Column:
     bit-identical via _pq_sub_dists."""
     cb64 = mat32.astype(np.float64)
 
-    @F.pandas_udf("array<array<double>>")
-    def _lut(emb: pd.Series) -> pd.Series:
-        out = []
-        arr = emb.to_numpy()
-        for lo in range(0, len(arr), 2048):
-            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
-            d = _pq_sub_dists(chunk, cb64)  # (n, M, NCODES)
-            out.extend(list(d))
-        return pd.Series(out)
+    @arrow_udf("array<array<double>>")
+    def _lut(emb: pa.Array) -> pa.Array:
+        n = len(emb)
+        if n == 0:
+            inner = mat_list(np.empty((0, NCODES), np.float64), pa.float64())
+            return pa.ListArray.from_arrays(pa.array([0], type=pa.int32()), inner)
+        V = list_mat(emb)  # f32→f64 exact (similarity.list_mat, r13)
+        out = np.empty((n, M, NCODES), dtype=np.float64)
+        for lo in range(0, n, 2048):
+            chunk = V[lo : lo + 2048]
+            out[lo : lo + len(chunk)] = _pq_sub_dists(chunk, cb64)
+        inner = mat_list(out.reshape(-1, NCODES), pa.float64())  # n·M rows
+        offsets = pa.array(np.arange(0, (n + 1) * M, M, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, inner)
 
     return _lut(F.col(vec_col))
 
@@ -450,17 +462,15 @@ def sq_adc_dist_batch(pv: Column, rv: Column) -> Column:
     interpreted fold) is the at-scale regime where scoring dominates.
     """
 
-    @F.pandas_udf("double")
-    def _dists(xp: pd.Series, xr: pd.Series) -> pd.Series:
-        out = np.empty(len(xp), dtype=np.float64)
-        vp, vr = xp.to_numpy(), xr.to_numpy()
-        for lo in range(0, len(vp), 4096):
-            hi = min(lo + 4096, len(vp))
-            P = np.stack(vp[lo:hi])
-            R = np.stack(vr[lo:hi])
-            d = P - R
-            out[lo:hi] = np.add.accumulate(d * d, axis=1)[:, -1] + 0.0
-        return pd.Series(out)
+    @arrow_udf("double")
+    def _dists(xp: pa.Array, xr: pa.Array) -> pa.Array:
+        if len(xp) == 0:
+            return pa.array(np.empty(0, np.float64), type=pa.float64())
+        P = list_mat(xp)  # already float64 lists — zero-copy reshape (r13)
+        R = list_mat(xr)
+        d = P - R
+        out = np.add.accumulate(d * d, axis=1)[:, -1] + 0.0
+        return pa.array(out, type=pa.float64())
 
     return _dists(pv, rv)
 

@@ -38,10 +38,36 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import arrow_udf
 
 DIM = 64
+
+
+def list_mat(arr, dtype=np.float64) -> np.ndarray:
+    """(n, width) matrix from an Arrow list column — offset-aware
+    ``flatten`` (one contiguous values buffer) + one exact ``astype``.
+
+    r13 (guide §4.2): the pandas-UDF input path materialized every row as
+    its own ndarray object (``Series.to_numpy()`` → object array) and
+    re-packed them with ``np.stack`` per chunk; reading the Arrow values
+    buffer directly skips both. float32→float64 stays an exact widening,
+    so the bit-parity arguments of the batch kernels are unchanged.
+    Assumes equal-length, non-null lists (as the stack path did)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten())
+    return flat.reshape(len(arr), -1).astype(dtype, copy=False)
+
+
+def mat_list(mat: np.ndarray, value_type) -> pa.ListArray:
+    """Arrow list column from a (n, width) matrix — one values buffer +
+    an arithmetic offsets array; no per-row Python objects."""
+    n, width = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1), type=value_type))
 
 # LCG hyperplane coefficients: coef(p, i) for plane p, dimension i.
 # Shared single-source formula — mirrored verbatim in the DuckDB oracles.
@@ -91,23 +117,27 @@ def dot_batch(a: Column, b: Column) -> Column:
     method exceeds HotSpot's JIT size threshold and runs in the bytecode
     interpreter — unrolling backfires).  Arrow transfer of both vectors
     per pair row is the cost here and it still wins.
+
+    r13 (guide §4.2): the kernel is an ``arrow_udf`` reading the list
+    columns' values buffers directly (``list_mat``) — same exact products,
+    same sequential fold, but no per-row ndarray objects on either side
+    of the boundary (the pandas path built one object per row and
+    ``np.stack``-ed them back per chunk).
     """
 
-    @F.pandas_udf("double")
-    def _dots(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        out = np.empty(len(xa), dtype=np.float64)
-        va, vb = xa.to_numpy(), xb.to_numpy()
-        for lo in range(0, len(va), 4096):
-            hi = min(lo + 4096, len(va))
-            A = np.stack(va[lo:hi]).astype(np.float64)  # f32→f64 exact
-            B = np.stack(vb[lo:hi]).astype(np.float64)
-            prods = A * B  # exact (see docstring)
-            # `+ 0.0` reproduces the fold's 0.0 seed: an all-(-0.0)-products
-            # row folds to +0.0 in Spark/DuckDB (0.0 + -0.0 = +0.0) while a
-            # bare accumulate would return -0.0 — a bit/hash mismatch on
-            # zero-vs-all-negative vectors (ADVICE r3).
-            out[lo:hi] = np.add.accumulate(prods, axis=1)[:, -1] + 0.0
-        return pd.Series(out)
+    @arrow_udf("double")
+    def _dots(xa: pa.Array, xb: pa.Array) -> pa.Array:
+        if len(xa) == 0:
+            return pa.array(np.empty(0, np.float64), type=pa.float64())
+        A = list_mat(xa)  # f32→f64 exact
+        B = list_mat(xb)
+        prods = A * B  # exact (see docstring)
+        # `+ 0.0` reproduces the fold's 0.0 seed: an all-(-0.0)-products
+        # row folds to +0.0 in Spark/DuckDB (0.0 + -0.0 = +0.0) while a
+        # bare accumulate would return -0.0 — a bit/hash mismatch on
+        # zero-vs-all-negative vectors (ADVICE r3).
+        out = np.add.accumulate(prods, axis=1)[:, -1] + 0.0
+        return pa.array(out, type=pa.float64())
 
     return _dots(a, b)
 
@@ -198,20 +228,21 @@ def lsh_buckets_batch(vec_col: str = "vec") -> Column:
     m_t = _plane_matrix().T  # (DIM, n_planes)
     weights = 1 << np.arange(BITS_PER_TABLE, dtype=np.int64)
 
-    @F.pandas_udf("array<bigint>")
-    def _buckets(emb: pd.Series) -> pd.Series:
-        out = []
+    @arrow_udf("array<bigint>")
+    def _buckets(emb: pa.Array) -> pa.Array:
+        n = len(emb)
+        if n == 0:
+            return mat_list(np.empty((0, N_TABLES), np.int64), pa.int64())
+        V = list_mat(emb)  # (n, DIM); f32→f64 exact (list_mat, r13)
+        out = np.empty((n, N_TABLES), dtype=np.int64)
         # chunk to bound the (chunk, DIM, n_planes) product tensor
-        arr = emb.to_numpy()
-        for lo in range(0, len(arr), 2048):
-            chunk = arr[lo : lo + 2048]
-            v = np.stack(chunk).astype(np.float64)  # (c, DIM); f32→f64 exact
+        for lo in range(0, n, 2048):
+            v = V[lo : lo + 2048]
             prods = v[:, :, None] * m_t[None, :, :]  # exact (see docstring)
             dots = np.add.accumulate(prods, axis=1)[:, -1, :]  # sequential fold
             bits = (dots > 0).reshape(-1, N_TABLES, BITS_PER_TABLE)
-            buckets = (bits * weights[None, None, :]).sum(axis=2)  # (c, L)
-            out.extend(buckets)
-        return pd.Series(out)
+            out[lo : lo + len(v)] = (bits * weights[None, None, :]).sum(axis=2)
+        return mat_list(out, pa.int64())
 
     return _buckets(F.col(vec_col))
 
@@ -454,20 +485,23 @@ def assign_ids_batch(
     vid_arr = np.array(vids, dtype=np.int64)
     n = n_assign
 
-    @F.pandas_udf("array<bigint>")
-    def _assign(emb: pd.Series) -> pd.Series:
-        out = []
-        arr = emb.to_numpy()
-        for lo in range(0, len(arr), 2048):
-            chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+    @arrow_udf("array<bigint>")
+    def _assign(emb: pa.Array) -> pa.Array:
+        nrows = len(emb)
+        if nrows == 0:
+            return mat_list(np.empty((0, n), np.int64), pa.int64())
+        V = list_mat(emb)  # (nrows, DIM); f32→f64 exact (list_mat, r13)
+        out = np.empty((nrows, n), dtype=np.int64)
+        for lo in range(0, nrows, 2048):
+            chunk = V[lo : lo + 2048]
             cos = _assign_chunk(chunk, cmat, cnrm)
             if n == 1:
                 top = np.argmax(cos, axis=1)[:, None]  # first max = lowest vid
             else:
                 # ascending stable sort of -cos ⇒ cos desc, index (vid) asc
                 top = np.argsort(-cos, axis=1, kind="stable")[:, :n]
-            out.extend(vid_arr[top])
-        return pd.Series(out)
+            out[lo : lo + len(chunk)] = vid_arr[top]
+        return mat_list(out, pa.int64())
 
     return _assign(F.col(vec_col))
 
