@@ -289,6 +289,36 @@ def _ensure_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return materialize(_with_norm(df, id_col, vec_col))
 
 
+def probe_dots_batch(vec_col: str, pmat32: np.ndarray) -> Column:
+    """``array<double>`` of exact-fold dot products of each vector against
+    EVERY row of a driver-side probe matrix — the guide-§8 "decide with
+    small rows" kernel behind ``brute_force_topk``.
+
+    Per (vector, probe) the math is bit-identical to ``dot_batch``: exact
+    f32→f64 per-element products, sequential ``np.add.accumulate`` fold
+    over the dimension axis, ``+ 0.0`` zero-seed. Chunked so the
+    (chunk, P, DIM) product tensor stays bounded whatever the probe
+    count."""
+    P = pmat32.astype(np.float64)  # f32→f64 exact
+    nprobes = len(P)
+    chunk = max(128, (1 << 21) // max(1, nprobes))
+
+    @arrow_udf("array<double>")
+    def _dots(emb: pa.Array) -> pa.Array:
+        n = len(emb)
+        if n == 0:
+            return mat_list(np.empty((0, nprobes), np.float64), pa.float64())
+        V = list_mat(emb)  # (n, DIM); f32→f64 exact
+        out = np.empty((n, nprobes), dtype=np.float64)
+        for lo in range(0, n, chunk):
+            v = V[lo : lo + chunk]
+            prods = v[:, None, :] * P[None, :, :]  # exact per-element products
+            out[lo : lo + len(v)] = np.add.accumulate(prods, axis=2)[:, :, -1] + 0.0
+        return mat_list(out, pa.float64())
+
+    return _dots(F.col(vec_col))
+
+
 def brute_force_topk(
     df: DataFrame,
     probes: DataFrame,
@@ -298,21 +328,67 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors of each probe over the full corpus.
 
-    Probe side is broadcast (probe sets are query batches, small by
-    construction); the corpus streams through one codegen stage — no corpus
-    shuffle. Output (query_id, neighbor_id, cosine), k rows per probe,
+    Probe sets are query batches, small by construction. The previous
+    form BROADCAST them and fanned the corpus into |corpus|×|probes| pair
+    rows, each shipping BOTH 64-float vectors through the Arrow boundary
+    (O(pairs·dim) traffic). r13 (guide §8/§4.2): the probe batch is
+    collected to a driver-side matrix — the same driver-materialization
+    class (and byte count) as the broadcast it replaces — each corpus
+    vector crosses the boundary ONCE and returns its P-wide dot array
+    (``probe_dots_batch``), and the (query_id, cosine) pair rows are
+    reconstituted JVM-side from literal probe-id/norm arrays, so the
+    division and every downstream ranking step are byte-for-byte the old
+    plan's. Boundary traffic drops from pairs·2·dim to corpus·(dim + P).
+    Output (query_id, neighbor_id, cosine), k rows per probe,
     neighbor_id tiebreak makes the ranking total.
     """
     corpus = _ensure_norm(df, id_col, vec_col)
-    p = _ensure_norm(probes, id_col, vec_col).select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-    )
-    pairs = corpus.join(F.broadcast(p), F.col("vid") != F.col("query_id")).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        cosine(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    if _is_prepared_base(probes):
+        p_norm = probes
+    else:
+        # no spread(): this frame is collected whole, not computed wide —
+        # the repartition would only add a shuffle to the bounded probe job
+        p_norm = probes.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+    p_rows = p_norm.collect()
+    spark = df.sparkSession
+    if not p_rows:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
+    p_rows.sort(key=lambda r: r["vid"])
+    qvids = F.lit([int(r["vid"]) for r in p_rows])
+    qnrms = F.lit([float(r["nrm"]) for r in p_rows])  # JVM fold norms, verbatim
+    pmat32 = np.array([r["vec"] for r in p_rows], dtype=np.float32)
+    pairs = (
+        corpus.select(
+            "vid",
+            "nrm",
+            F.posexplode(probe_dots_batch("vec", pmat32)).alias("pidx", "dot"),
+        )
+        .select(
+            F.element_at(qvids, F.col("pidx") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            # same JVM division / NULL-on-zero-denominator semantics as
+            # cosine(): dot ÷ (qnrm · nrm), all three operands bit-equal
+            (
+                F.col("dot")
+                / (F.element_at(qnrms, F.col("pidx") + 1) * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

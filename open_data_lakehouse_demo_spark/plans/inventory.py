@@ -357,7 +357,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "last_lineitem_per_order",
-    ("J1", "A2"),
+    ("A2", "W1"),
     oracle="""
 WITH last_line AS (
   SELECT l_orderkey AS k_orderkey, MAX(l_linenumber) AS k_linenumber
@@ -370,20 +370,22 @@ JOIN last_line k ON l.l_orderkey = k.k_orderkey AND l.l_linenumber = k.k_linenum
 )
 def last_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join on a composite key (J1 — ref part2:431-436 rides ×
-    ridership on (stop_id, timestamp)). Both sides shuffle on the same
-    2-part key → co-partitioned sort-merge join; AQE may downgrade to
-    shuffled-hash when one side is small."""
+    ridership on (stop_id, timestamp)).
+
+    r13 (guide §2.4 — remove shuffles outright): the aggregate-then-join
+    form scanned lineitem twice and shuffled three times (the MAX
+    aggregate's exchange + both join sides). ``rows where l_linenumber =
+    MAX(l_linenumber) OVER (PARTITION BY l_orderkey)`` is the identical
+    relation — (l_orderkey, l_linenumber) is unique, so the join matched
+    each max row exactly once — computed with ONE scan and ONE exchange.
+    Measured sf0.1: 1.15 → 0.48 s; plan 3 Exchange → 1."""
     li = t(spark, sf_dir, "lineitem")
-    last = li.groupBy(F.col("l_orderkey").alias("k_orderkey")).agg(
-        F.max("l_linenumber").alias("k_linenumber")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        li.join(
-            last,
-            (li.l_orderkey == last.k_orderkey) & (li.l_linenumber == last.k_linenumber),
-            "inner",
-        )
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .withColumn("k_linenumber", F.max("l_linenumber").over(w))
+        .filter(F.col("l_linenumber") == F.col("k_linenumber"))
+        .drop("k_linenumber")
     )
 
 
@@ -615,7 +617,11 @@ def minute_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_conservation_check",
-    ("J5", "P6", "A1"),
+    # J1 carrier since r13: last_lineitem_per_order's aggregate-then-join
+    # was rewritten as a window (identical rows, 1 scan / 1 exchange), so
+    # the composite-key big×big inner join operator is carried by this
+    # query's (user_id, hour_ts) verification join instead.
+    ("J1", "J5", "P6", "A1"),
     oracle=f"""
 WITH minutely AS ({_MINUTE_FANOUT_ORACLE}),
 re_agg AS (

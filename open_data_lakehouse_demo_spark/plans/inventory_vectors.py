@@ -450,17 +450,36 @@ def _ann_ranked_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction.
     base = materialize(sim._with_norm(emb, "vec_id", "embedding"))
     p = base.filter(F.col("vid") % _PROBE_MOD == 0)
-    probes_b = p.select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-    )
-    pairs = base.join(F.broadcast(probes_b), F.col("vid") != F.col("query_id")).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        sim.cosine(
-            F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")
-        ).alias("cosine"),
+    # r13 (guide §8/§4.2, same fix as brute_force_topk): the pair fan-out
+    # previously shipped BOTH 64-float vectors through the Arrow boundary
+    # per (corpus, probe) pair. The probe batch is collected to a
+    # driver-side matrix (reading the base checkpoint — the same driver
+    # materialization the broadcast already performed), each corpus
+    # vector crosses the boundary once and returns its P-wide exact-fold
+    # dot array, and the pair rows are reconstituted JVM-side from
+    # literal probe id/norm arrays — division and ranking semantics
+    # byte-identical to the join form (probe_dots_batch parity).
+    import numpy as np
+
+    p_rows = sorted(p.collect(), key=lambda r: r["vid"])
+    qvids = F.lit([int(r["vid"]) for r in p_rows])
+    qnrms = F.lit([float(r["nrm"]) for r in p_rows])
+    pmat32 = np.array([r["vec"] for r in p_rows], dtype=np.float32)
+    pairs = (
+        base.select(
+            "vid",
+            "nrm",
+            F.posexplode(sim.probe_dots_batch("vec", pmat32)).alias("pidx", "dot"),
+        )
+        .select(
+            F.element_at(qvids, F.col("pidx") + 1).alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            (
+                F.col("dot")
+                / (F.element_at(qnrms, F.col("pidx") + 1) * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     centroids = base.orderBy("vid").limit(16)
     corpus_cid = sim.assign_centroids(base, centroids, n_assign=1).select(
