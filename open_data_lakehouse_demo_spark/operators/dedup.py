@@ -587,25 +587,53 @@ def _verified_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> Data
     ints and fp division is monotone, so fl(min/max) ≥ fl(|∩|/|∪|) —
     a pair passing the final filter always passes the pre-filter, and the
     output is provably unchanged (guide §2.3: don't compute what you
-    throw away)."""
+    throw away).
+
+    r13 (guide §1.2 per-task work): the threshold test runs as the EXACT
+    INTEGER predicate ``i·(100+t) ≥ t·(|a|+|b|)`` (i = |∩|, t = integer
+    percent), which references the intersection ONCE — the previous
+    ``fl(i/∪) ≥ t/100`` form was pushed into the join condition with the
+    intersection inlined into numerator AND denominator, and runtime
+    subexpression elimination does NOT cover join conditions, so every
+    candidate pair paid array_intersect 2–3×. Measured on the ngram
+    verify stage at sf0.1: 0.94 → 0.56 s, output bit-identical.
+
+    Equivalence proof (the driver hashes the output, so this must be
+    exact): i/(a+b-i) ≥ t/100 ⟺ i·(100+t) ≥ t·(a+b) in exact integers.
+    The old double comparison fl(i/u) ≥ D(t/100) agrees with the exact
+    rational comparison whenever i/u is farther than half an ulp from
+    D(t/100): any distinct rational with denominator u differs from t/100
+    by ≥ 1/(100·u) > 2⁻⁵³·t for all u < ~10¹³ — and u ≤ |a|+|b| is a
+    per-doc shingle count, orders of magnitude below that bound at any
+    conceivable document size; i/u = t/100 exactly rounds to D(t/100) and
+    passes both forms. The output ``jaccard`` column is the UNCHANGED
+    double expression, computed once per surviving pair."""
+    t_pct = int(round(threshold * 100))
+    assert abs(threshold * 100 - t_pct) < 1e-9, "threshold must be an integer percent"
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    # exact-integer size bound (long math: 100·sz overflows int32 on
+    # billion-shingle pathologies): 100·min ≥ t·max ⟺ min/max ≥ t/100
     size_compat = (
-        F.least(sz_a, sz_b).cast("double") / F.greatest(sz_a, sz_b).cast("double")
-    ) >= F.lit(threshold)
+        F.lit(100).cast("long") * F.least(sz_a, sz_b)
+        >= F.lit(t_pct).cast("long") * F.greatest(sz_a, sz_b)
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(size_compat)
+        .filter(
+            inter.cast("long") * F.lit(100 + t_pct)
+            >= F.lit(t_pct).cast("long") * (sz_a.cast("long") + sz_b.cast("long"))
+        )
         .select(
             "doc_a",
             "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1491,9 +1519,22 @@ def containment_pairs(
     b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # r13 (guide §1.2, same fix + equivalence proof as _verified_pairs):
+    # max(i/a, i/b) ≥ t ⟺ i ≥ t·min(a,b) ⟺ 100·i ≥ t%·min(a,b) in exact
+    # integers — the threshold test references the intersection ONCE
+    # instead of the old greatest(double, double) form, which was pushed
+    # into the join condition with array_intersect inlined into BOTH
+    # containments (join conditions get no runtime subexpression
+    # elimination). The three output ratios are unchanged and computed
+    # only for surviving (output-sized) pairs.
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
+        .filter(
+            F.lit(100).cast("long") * inter
+            >= F.lit(threshold_pct).cast("long")
+            * F.least(F.size("sh_a"), F.size("sh_b"))
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -1501,5 +1542,4 @@ def containment_pairs(
             (inter.cast("double") / F.size("sh_b").cast("double")).alias("containment_b"),
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
-        .filter(F.greatest("containment_a", "containment_b") >= threshold)
     )
