@@ -58,9 +58,16 @@ def assign_token_shards(
 
     spark = docs.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    ranged = docs.select(order_col, tokens_col).repartitionByRange(
-        n_parts, F.col(order_col)
-    )
+    # r13 (guide §1.2/§2.4 — don't run the expensive pass twice): the
+    # range exchange SAMPLES its child to pick boundaries, and that
+    # sketch pass executes the full upstream lineage (scan + tokenize at
+    # the call sites) once before the shuffle map stage executes it
+    # again. Checkpointing the narrow (order, tokens) projection first
+    # makes the lineage run ONCE; the sampler and the shuffle both read
+    # the materialized numeric blocks. At 100 TB that is one full text
+    # scan instead of two, for a checkpoint of ~16 B/doc.
+    narrow = materialize(docs.select(order_col, tokens_col))
+    ranged = narrow.repartitionByRange(n_parts, F.col(order_col))
     # MUST materialize: both the offsets aggregate and the final join read
     # this frame, and correctness requires both branches to see the SAME
     # sampled range boundaries / partition ids. Relying on ReuseExchange to
@@ -176,7 +183,11 @@ def global_row_number(
 
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_cols)
+    # Checkpoint BEFORE the range exchange: its boundary-sampling pass
+    # would otherwise execute the caller's lineage (typically a fact
+    # aggregate) a second time (see assign_token_shards).
+    src = materialize(df)
+    ranged = src.repartitionByRange(n_parts, *order_cols)
     # materialize: the offsets aggregate and the final join must see the
     # SAME sampled range boundaries (see assign_token_shards)
     with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))

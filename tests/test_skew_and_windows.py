@@ -242,3 +242,35 @@ def test_global_row_number_matches_single_window(spark):
         }
         assert got == expected, f"mismatch at n_partitions={n_parts}"
     assert global_row_number(df.filter(F.lit(False)), order).count() == 0
+
+
+def test_token_shards_upstream_runs_once(spark):
+    """r13: assign_token_shards checkpoints its narrow input BEFORE the
+    range exchange, so the caller's (typically expensive) lineage runs
+    exactly once — the range partitioner's boundary-sampling pass must
+    read the materialized blocks, not re-execute the upstream. Pinned
+    with an accumulator-counting UDF in the tokens column: the old shape
+    evaluated it twice per row (sample pass + shuffle map)."""
+    from pyspark.sql import functions as F
+
+    from open_data_lakehouse_demo_spark.operators.sharding import (
+        assign_token_shards,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted_tokens(i):
+        acc.add(1)
+        return i % 7 + 1
+
+    n = 400
+    docs = spark.range(0, n).select(
+        F.col("id"), counted_tokens("id").alias("n_tokens")
+    )
+    out = assign_token_shards(docs, "id", "n_tokens", target_tokens=50)
+    out.write.format("noop").mode("overwrite").save()
+    assert acc.value == n, (
+        f"tokens column evaluated {acc.value}x for {n} rows — upstream "
+        "lineage re-executed under the range sampler"
+    )
