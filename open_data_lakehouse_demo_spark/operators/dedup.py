@@ -731,23 +731,57 @@ def positioned_hash_index(
     plans/inventory_corpus.py caches it per (session, sf_dir) the same way
     inventory_vectors caches the trained-IVF index. Three narrow columns
     per token occurrence; the text itself is NOT pinned, and materialize's
-    localCheckpoint blocks are memory-AND-DISK (spill, not OOM)."""
-    return _cap_index(_positioned_hashes(df, id_col, text_col, k), max_df)
+    localCheckpoint blocks are memory-AND-DISK (spill, not OOM).
+
+    r13 (guide §1.2/§2.4 — the same double-execution the prefix-sum fix
+    removed): ``_cap_index`` feeds the raw hashes into BOTH the df-cap
+    aggregate and the join side, and Catalyst shares nothing between
+    the two subtrees — so the tokenize + posexplode + per-shingle md5
+    lineage executed twice per cold build. Checkpointing the raw
+    (doc, pos, h) relation first makes the text pass run once; the cap
+    aggregate and the join replay ~24 B/occurrence numeric blocks.
+    EAGER on purpose, unlike every other materialize(): both consumers
+    sit inside ONE action, and AQE submits their independent query
+    stages concurrently — a lazy checkpoint loses that race and both
+    stages recompute the text lineage
+    (test_positioned_hash_index_text_pass_runs_once counts the
+    evaluations). The
+    logged-index path (scrub_batch_logged) deliberately does NOT get
+    this checkpoint: there the replayed lineage is a stored-parquet
+    scan, cheaper than writing a same-sized checkpoint."""
+    return _cap_index(
+        _positioned_hashes(df, id_col, text_col, k).localCheckpoint(eager=True),
+        max_df,
+    )
 
 
 def _positioned_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Raw UNCAPPED positioned shingle hashes (doc, pos, h) — the
     persistable form (build/append_substr_index_logged store exactly
     this: the df-cap is a query-time decision because per-shingle df
-    grows as the corpus does)."""
+    grows as the corpus does).
+
+    r13 (guide §4.4's trap with a built-in): the old
+    ``.filter(size(tk) >= k)`` pre-explode guard alias-inlined the whole
+    tokenize tree into the pushed predicate (PushDownPredicates rewrites
+    through Repartition and substitutes projection aliases regardless of
+    expression cost), so every doc paid the split/trim tokenize TWICE in
+    the pre-exchange stage. The short-doc exclusion is now fused into
+    the generator — docs under k tokens emit an EMPTY shingle array and
+    posexplode drops them — so ``tk`` is only ever referenced as a
+    post-exchange attribute and tokenize runs once per doc. Interleaved
+    A/B on the sf0.1 corpus: 0.648 → 0.569 s median, rows identical
+    (incl. the <k-token edge)."""
     from open_data_lakehouse_demo_spark.sources.io import spread
 
     toks = spread(
         df.select(F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("tk"))
     )
+    gen = F.when(F.size("tk") >= k, word_shingles(F.col("tk"), k)).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
-        toks.filter(F.size("tk") >= k)
-        .select("doc", F.posexplode(word_shingles(F.col("tk"), k)).alias("pos", "s"))
+        toks.select("doc", F.posexplode(gen).alias("pos", "s"))
         .select("doc", "pos", token_hash(F.col("s")).alias("h"))
     )
 

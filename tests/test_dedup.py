@@ -681,3 +681,34 @@ def test_minhash_logged_index_tag_pins_training_run(spark):
         assert rows(
             dedup.near_dups_batch_logged(spark, path, batch, snapshot=pin)
         ) == before
+
+
+def test_positioned_hash_index_text_pass_runs_once(spark):
+    """r13: the ExactSubstr index build evaluates the text column ONCE
+    per doc. Two regressions this pins, both measured at 2n before the
+    fix: (a) the old ``filter(size(tk) >= k)`` guard alias-inlined the
+    tokenize tree (and anything under it) into a pushed-down predicate,
+    duplicating every text-side expression per row — now the short-doc
+    exclusion is fused into the generator as an empty array; (b) the
+    raw (doc, pos, h) relation is EAGERLY checkpointed before the
+    df-cap, so _cap_index's aggregate and join subtrees replay blocks
+    instead of racing to recompute the text lineage (AQE submits those
+    independent stages concurrently, so a lazy checkpoint still paid
+    2x). Counted with an accumulator UDF as the text column."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def counted_text(i):
+        acc.add(1)
+        return f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}"
+
+    n = 300
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"), counted_text("id").alias("text")
+    )
+    idx = dedup.positioned_hash_index(docs, "doc_id", "text", k=4, max_df=20)
+    idx.write.format("noop").mode("overwrite").save()
+    assert acc.value == n, (
+        f"text column evaluated {acc.value}x for {n} docs — a filter "
+        "re-inlined the text lineage or the index build re-executed it"
+    )
