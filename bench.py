@@ -11,6 +11,24 @@ written to BENCH_QUERIES.json at the repo root, and the stdout line embeds
 the per-query dict only when the serialized line stays under _STDOUT_BUDGET
 bytes — otherwise it carries a {"queries_file": ...} pointer instead.
 
+Per-query stdout (r14, VERDICT r13 #2): at 98 queries the full map is
+~2.7 KB and can never ride the headline line, so a clean run now ALSO
+prints documented SIBLING lines immediately before the headline — each
+under _SIBLING_BUDGET bytes so no line is ever cut mid-JSON:
+
+  {"metric":"inventory_suite_queries","part":1,"of":3,"sf":...,"queries":{...}}
+  ...
+  {"metric":"inventory_suite_seconds", ...}          <- headline, LAST
+
+The union of the sibling lines' ``queries`` maps is the full per-query
+median map (2dp), byte-identical in content to BENCH_QUERIES.json's
+``queries``. The headline line's schema is UNCHANGED (last line, same
+fields as before), so a consumer that parses only the final JSON line
+sees exactly the old contract; a consumer that scans all JSON lines gets
+per-query timings without opening BENCH_QUERIES.json. _SIBLING_BUDGET is
+sized so the last two sibling lines plus the headline fit a ~2 KB tail
+window together.
+
 Policy:
   - execution is measured with a `noop` sink (full plan runs, rows are
     materialized and discarded executor-side — no driver collect skew);
@@ -63,6 +81,41 @@ import time
 
 # Driver tail capture is ~2 KB; stay well under it (measured r03 cut point).
 _STDOUT_BUDGET = 1800
+# Sibling per-query lines (module docstring): small enough that the final
+# two siblings + the ~150 B headline fit one ~2 KB tail window together.
+_SIBLING_BUDGET = 900
+
+
+def _stdout_lines(base: dict, per_query: dict[str, float]) -> list[str]:
+    """The stdout JSON lines for a clean run, headline LAST.
+
+    One line when the full queries map fits _STDOUT_BUDGET (the original
+    format, preserved verbatim); otherwise N sibling lines carrying the
+    map in <= _SIBLING_BUDGET chunks followed by the unchanged pointer
+    headline. Pure function — unit-tested without Spark."""
+    compact = {name: round(t, 2) for name, t in per_query.items()}
+    one = json.dumps({**base, "queries": compact}, separators=(",", ":"))
+    if len(one) <= _STDOUT_BUDGET:
+        return [one]
+    chunks: list[dict[str, float]] = [{}]
+    for name, t in compact.items():
+        trial = {**chunks[-1], name: t}
+        if chunks[-1] and len(json.dumps(trial, separators=(",", ":"))) > \
+                _SIBLING_BUDGET - 80:  # 80 B of envelope fields
+            chunks.append({})
+        chunks[-1][name] = t
+    lines = [
+        json.dumps(
+            {"metric": "inventory_suite_queries", "part": i + 1,
+             "of": len(chunks), "sf": base.get("sf"), "queries": c},
+            separators=(",", ":"))
+        for i, c in enumerate(chunks)
+    ]
+    lines.append(json.dumps(
+        {**base, "n_queries": len(per_query),
+         "queries_file": "BENCH_QUERIES.json"},
+        separators=(",", ":")))
+    return lines
 
 # Pre-suite settle: load1 must drop below this before measurement starts.
 # 1.5 on a 32-CPU box = essentially idle; our own suite hasn't started yet
@@ -374,18 +427,11 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    # stdout: embed per-query times only if the line fits the driver's
-    # capture window; 2dp is plenty of precision for a headline artifact.
-    compact = {name: round(t, 2) for name, t in per_query.items()}
-    noise = {"noisy_n": 0}
-    line = json.dumps({**base, **noise, "queries": compact}, separators=(",", ":"))
-    if len(line) > _STDOUT_BUDGET:
-        line = json.dumps(
-            {**base, **noise, "n_queries": len(per_query),
-             "queries_file": "BENCH_QUERIES.json"},
-            separators=(",", ":"),
-        )
-    print(line)
+    # stdout: per-query map on documented sibling lines when it outgrows
+    # the single-line budget (see module docstring); headline line LAST
+    # with its schema unchanged. 2dp is plenty for a headline artifact.
+    for line in _stdout_lines({**base, "noisy_n": 0}, per_query):
+        print(line)
     sys.stdout.flush()
     spark.stop()
 

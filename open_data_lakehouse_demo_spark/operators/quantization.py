@@ -78,10 +78,12 @@ def pq_codebook(vectors: DataFrame, id_col: str = "vid", vec_col: str = "vec") -
     """(s, code_id, cs) — per-subspace codebook from the NCODES lowest-id
     vectors; code_id = rank of the seed vector's id (0-based).
 
-    The unpartitioned row_number window here runs on the POST-limit seeds
-    relation (≤ NCODES rows) — bounded at any corpus size, so the
-    single-partition window warning it triggers is vacuous."""
-    w = Window.orderBy(id_col)
+    The row_number window here runs on the POST-limit seeds relation
+    (≤ NCODES rows) — bounded at any corpus size. partitionBy(lit(0)) is
+    semantically an unpartitioned window (one constant key, same order)
+    but keeps the partition spec non-empty so the vacuous
+    "No Partition Defined" WindowExec warning stays out of test logs."""
+    w = Window.partitionBy(F.lit(0)).orderBy(id_col)
     seeds = (
         vectors.orderBy(id_col)
         .limit(NCODES)

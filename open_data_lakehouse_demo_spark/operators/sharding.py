@@ -74,7 +74,12 @@ def assign_token_shards(
     # dedupe the shuffle is fragile (it breaks on any plan divergence);
     # the checkpoint pins one physical partitioning for both consumers.
     with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
-    # tiny: one row per partition; running sum = global offset per pid
+    # tiny: one row per partition; running sum = global offset per pid.
+    # partitionBy(lit(0)) ≡ an unpartitioned window over this ≤n_parts-row
+    # relation (one constant key ⇒ one partition, same order, same frame)
+    # but keeps the plan's partition spec non-empty, silencing the
+    # "No Partition Defined" WindowExec warning that is vacuous here —
+    # the input is bounded by the partition count, never by the corpus.
     offsets = (
         with_pid.groupBy("_pid")
         .agg(F.sum(tokens_col).alias("_ptotal"))
@@ -82,7 +87,7 @@ def assign_token_shards(
             "_offset",
             F.coalesce(
                 F.sum("_ptotal").over(
-                    Window.orderBy("_pid").rowsBetween(
+                    Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
@@ -178,7 +183,15 @@ def global_row_number(
     partition-parallel and the only driver-sized data is one row per
     partition. ``order_cols`` accepts sort expressions (``.desc()`` etc.)
     — they feed both the range partitioner and the in-partition window.
-    Adds ``rank_col`` (1-based bigint)."""
+    Adds ``rank_col`` (1-based bigint).
+
+    WIDTH EXPECTATION (r13 ADVICE): the input is checkpointed TWICE for
+    the session lifetime (pre-shuffle for the range sampler, post-shuffle
+    to pin one partitioning for both consumers), so ``df`` should be a
+    NARROW relation — an aggregate or a (keys, order columns) projection,
+    never raw fact rows (materialize()'s own contract). A caller ranking
+    a wide relation should rank a (surrogate key, order cols) projection
+    and join the payload back by the key."""
     from open_data_lakehouse_demo_spark.sources.io import materialize
 
     spark = df.sparkSession
@@ -191,6 +204,8 @@ def global_row_number(
     # materialize: the offsets aggregate and the final join must see the
     # SAME sampled range boundaries (see assign_token_shards)
     with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
+    # partitionBy(lit(0)): see assign_token_shards — identical semantics
+    # over the bounded per-partition-count relation, no vacuous warning
     offsets = (
         with_pid.groupBy("_pid")
         .agg(F.count("*").alias("_pcount"))
@@ -198,7 +213,7 @@ def global_row_number(
             "_offset",
             F.coalesce(
                 F.sum("_pcount").over(
-                    Window.orderBy("_pid").rowsBetween(
+                    Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),

@@ -45,6 +45,17 @@ from pyspark.sql.functions import arrow_udf
 
 DIM = 64
 
+#: Hard bound on the probe rows brute_force_topk (and the ANN
+#: ground-truth arm in plans/inventory_vectors.py) may collect to the
+#: driver. The probe-matrix kernel is correct ONLY while the probe side
+#: stays a query batch (its docstring contract; the broadcast it replaced
+#: had the same driver-materialization bound implicitly) — this makes a
+#: future caller that ships a corpus through the driver fail LOUDLY
+#: instead of OOMing it. 10^5 probes × (64 f32 + id + norm) ≈ 30 MB,
+#: comfortably inside any driver; beyond it the caller must shard the
+#: probe batch (the serving pattern anyway).
+_PROBE_COLLECT_CAP = 100_000
+
 
 def list_mat(arr, dtype=np.float64) -> np.ndarray:
     """(n, width) matrix from an Arrow list column — offset-aware
@@ -353,7 +364,15 @@ def brute_force_topk(
             F.col(vec_col).alias("vec"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-    p_rows = p_norm.collect()
+    # bounded collect: CollectLimit short-circuits at CAP+1 rows, so an
+    # oversized probe side fails loudly without materializing itself
+    p_rows = p_norm.limit(_PROBE_COLLECT_CAP + 1).collect()
+    if len(p_rows) > _PROBE_COLLECT_CAP:
+        raise ValueError(
+            f"brute_force_topk probe batch exceeds {_PROBE_COLLECT_CAP} rows; "
+            "the probe side must stay a query batch — shard larger probe "
+            "sets into sequential batches"
+        )
     spark = df.sparkSession
     if not p_rows:
         from pyspark.sql import types as T

@@ -461,7 +461,18 @@ def _ann_ranked_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical to the join form (probe_dots_batch parity).
     import numpy as np
 
-    p_rows = sorted(p.collect(), key=lambda r: r["vid"])
+    # bounded collect (r14, same guard as brute_force_topk): the arm's
+    # probe batch must stay driver-sized; fail loudly beyond the cap
+    # instead of OOMing the driver
+    p_rows = sorted(
+        p.limit(sim._PROBE_COLLECT_CAP + 1).collect(), key=lambda r: r["vid"]
+    )
+    if len(p_rows) > sim._PROBE_COLLECT_CAP:
+        raise ValueError(
+            f"ann ground-truth arm probe batch exceeds "
+            f"{sim._PROBE_COLLECT_CAP} rows; sample a bounded probe batch "
+            "for recall evaluation"
+        )
     qvids = F.lit([int(r["vid"]) for r in p_rows])
     qnrms = F.lit([float(r["nrm"]) for r in p_rows])
     pmat32 = np.array([r["vec"] for r in p_rows], dtype=np.float32)

@@ -694,7 +694,12 @@ def test_positioned_hash_index_text_pass_runs_once(spark):
     df-cap, so _cap_index's aggregate and join subtrees replay blocks
     instead of racing to recompute the text lineage (AQE submits those
     independent stages concurrently, so a lazy checkpoint still paid
-    2x). Counted with an accumulator UDF as the text column."""
+    2x). Counted with an accumulator UDF as the text column.
+
+    ASSUMPTION (r13 ADVICE): the exact-count assertion is valid only
+    without task retries/speculation — true for this suite's local-mode
+    session (spark.speculation defaults false; a task failure would fail
+    the test itself). On a retrying CI runner, relax to a [n, 2n) band."""
     acc = spark.sparkContext.accumulator(0)
 
     @F.udf("string")
@@ -712,3 +717,32 @@ def test_positioned_hash_index_text_pass_runs_once(spark):
         f"text column evaluated {acc.value}x for {n} docs — a filter "
         "re-inlined the text lineage or the index build re-executed it"
     )
+
+
+def test_connected_components_distributed_path_matches_local(spark, monkeypatch):
+    """r14: connected_components resolves bounded graphs with driver-local
+    union-find (_cc_local) and larger ones with the distributed
+    label-propagation loop. Pin both paths to identical output on the
+    same graph — cap monkeypatched to 0 forces the distributed loop on a
+    graph the fast path would otherwise take (incl. a multi-round chain,
+    so propagation + certification actually iterate)."""
+    from open_data_lakehouse_demo_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        # long chain (forces >1 propagation round distributed), star,
+        # island pair, triangle with a reversed edge
+        [(i, i + 1) for i in range(1, 9)]
+        + [(50, 51), (50, 52), (50, 53), (70, 71), (80, 81), (81, 82), (82, 80)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(dedup, "_LOCAL_CC_CAP", 0)
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert local == dist
+    assert (2, 1) in local and (9, 1) in local  # chain fully resolved

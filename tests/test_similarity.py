@@ -697,3 +697,18 @@ def test_kmeans_train_empty_corpus_raises_cleanly(spark):
     base = sim._ensure_base(empty, "vec_id", "embedding")
     with _pytest.raises(ValueError, match="non-empty"):
         sim._kmeans_train(base, 8, 1)
+
+
+def test_probe_collect_cap_raises_loudly(emb_df, monkeypatch):
+    """r14 guard (VERDICT r13 #5): the driver-side probe collect in
+    brute_force_topk is correct only for query-batch-sized probe sides;
+    an oversized batch must fail loudly, not OOM the driver. The cap is
+    monkeypatched tiny so the test never materializes a big batch."""
+    df, _ = emb_df
+    monkeypatch.setattr(sim, "_PROBE_COLLECT_CAP", 3)
+    probes = df.filter(F.col("vec_id") < 4)  # 4 probes > cap of 3
+    with pytest.raises(ValueError, match="probe batch exceeds 3"):
+        sim.brute_force_topk(df, probes, k=2)
+    # at the cap it still works (bounded CollectLimit path)
+    ok = sim.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=2)
+    assert ok.count() == 6

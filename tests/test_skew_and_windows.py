@@ -250,7 +250,11 @@ def test_token_shards_upstream_runs_once(spark):
     exactly once — the range partitioner's boundary-sampling pass must
     read the materialized blocks, not re-execute the upstream. Pinned
     with an accumulator-counting UDF in the tokens column: the old shape
-    evaluated it twice per row (sample pass + shuffle map)."""
+    evaluated it twice per row (sample pass + shuffle map).
+
+    ASSUMPTION (r13 ADVICE): exact accumulator counts require no task
+    retries/speculation — holds for the suite's local-mode session
+    (spark.speculation defaults false). Relax to a band on retrying CI."""
     from pyspark.sql import functions as F
 
     from open_data_lakehouse_demo_spark.operators.sharding import (
