@@ -37,7 +37,6 @@ from __future__ import annotations
 from functools import reduce
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -601,12 +600,75 @@ def assign_ids_batch(
     return _assign(F.col(vec_col))
 
 
+def assign_ids_nrm_batch(
+    vec_col: str, vids: list[int], mat32: np.ndarray, n_assign: int = 1
+) -> Column:
+    """``struct<assigns array<bigint>, nrm double>`` — ``assign_ids_batch``
+    fused with the vector's own fold-norm in the SAME Arrow pass (r14,
+    guide §4.2/§1.2).
+
+    Why: the trained-IVF index build previously ran ``_ensure_base``
+    first — a full JVM pass evaluating the INTERPRETED ``norm`` fold
+    (64 HOF lambda steps per row) plus a corpus-wide (vid, vec, nrm)
+    localCheckpoint — only so the later assign pass could carry ``nrm``
+    along. The assign kernel already computes every vector's norm inside
+    ``_assign_chunk``; emitting it costs nothing and deletes BOTH the
+    interpreted norm pass and the second corpus checkpoint (the r13
+    HONEST-LIMIT 2× transient block footprint).
+
+    Bit-parity: the emitted norm is ``sqrt(Σ(f64(x)·f64(x)))`` with exact
+    f32→f64 widening, sequential ``np.add.accumulate`` fold and ``+0.0``
+    seed — operation-for-operation the ``norm()`` expression fold (the
+    ``_np_norm`` argument; parity-tested in tests/test_similarity.py).
+    Assignment math/ranking are byte-identical to assign_ids_batch
+    (shared ``_assign_chunk``)."""
+    cmat = mat32.astype(np.float64)
+    cnrm = np.array([_np_norm(mat32[i]) for i in range(len(vids))], dtype=np.float64)
+    vid_arr = np.array(vids, dtype=np.int64)
+    n = n_assign
+
+    # annotation must be the generic pa.Array: arrow_udf's type-hint
+    # inference treats a non-Array-hinted return as a grouped aggregate
+    # (StructArray is returned at runtime — a subclass of pa.Array)
+    @arrow_udf("struct<assigns: array<bigint>, nrm: double>")
+    def _assign_nrm(emb: pa.Array) -> pa.Array:
+        nrows = len(emb)
+        if nrows == 0:
+            return pa.StructArray.from_arrays(
+                [mat_list(np.empty((0, n), np.int64), pa.int64()),
+                 pa.array(np.empty(0, np.float64), type=pa.float64())],
+                ["assigns", "nrm"],
+            )
+        V = list_mat(emb)  # (nrows, DIM); f32→f64 exact
+        out = np.empty((nrows, n), dtype=np.int64)
+        nrm = np.empty(nrows, dtype=np.float64)
+        for lo in range(0, nrows, 2048):
+            chunk = V[lo : lo + 2048]
+            cos = _assign_chunk(chunk, cmat, cnrm)
+            if n == 1:
+                top = np.argmax(cos, axis=1)[:, None]
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+            out[lo : lo + len(chunk)] = vid_arr[top]
+            # exact squares (f32 widened), sequential fold, +0.0 seed —
+            # the norm() fold's rounding at every step (_np_norm)
+            nrm[lo : lo + len(chunk)] = np.sqrt(
+                np.add.accumulate(chunk * chunk, axis=1)[:, -1] + 0.0
+            )
+        return pa.StructArray.from_arrays(
+            [mat_list(out, pa.int64()), pa.array(nrm, type=pa.float64())],
+            ["assigns", "nrm"],
+        )
+
+    return _assign_nrm(F.col(vec_col))
+
+
 
 
 #: full-corpus local-training threshold for _kmeans_train: below it the
 #: Lloyd rounds run driver-side over the collected vectors (65536×64 f64
 #: ≈ 33 MB, the faiss-style bounded training set); above it the
-#: distributed mapInPandas rounds run. The cap is also the documented
+#: distributed mapInArrow rounds run. The cap is also the documented
 #: driver-materialization bound.
 #:
 #: ORACLE-CONTRACT NOTE (ADVICE r7): the two paths accumulate the same
@@ -659,12 +721,18 @@ def _kmeans_train(
     n_centroids: int,
     n_iterations: int,
 ) -> tuple[list[int], np.ndarray]:
-    """Lloyd iterations over an already-materialized (vid, vec, nrm) base,
-    returning the trained codebook DRIVER-SIDE as (vids, C×DIM float32).
+    """Lloyd iterations over a (vid, vec[, ...]) relation, returning the
+    trained codebook DRIVER-SIDE as (vids, C×DIM float32). Only vid/vec
+    are read, so callers may pass either the materialized (vid, vec, nrm)
+    base (kmeans_codebook — norms reused downstream) or the raw scan
+    projection (ivf_topk's trained arm, r14 — each distributed round is
+    then a column-pruned corpus scan, the textbook k-means shape, with no
+    corpus checkpoint write ahead of it; the bounded local-path collect
+    never needed norms at all).
 
     The codebook (C×DIM floats, ~4 KB at C=16) is the one legitimate
     driver-side materialization in the repo: per round the cluster runs
-    exactly ONE shuffle-free job — a fused ``mapInPandas`` pass that
+    exactly ONE shuffle-free job — a fused ``mapInArrow`` pass that
     assigns each vector to its nearest centroid (``_assign_chunk``, the
     bit-exact fold math) and accumulates per-partition (count, Σvec)
     partials in the same numpy sweep, emitting C rows per partition.  The
@@ -723,28 +791,37 @@ def _kmeans_train(
         cnrm = np.array([_np_norm(mat[i]) for i in range(n_c)], dtype=np.float64)
 
         def partials(batches, _cmat=cmat, _cnrm=cnrm):
+            # r14 (guide §4.2): mapInArrow + list_mat — the vec column is
+            # consumed as ONE contiguous values buffer per batch and the
+            # C partial rows are emitted as one record batch; the old
+            # mapInPandas path built a Python ndarray OBJECT per row
+            # (Series.to_numpy → np.stack) on the input side and a
+            # per-row list on the output side. Accumulation order is
+            # unchanged (same 2048-row sub-chunks of the same Arrow
+            # batches), so the f64 partial sums are bit-identical.
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             counts = np.zeros(n_c, dtype=np.int64)
             sums = np.zeros((n_c, dim), dtype=np.float64)
-            for pdf in batches:
-                arr = pdf["vec"].to_numpy()
-                for lo in range(0, len(arr), 2048):
-                    chunk = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+            for batch in batches:
+                V = list_mat(batch.column(0))  # (n, dim) f64, exact widening
+                for lo in range(0, len(V), 2048):
+                    chunk = V[lo : lo + 2048]
                     idx = np.argmax(_assign_chunk(chunk, _cmat, _cnrm), axis=1)
                     counts += np.bincount(idx, minlength=n_c)
                     np.add.at(sums, idx, chunk)
-            yield pd.DataFrame(
-                {
-                    "pid": pid,
-                    "cidx": np.arange(n_c),
-                    "cnt": counts,
-                    "sums": list(sums),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.full(n_c, pid, dtype=np.int32)),
+                    pa.array(np.arange(n_c, dtype=np.int32)),
+                    pa.array(counts),
+                    mat_list(sums, pa.float64()),
+                ],
+                names=["pid", "cidx", "cnt", "sums"],
             )
 
-        rows = train_src.mapInPandas(
+        rows = train_src.mapInArrow(
             partials, "pid int, cidx int, cnt long, sums array<double>"
         ).collect()
         total_cnt = np.zeros(n_c, dtype=np.int64)
@@ -801,9 +878,6 @@ def ivf_topk(
     equi-join on centroid_id — bucket-sized work instead of full-corpus
     work.
     """
-    # base feeds codebook extraction, corpus assignment and probe
-    # assignment — materialize so the norm folds run once
-    base = _ensure_base(df, id_col, vec_col)
     if train_iterations > 0 and codebook is None:
         # Trained codebook is DRIVER-SIDE (C×DIM floats), so the search
         # assignment uses the literal path with the identical bit-exact
@@ -820,9 +894,17 @@ def ivf_topk(
         # ArrowEvalPython scans (corpus top-1 + probe top-n): one Python
         # pass instead of two and a much simpler main-stage plan —
         # measured 2.6s → 1.15s for the search phase at sf0.1.
-        # HONEST LIMIT: this checkpoints vec+nrm a second time (~2×
-        # transient block footprint vs the base checkpoint); at cluster
-        # scale spill the assigned table to a temp parquet instead.
+        # r14 (guide §4.2/§1.2): the pass now runs on the RAW (vid, vec)
+        # projection with the fold-norm fused into the kernel
+        # (assign_ids_nrm_batch — bit-identical to norm(), see its
+        # docstring): no _ensure_base, which deletes (a) the interpreted
+        # JVM norm fold over the corpus, and (b) the r13 HONEST-LIMIT
+        # second corpus checkpoint — the trained index now keeps exactly
+        # ONE corpus-sized block set (this assigned table). Training
+        # reads the raw scan too: the local path's bounded collect never
+        # needed norms, and a >cap distributed round is a column-pruned
+        # corpus scan per Lloyd round — the textbook k-means shape — with
+        # no corpus checkpoint write ahead of it.
         from open_data_lakehouse_demo_spark.sources.io import materialize
 
         # The trained index (codebook + per-vector assignments) is
@@ -840,13 +922,20 @@ def ivf_topk(
         cache_key = (index_cache_key, n_centroids, train_iterations, nprobe)
         assigned = index_cache.get(cache_key) if index_cache is not None else None
         if assigned is None:
-            vids, mat = _kmeans_train(base, n_centroids, train_iterations)
+            raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+            vids, mat = _kmeans_train(raw, n_centroids, train_iterations)
             assigned = materialize(
-                base.select(
-                    assign_ids_batch("vec", vids, mat, n_assign=nprobe).alias("assigns"),
+                raw.select(
+                    assign_ids_nrm_batch(
+                        "vec", vids, mat, n_assign=nprobe
+                    ).alias("an"),
                     "vid",
                     "vec",
-                    "nrm",
+                ).select(
+                    F.col("an.assigns").alias("assigns"),
+                    "vid",
+                    "vec",
+                    F.col("an.nrm").alias("nrm"),
                 )
             )
             if index_cache is not None:
@@ -866,6 +955,11 @@ def ivf_topk(
             F.col("nrm").alias("qnrm"),
         )
     else:
+        # base feeds codebook extraction, corpus assignment and probe
+        # assignment — materialize so the norm folds run once (the
+        # trained arm above derives norms inside its Arrow kernel and
+        # never needs this checkpoint)
+        base = _ensure_base(df, id_col, vec_col)
         probes_src = base.filter(probe_filter) if probe_filter is not None else base
         if codebook is not None:
             centroids = codebook

@@ -712,3 +712,48 @@ def test_probe_collect_cap_raises_loudly(emb_df, monkeypatch):
     # at the cap it still works (bounded CollectLimit path)
     ok = sim.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=2)
     assert ok.count() == 6
+
+
+def test_assign_ids_nrm_batch_parity(emb_df):
+    """r14 fused kernel: assign_ids_nrm_batch's assigns must be
+    byte-identical to assign_ids_batch and its nrm bit-identical to the
+    norm() expression fold (the trained-IVF arm substitutes it for the
+    _ensure_base norm column, so the downstream cosine hashes depend on
+    exact equality)."""
+    df, _ = emb_df
+    base = df.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"))
+    rows = base.orderBy("vid").limit(4).collect()
+    vids = [r["vid"] for r in rows]
+    mat = np.array([r["vec"] for r in rows], dtype=np.float32)
+    fused = {
+        r["vid"]: (tuple(r["an"]["assigns"]), r["an"]["nrm"])
+        for r in base.select(
+            "vid", sim.assign_ids_nrm_batch("vec", vids, mat, n_assign=2).alias("an")
+        ).collect()
+    }
+    ref = {
+        r["vid"]: (tuple(r["assigns"]), r["nrm"])
+        for r in base.select(
+            "vid",
+            sim.assign_ids_batch("vec", vids, mat, n_assign=2).alias("assigns"),
+            sim.norm(F.col("vec")).alias("nrm"),
+        ).collect()
+    }
+    assert fused == ref  # exact equality incl. the norm doubles
+
+
+def test_kmeans_distributed_rounds_match_local(emb_df, monkeypatch):
+    """r14: the distributed Lloyd rounds (mapInArrow partials) must agree
+    with the driver-local path on the same corpus — cap monkeypatched to
+    0 so the 40-vector fixture takes the distributed branch. Centroid
+    means may differ from the local path only by f64 association order,
+    absorbed by the per-round f32 cast except on ~2^-29 boundary
+    landings (the documented _LOCAL_TRAIN_CAP tolerance class), so
+    allclose at f32 resolution is the correct assertion."""
+    df, _ = emb_df
+    base = df.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"))
+    vids_l, mat_l = sim._kmeans_train(base, 4, 2)
+    monkeypatch.setattr(sim, "_LOCAL_TRAIN_CAP", 0)
+    vids_d, mat_d = sim._kmeans_train(base, 4, 2)
+    assert vids_d == vids_l
+    np.testing.assert_allclose(mat_d, mat_l, rtol=1e-6, atol=1e-7)
