@@ -954,30 +954,77 @@ def ivf_topk(
             F.col("vec").alias("qvec"),
             F.col("nrm").alias("qnrm"),
         )
-    else:
-        # base feeds codebook extraction, corpus assignment and probe
-        # assignment — materialize so the norm folds run once (the
-        # trained arm above derives norms inside its Arrow kernel and
-        # never needs this checkpoint)
+    elif codebook is not None:
+        # explicit codebook DataFrame (e.g. kmeans_codebook output): the
+        # lazy join path — base feeds corpus and probe assignment;
+        # materialize so the norm folds run once
         base = _ensure_base(df, id_col, vec_col)
         probes_src = base.filter(probe_filter) if probe_filter is not None else base
-        if codebook is not None:
-            centroids = codebook
-        else:
-            # lowest-id sample, robust to id spaces that don't start at 0.
-            # Stays a lazy DataFrame codebook (assign_centroids join
-            # path): a driver-side collect would add an eager job per
-            # query construction — measured net-slower than the broadcast
-            # fan-out for the sampled case at bench scale.
-            centroids = base.orderBy("vid").limit(n_centroids)
-        corpus = assign_centroids(base, centroids, n_assign=1).select(
+        corpus = assign_centroids(base, codebook, n_assign=1).select(
             "centroid_id", "vid", "vec", "nrm"
         )
-        probed = assign_centroids(probes_src, centroids, n_assign=nprobe).select(
+        probed = assign_centroids(probes_src, codebook, n_assign=nprobe).select(
             F.col("centroid_id"),
             F.col("vid").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("nrm").alias("qnrm"),
+        )
+    else:
+        # SAMPLED codebook (r14, guide §4.2/§2.4): the n_centroids
+        # lowest-id seeds are a bounded driver collect (TakeOrdered on
+        # the raw scan — the same justified tiny materialization as
+        # pq_seed_matrix), and both assignment passes run the fused
+        # assign+norm Arrow kernel against the literal codebook —
+        # bit-identical ranking/norms to the assign_centroids join path
+        # (assign_ids_nrm_batch docstring + parity tests). vs the r13
+        # join form this deletes per query: the interpreted corpus norm
+        # pass, the corpus-wide (vid, vec, nrm) localCheckpoint, two
+        # broadcast-join n×C pair fan-outs through dot_batch, and the
+        # payload-carrying max(struct) SortAggregate / ranking window.
+        # (r13's A/B of a literal path measured a wash — but that
+        # variant still paid _ensure_base; with the norm fused into the
+        # kernel the checkpoint goes away entirely, which is what moves
+        # the number. Interleaved fresh-subprocess A/B, 4 pairs, min:
+        # cosine_topk_ivf 2.25 → 1.25 s (0.56×), semantic_dedup 1.48 →
+        # 1.18 s (0.80×) — details in OPTIMIZATION_r14.md.)
+        raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        seeds = raw.orderBy("vid").limit(n_centroids).collect()
+        if not seeds:
+            from pyspark.sql import types as T
+
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("query_id", T.LongType()),
+                        T.StructField("neighbor_id", T.LongType()),
+                        T.StructField("cosine", T.DoubleType()),
+                    ]
+                ),
+            )
+        seeds.sort(key=lambda r: r["vid"])
+        svids = [int(r["vid"]) for r in seeds]
+        smat = np.array([r["vec"] for r in seeds], dtype=np.float32)
+        corpus = raw.select(
+            assign_ids_nrm_batch("vec", svids, smat, n_assign=1).alias("an"),
+            "vid",
+            "vec",
+        ).select(
+            F.col("an.assigns")[0].alias("centroid_id"),
+            "vid",
+            "vec",
+            F.col("an.nrm").alias("nrm"),
+        )
+        probes_src = raw.filter(probe_filter) if probe_filter is not None else raw
+        probed = probes_src.select(
+            assign_ids_nrm_batch("vec", svids, smat, n_assign=nprobe).alias("an"),
+            "vid",
+            "vec",
+        ).select(
+            F.explode("an.assigns").alias("centroid_id"),
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("an.nrm").alias("qnrm"),
         )
     cand = corpus.join(F.broadcast(probed), "centroid_id").filter(
         F.col("vid") != F.col("query_id")
@@ -1096,14 +1143,46 @@ def semantic_dedup_pairs(
     """
     if assignment is not None:
         assigned = assignment.select("centroid_id", "vid", "vec", "nrm")
-    else:
+    elif codebook is not None:
         base = _ensure_base(df, id_col, vec_col)
-        centroids = (
-            codebook if codebook is not None else base.orderBy("vid").limit(n_clusters)
-        )
-        assigned = assign_centroids(base, centroids, n_assign=1).select(
+        assigned = assign_centroids(base, codebook, n_assign=1).select(
             "centroid_id", "vid", "vec", "nrm"
         )
+    else:
+        # SAMPLED codebook (r14, same restructure as ivf_topk's sampled
+        # arm): bounded seeds collect + the fused assign+norm Arrow
+        # kernel on the raw scan — bit-identical to the
+        # assign_centroids join path (cross-path equivalence pinned by
+        # test_semantic_dedup_assignment_param_equivalence). The HONEST
+        # LIMIT below still applies: each self-join side re-derives this
+        # lineage, but a re-derived side is now one column-pruned scan +
+        # one Arrow pass instead of a checkpoint read + broadcast n×C
+        # fan-out + payload-carrying argmax aggregate.
+        raw = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        seeds = sorted(
+            raw.orderBy("vid").limit(n_clusters).collect(),
+            key=lambda r: r["vid"],
+        )
+        if not seeds:  # empty corpus ⇒ empty pair output, schema kept
+            assigned = raw.select(
+                F.lit(None).cast("bigint").alias("centroid_id"),
+                "vid",
+                "vec",
+                F.lit(0.0).alias("nrm"),
+            ).limit(0)
+        else:
+            svids = [int(r["vid"]) for r in seeds]
+            smat = np.array([r["vec"] for r in seeds], dtype=np.float32)
+            assigned = raw.select(
+                assign_ids_nrm_batch("vec", svids, smat, n_assign=1).alias("an"),
+                "vid",
+                "vec",
+            ).select(
+                F.col("an.assigns")[0].alias("centroid_id"),
+                "vid",
+                "vec",
+                F.col("an.nrm").alias("nrm"),
+            )
     a = assigned.select(
         "centroid_id",
         F.col("vid").alias("vid_a"),

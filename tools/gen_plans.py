@@ -342,11 +342,14 @@ CHECKS = [
     ),
     (
         "semantic_dedup",
-        ["ShuffledHashJoin", "BroadcastNestedLoopJoin", "0x:SortMergeJoin", "0x:CartesianProduct"],
-        "Cluster assignment is the broadcast O(n*C) codegen scan (the "
-        "BroadcastNestedLoopJoin); the within-cluster self-join is hinted "
-        "shuffle_hash so the quadratic fan-out streams instead of "
-        "sorting; keep-first keeper = one min(struct) hash aggregate.",
+        ["ShuffledHashJoin", "0x:BroadcastNestedLoopJoin", "0x:SortMergeJoin",
+         "0x:CartesianProduct"],
+        "Cluster assignment is the fused assign+norm Arrow kernel against "
+        "the literal seed codebook (r14 — the former O(n*C) "
+        "BroadcastNestedLoopJoin fan-out is gone from the plan); the "
+        "within-cluster self-join is hinted shuffle_hash so the quadratic "
+        "fan-out streams instead of sorting; keep-first keeper = one "
+        "min(struct) aggregate.",
     ),
     (
         "containment_dups",
@@ -500,13 +503,14 @@ CHECKS = [
     ),
     (
         "cosine_topk_ivf",
-        ["WindowGroupLimit", "ArrowEvalPython", "TakeOrderedAndProject",
-         "0x:BatchEvalPython"],
+        ["WindowGroupLimit", "ArrowEvalPython", "0x:BatchEvalPython",
+         "0x:BroadcastNestedLoopJoin"],
         "IVF probe search: the rank<=k filter plans as WindowGroupLimit "
         "(partial per-partition top-k before the final window — the "
-        "scale-safe shape), distances run in Arrow-vectorized pandas "
-        "UDFs (never row-at-a-time BatchEvalPython), and the bounded "
-        "probe batch caps as TakeOrderedAndProject.",
+        "scale-safe shape); coarse assignment is the fused assign+norm "
+        "Arrow kernel against the literal seed codebook (r14 — no "
+        "broadcast fan-out join, no corpus norm checkpoint), distances "
+        "run Arrow-vectorized (never row-at-a-time BatchEvalPython).",
     ),
     (
         "image_feature_extract",
